@@ -1,0 +1,109 @@
+"""Typed configuration with validation.
+
+Analog of the reference's pluggable settings objects
+(``fingerprint/FingerprintSettings.java``,
+``fingerprint/FingerprintType.java:64-73`` per-type invariant checks,
+``InvalidFingerprintSettingsException``): every profile validates its
+invariants eagerly and raises ``ValueError`` on violation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    """Okapi BM25 parameters (north_star: k1=1.2, b=0.75).
+
+    Replaces the reference's delegated Lucene TF-IDF scoring
+    (invoked at ``ChemicalIndex.java:487,550,585,632``).
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+    # Scores are computed in float64 and rounded to `score_decimals`
+    # for cross-engine rank stability; the reference compares float32
+    # scores exactly (SubstructureHitQueue.java:113-118).
+    score_decimals: int = 4
+
+    def __post_init__(self) -> None:
+        if self.k1 < 0:
+            raise ValueError(f"k1 must be >= 0, got {self.k1}")
+        if not (0.0 <= self.b <= 1.0):
+            raise ValueError(f"b must be in [0,1], got {self.b}")
+        if not (0 <= self.score_decimals <= 12):
+            raise ValueError(f"score_decimals must be in [0,12], got {self.score_decimals}")
+
+
+@dataclass(frozen=True)
+class TokenizerProfile:
+    """Tokenizer settings.
+
+    Analog of the reference's doc/query fingerprint settings asymmetry
+    (``LuceneBenchmark.java:589-599``: same algorithm, different flags):
+    one shared pipeline, optional n-gram augmentation per profile.
+    """
+
+    name: str = "code_default"
+    split_camel_case: bool = True
+    lowercase: bool = True
+    min_token_len: int = 1
+    max_token_len: int = 64
+    # identifier n-grams (0 = off). Only the pandas path supports >0.
+    ngram: int = 0
+
+    def __post_init__(self) -> None:
+        if self.min_token_len < 1:
+            raise ValueError(f"min_token_len must be >= 1, got {self.min_token_len}")
+        if self.max_token_len < self.min_token_len:
+            raise ValueError(
+                f"max_token_len ({self.max_token_len}) < min_token_len ({self.min_token_len})"
+            )
+        if self.ngram < 0:
+            raise ValueError(f"ngram must be >= 0, got {self.ngram}")
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Index build/layout configuration.
+
+    Block layout replaces Lucene's freq/prox + skip-list files (delegated by
+    the reference at ``ChemicalIndex.java:847,864-876``): fixed-size blocks of
+    ``block_size`` postings, each independently decodable (absolute first
+    doc_id + varbyte'd deltas) and carrying block-max metadata for WAND.
+    """
+
+    block_size: int = 128
+    # Salted term-merge: hot terms (df >= hot_term_df) are built in
+    # `n_salts` doc_id-range buckets, then concatenated (SURVEY §7.3).
+    hot_term_df: int = 4096
+    n_salts: int = 8
+    build_partitions: int = 32
+    # Error budget: abort ingest if this many consecutive rows fail to
+    # tokenize (analog of ChemicalIndex.java:285-287's 100-failure abort).
+    max_consecutive_errors: int = 100
+    bm25: BM25Params = field(default_factory=BM25Params)
+    tokenizer: TokenizerProfile = field(default_factory=TokenizerProfile)
+
+    def __post_init__(self) -> None:
+        if self.block_size < 1:
+            raise ValueError(f"block_size must be >= 1, got {self.block_size}")
+        if self.n_salts < 1:
+            raise ValueError(f"n_salts must be >= 1, got {self.n_salts}")
+        if self.hot_term_df < 1:
+            raise ValueError(f"hot_term_df must be >= 1, got {self.hot_term_df}")
+        if self.build_partitions < 1:
+            raise ValueError(f"build_partitions must be >= 1, got {self.build_partitions}")
+        if self.max_consecutive_errors < 1:
+            raise ValueError(
+                f"max_consecutive_errors must be >= 1, got {self.max_consecutive_errors}"
+            )
+
+
+# Candidate-cap policy for two-phase search: min(k*10, 100000)
+# (reference constant at ChemicalIndex.java:660-661).
+def candidate_cap(k: int) -> int:
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return min(k * 10, 100_000)

@@ -1,0 +1,132 @@
+"""Posting-list compression codecs — vectorized numpy, no per-row Python.
+
+Replaces the postings encoding the reference delegates to Lucene 3.x
+(freq/prox files: delta + VInt compression + skip lists; invoked at
+``ChemicalIndex.java:847,864-876`` via ``lib/lucene-core-3.6.1.jar``).
+
+Layout: little-endian VByte (7 payload bits per byte, high bit set =
+continuation). Doc ids are stored as first-doc-absolute + gap deltas so
+every block is independently decodable; per-block max-score metadata
+replaces skip lists (block-max WAND skipping).
+
+A Frame-of-Reference (FOR) codec is provided as an alternative fixed
+bit-width scheme for high-density blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VBYTE_LEN = 10  # 64 bits / 7
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array to VByte bytes (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    if values.min() < 0:
+        raise ValueError("varbyte_encode requires non-negative values")
+    # bytes needed per value: ceil(bit_length / 7), min 1
+    nb = np.ones(v.size, dtype=np.int64)
+    threshold = np.uint64(128)
+    for _ in range(_MAX_VBYTE_LEN - 1):
+        mask = v >= threshold
+        if not mask.any():
+            break
+        nb += mask
+        if threshold >= np.uint64(1) << np.uint64(57):
+            break
+        threshold = threshold << np.uint64(7)
+    total = int(nb.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    for j in range(int(nb.max())):
+        mask = nb > j
+        idx = starts[mask] + j
+        payload = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nb[mask] - 1 > j).astype(np.uint8) << 7
+        out[idx] = payload.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Decode VByte bytes back to a uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    if not is_last[-1]:
+        raise ValueError("truncated varbyte stream")
+    # group id per byte: 0-based index of the value this byte belongs to
+    group = np.concatenate(([0], np.cumsum(is_last)[:-1]))
+    n_vals = int(is_last.sum())
+    # position of byte within its group
+    starts_of_group = np.concatenate(([0], np.flatnonzero(is_last)[:-1] + 1))
+    pos_in_group = np.arange(b.size) - starts_of_group[group]
+    contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << (pos_in_group.astype(np.uint64) * np.uint64(7))
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(out, group, contrib)
+    return out
+
+
+def delta_encode(sorted_ids: np.ndarray) -> tuple[int, bytes]:
+    """Sorted strictly-increasing ids -> (first_id, varbyte(gaps))."""
+    a = np.asarray(sorted_ids, dtype=np.int64)
+    if a.size == 0:
+        return 0, b""
+    gaps = np.diff(a)
+    if a.size > 1 and gaps.min() <= 0:
+        raise ValueError("ids must be strictly increasing")
+    return int(a[0]), varbyte_encode(gaps.astype(np.uint64))
+
+
+def delta_decode(first_id: int, gap_bytes: bytes, n: int) -> np.ndarray:
+    """Inverse of delta_encode; n = number of ids in the block."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    gaps = varbyte_decode(gap_bytes).astype(np.int64)
+    if gaps.size != n - 1:
+        raise ValueError(f"expected {n - 1} gaps, got {gaps.size}")
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first_id
+    np.cumsum(gaps, out=out[1:]) if n > 1 else None
+    if n > 1:
+        out[1:] += first_id
+    return out
+
+
+def for_encode(values: np.ndarray) -> bytes:
+    """Frame-of-Reference: [base u64][width u8][n u32][packed deltas].
+
+    Fixed bit-width packing of (value - min). Alternative codec for
+    dense blocks; round-trip tested, selectable via IndexConfig in a
+    future layout version (current postings use varbyte).
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    base = int(v.min())
+    d = v - np.uint64(base)
+    width = max(1, int(d.max()).bit_length())
+    # unpack each delta into `width` bits, little-endian bit order
+    bits = ((d[:, None] >> np.arange(width, dtype=np.uint64)) & np.uint64(1)).astype(np.uint8)
+    packed = np.packbits(bits.reshape(-1), bitorder="little")
+    header = (
+        np.uint64(base).tobytes()
+        + np.uint8(width).tobytes()
+        + np.uint32(v.size).tobytes()
+    )
+    return header + packed.tobytes()
+
+
+def for_decode(buf: bytes) -> np.ndarray:
+    if len(buf) == 0:
+        return np.empty(0, dtype=np.uint64)
+    base = np.frombuffer(buf[:8], dtype=np.uint64)[0]
+    width = int(np.frombuffer(buf[8:9], dtype=np.uint8)[0])
+    n = int(np.frombuffer(buf[9:13], dtype=np.uint32)[0])
+    bits = np.unpackbits(np.frombuffer(buf[13:], dtype=np.uint8), bitorder="little")
+    bits = bits[: n * width].reshape(n, width).astype(np.uint64)
+    vals = (bits << np.arange(width, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+    return vals + base

@@ -1,0 +1,504 @@
+"""Index build pipeline — SPIMI runs, salted term merge, block encoding.
+
+Reference analog: the reference delegates posting construction to
+Lucene's ``IndexWriter`` (buffered docs → flushed sorted segments →
+background merge; call sites ``ChemicalIndex.java:864-876``, flush on
+``close(true)`` at ``:344``). This module provides the same capability
+as a Spark job graph:
+
+  stage 0  docmap          deterministic dense doc_id per (repo,path,commit)
+  stage 1  flat runs       mapInPandas SPIMI: tokenize + per-doc tf — written
+                           per build-partition, checkpoint-resumable (analog
+                           of resume-from-PK, ``ChemicalIndex.java:248-270``)
+  stage 2  docmeta/stats   doc_len, sha256(content) invariant, N, avgdl
+  stage 3  lexicon         per-term df/cf/idf
+  stage 4  postings        cold terms: single shuffle-by-term encode;
+                           hot terms: salted (term, doc_id-range) runs merged
+                           in a second pass — byte-identical output either way
+
+All heavy paths are Arrow-batched pandas kernels or built-in Catalyst
+expressions; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from org_rdkit_lucene_spark.config import IndexConfig
+from org_rdkit_lucene_spark.functions.codecs import delta_encode, varbyte_encode
+from org_rdkit_lucene_spark.functions.tokenizer import tokenize_texts
+
+FLAT_SCHEMA = "doc_id long, term string, tf int, dl int"
+POSTINGS_SCHEMA = (
+    "term string, block_id int, first_doc long, last_doc long, n int, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, max_tf_norm double"
+)
+
+# ---------------------------------------------------------------------------
+# stage 0 — deterministic doc ids
+
+
+def assign_doc_ids(corpus: DataFrame, partitions: int = 32) -> DataFrame:
+    """Dense deterministic doc_id = global rank of (repo, path, commit).
+
+    Scalable zipWithIndex: range-repartition on the natural key, sort
+    within partitions, then add per-partition offsets computed from
+    partition counts. The resulting rank is a pure function of the key
+    set — independent of partition count or boundary sampling — which is
+    what checkpoint-restart determinism requires (SURVEY §7.3: no
+    ``monotonically_increasing_id`` in the index path).
+
+    Reference analog: the stored unique ``pk`` field
+    (``ChemicalIndex.java:95,814``); uniqueness enforced there by
+    delete-then-add upsert (``:801``), here by a validation count.
+    """
+    keys = corpus.select("repo", "path", "commit")
+    k2 = (
+        keys.repartitionByRange(partitions, "repo", "path", "commit")
+        .sortWithinPartitions("repo", "path", "commit")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["count"] for r in k2.groupBy("_pid").count().collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counter = -1
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if counter < 0:
+                counter = offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf[["repo", "path", "commit"]].copy()
+            out["doc_id"] = np.arange(counter, counter + len(pdf), dtype=np.int64)
+            counter += len(pdf)
+            yield out
+
+    docmap = k2.mapInPandas(add_ids, schema="repo string, path string, commit string, doc_id long")
+    return docmap
+
+
+# ---------------------------------------------------------------------------
+# stage 1 — SPIMI flat runs (tokenize + per-doc tf), checkpoint-resumable
+
+
+def _make_spimi_fn(cfg: IndexConfig):
+    profile = cfg.tokenizer
+    max_consec = cfg.max_consecutive_errors
+
+    def spimi(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        consecutive_errors = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            try:
+                toks = tokenize_texts(pdf["content"], profile)
+                consecutive_errors = 0
+            except Exception:
+                # error-tolerant map (ChemicalIndex.java:280-292): retry
+                # row-at-a-time, null out bad rows, abort past the budget
+                vals = []
+                for v in pdf["content"]:
+                    try:
+                        vals.append(tokenize_texts(pd.Series([v]), profile).iloc[0])
+                        consecutive_errors = 0
+                    except Exception:
+                        vals.append([])
+                        consecutive_errors += 1
+                        if consecutive_errors > max_consec:
+                            raise RuntimeError(
+                                f"aborting: >{max_consec} consecutive tokenize failures"
+                            )
+                toks = pd.Series(vals, index=pdf.index)
+            lens = toks.map(len)
+            n_tok = int(lens.sum())
+            if n_tok == 0:
+                continue
+            rep = lens.to_numpy(np.int64)
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(np.int64), rep)
+            dls = np.repeat(lens.to_numpy(np.int32), rep)
+            parts = np.repeat(pdf["build_part"].to_numpy(np.int32), rep)
+            terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+            long_df = pd.DataFrame(
+                {"doc_id": doc_ids, "term": terms, "dl": dls, "build_part": parts}
+            )
+            agg = (
+                long_df.groupby(["doc_id", "term", "dl", "build_part"], sort=True, observed=True)
+                .size()
+                .rename("tf")
+                .reset_index()
+            )
+            agg["tf"] = agg["tf"].astype(np.int32)
+            yield agg[["doc_id", "term", "tf", "dl", "build_part"]]
+
+    return spimi
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest.json")
+
+
+def _read_manifest(index_dir: str) -> dict:
+    p = _manifest_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"completed_parts": [], "part_lineage": {}, "finalized": False}
+
+
+def _write_manifest(index_dir: str, manifest: dict) -> None:
+    tmp = _manifest_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(index_dir))
+
+
+def build_flat_runs(
+    corpus_ids: DataFrame,
+    cfg: IndexConfig,
+    index_dir: str,
+    only_parts: list[int] | None = None,
+) -> dict:
+    """Stage 1: write per-build-partition flat (doc_id, term, tf, dl) runs.
+
+    ``build_part = pmod(xxhash64(key), P)`` is a pure function of the
+    row, so any subset of partitions can be built, the job can die, and a
+    resume completes only the missing partitions — the final index is
+    byte-identical to an uninterrupted build (P1 analog,
+    ``ChemicalIndex.java:248-270``). Lineage (rows, seconds) is recorded
+    per partition in the manifest.
+    """
+    flat_dir = os.path.join(index_dir, "flat")
+    manifest = _read_manifest(index_dir)
+    done = set(manifest["completed_parts"])
+    p = cfg.build_partitions
+    todo = sorted((set(range(p)) - done) if only_parts is None else (set(only_parts) - done))
+    if not todo:
+        return manifest
+    # clear any partial output from a crashed previous attempt
+    for part in todo:
+        d = os.path.join(flat_dir, f"build_part={part}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    t0 = time.time()
+    df = corpus_ids.withColumn(
+        "build_part", F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(p)).cast("int")
+    )
+    df = df.filter(F.col("build_part").isin([int(x) for x in todo]))
+    flat = df.select("doc_id", "content", "build_part").mapInPandas(
+        _make_spimi_fn(cfg), schema=FLAT_SCHEMA + ", build_part int"
+    )
+    flat.write.partitionBy("build_part").mode("append").parquet(flat_dir)
+    elapsed = time.time() - t0
+    manifest = _read_manifest(index_dir)
+    manifest["completed_parts"] = sorted(set(manifest["completed_parts"]) | set(todo))
+    for part in todo:
+        manifest["part_lineage"][str(part)] = {"seconds": round(elapsed / len(todo), 3)}
+    manifest["n_parts"] = p
+    _write_manifest(index_dir, manifest)
+    return manifest
+
+
+# ---------------------------------------------------------------------------
+# stage 4 — block encoding kernels
+
+
+def _encode_term_arrays(
+    term: str,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> list[tuple]:
+    """Chunk one term's full sorted postings into independently-decodable
+    blocks. Block-max metadata (``max_tf_norm``) replaces Lucene skip
+    lists for WAND skipping (SURVEY §2.4 B3)."""
+    rows = []
+    n = len(docs)
+    tf_norm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    for bi, start in enumerate(range(0, n, block_size)):
+        d = docs[start : start + block_size]
+        first, gap_bytes = delta_encode(d)
+        rows.append(
+            (
+                term,
+                bi,
+                first,
+                int(d[-1]),
+                len(d),
+                gap_bytes,
+                varbyte_encode(tfs[start : start + block_size].astype(np.uint64)),
+                varbyte_encode(dls[start : start + block_size].astype(np.uint64)),
+                float(tf_norm[start : start + block_size].max()),
+            )
+        )
+    return rows
+
+
+def _make_cold_encoder(cfg: IndexConfig, avgdl: float):
+    """mapInPandas encoder over a term-partitioned, (term, doc_id)-sorted
+    stream. Carries incomplete trailing terms across Arrow batches so a
+    term spanning batches is encoded exactly once from its full list."""
+    bs, k1, b = cfg.block_size, cfg.bm25.k1, cfg.bm25.b
+    cols = ["term", "block_id", "first_doc", "last_doc", "n",
+            "doc_bytes", "tf_bytes", "dl_bytes", "max_tf_norm"]
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def encode_terms(pdf: pd.DataFrame) -> pd.DataFrame:
+            out_rows: list[tuple] = []
+            terms = pdf["term"].to_numpy()
+            docs = pdf["doc_id"].to_numpy(np.int64)
+            tfs = pdf["tf"].to_numpy(np.float64)
+            dls = pdf["dl"].to_numpy(np.float64)
+            boundaries = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+            starts = np.concatenate(([0], boundaries))
+            ends = np.concatenate((boundaries, [len(terms)]))
+            for s, e in zip(starts, ends):
+                out_rows.extend(
+                    _encode_term_arrays(terms[s], docs[s:e], tfs[s:e], dls[s:e], bs, k1, b, avgdl)
+                )
+            return pd.DataFrame(out_rows, columns=cols)
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            last_term = pdf["term"].iloc[-1]
+            head = pdf[pdf["term"] != last_term]
+            carry = pdf[pdf["term"] == last_term]
+            if len(head):
+                yield encode_terms(head)
+        if carry is not None and len(carry):
+            yield encode_terms(carry)
+
+    return encode
+
+
+def _make_run_builder():
+    """applyInPandas phase 1 for hot terms: one (term, salt) group →
+    one compact raw run (sorted doc/tf/dl arrays as binary)."""
+
+    def build_run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "salt": [int(pdf["salt"].iloc[0])],
+                "n": [len(pdf)],
+                "docs_raw": [pdf["doc_id"].to_numpy(np.int64).tobytes()],
+                "tfs_raw": [pdf["tf"].to_numpy(np.int32).tobytes()],
+                "dls_raw": [pdf["dl"].to_numpy(np.int32).tobytes()],
+            }
+        )
+
+    return build_run
+
+
+def _make_hot_encoder(cfg: IndexConfig, avgdl: float):
+    """applyInPandas phase 2 for hot terms: concatenate per-salt runs in
+    salt order (salts are doc_id ranges ⇒ concatenation is globally
+    sorted) and block-encode — byte-identical to an unsalted build."""
+    bs, k1, b = cfg.block_size, cfg.bm25.k1, cfg.bm25.b
+    cols = ["term", "block_id", "first_doc", "last_doc", "n",
+            "doc_bytes", "tf_bytes", "dl_bytes", "max_tf_norm"]
+
+    def merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("salt")
+        docs = np.concatenate([np.frombuffer(x, dtype=np.int64) for x in pdf["docs_raw"]])
+        tfs = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in pdf["tfs_raw"]]).astype(np.float64)
+        dls = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in pdf["dls_raw"]]).astype(np.float64)
+        rows = _encode_term_arrays(pdf["term"].iloc[0], docs, tfs, dls, bs, k1, b, avgdl)
+        return pd.DataFrame(rows, columns=cols)
+
+    return merge_runs
+
+
+# ---------------------------------------------------------------------------
+# the index handle
+
+
+@dataclass
+class InvertedIndex:
+    spark: SparkSession
+    index_dir: str
+    n_docs: int
+    avgdl: float
+    cfg: IndexConfig
+
+    @property
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docmap.parquet"))
+
+    @property
+    def docmeta(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docmeta.parquet"))
+
+    @property
+    def lexicon(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "lexicon.parquet"))
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "postings.parquet"))
+
+    @property
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "metrics.parquet"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, index_dir: str, cfg: IndexConfig | None = None) -> "InvertedIndex":
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            stats = json.load(f)
+        return cls(spark, index_dir, stats["n_docs"], stats["avgdl"], cfg or IndexConfig())
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    cfg: IndexConfig,
+    index_dir: str,
+    only_parts: list[int] | None = None,
+    validate_pk: bool = True,
+) -> InvertedIndex | None:
+    """Run the full build. With ``only_parts`` set, runs stage 1 for just
+    those build partitions and returns None (partial build — call again
+    without it to resume and finalize). Idempotent per stage."""
+    os.makedirs(index_dir, exist_ok=True)
+    metrics_rows: list[tuple] = []
+
+    # -- stage 0: docmap (checkpointed: built exactly once)
+    docmap_path = os.path.join(index_dir, "docmap.parquet")
+    if not os.path.exists(os.path.join(docmap_path, "_SUCCESS")):
+        t0 = time.time()
+        if validate_pk:
+            total = corpus.count()
+            distinct = corpus.select("repo", "path", "commit").distinct().count()
+            if total != distinct:
+                raise ValueError(
+                    f"primary key (repo,path,commit) not unique: {total} rows, {distinct} keys"
+                )
+        assign_doc_ids(corpus, cfg.build_partitions).write.mode("overwrite").parquet(docmap_path)
+        metrics_rows.append(("docmap", -1, time.time() - t0))
+    docmap = spark.read.parquet(docmap_path)
+    corpus_ids = corpus.join(docmap, ["repo", "path", "commit"])
+
+    # -- stage 1: SPIMI flat runs (resumable)
+    t0 = time.time()
+    manifest = build_flat_runs(corpus_ids, cfg, index_dir, only_parts)
+    metrics_rows.append(("flat_runs", len(manifest["completed_parts"]), time.time() - t0))
+    if len(manifest["completed_parts"]) < cfg.build_partitions:
+        return None  # partial build; resume later
+
+    flat = spark.read.parquet(os.path.join(index_dir, "flat")).select("doc_id", "term", "tf", "dl")
+
+    # -- stage 2: docmeta + stats (sha256 invariant via JVM-side sha2)
+    docmeta_path = os.path.join(index_dir, "docmeta.parquet")
+    if not os.path.exists(os.path.join(docmeta_path, "_SUCCESS")):
+        t0 = time.time()
+        dl = flat.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
+        docmeta = (
+            corpus_ids.select(
+                "doc_id", "repo", "path", "commit", "lang",
+                F.sha2(F.col("content"), 256).alias("sha256"),
+            )
+            .join(dl, "doc_id", "left")
+            .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
+        )
+        docmeta.write.mode("overwrite").parquet(docmeta_path)
+        metrics_rows.append(("docmeta", -1, time.time() - t0))
+    docmeta = spark.read.parquet(docmeta_path)
+    stats_path = os.path.join(index_dir, "stats.json")
+    if not os.path.exists(stats_path):
+        row = docmeta.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        with open(stats_path, "w") as f:
+            json.dump({"n_docs": row["n"], "avgdl": float(row["avgdl"] or 0.0)}, f)
+    with open(stats_path) as f:
+        stats = json.load(f)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    # -- stage 3: lexicon with BM25 idf
+    lexicon_path = os.path.join(index_dir, "lexicon.parquet")
+    if not os.path.exists(os.path.join(lexicon_path, "_SUCCESS")):
+        t0 = time.time()
+        lex = flat.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        lex = lex.withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        lex.write.mode("overwrite").parquet(lexicon_path)
+        metrics_rows.append(("lexicon", -1, time.time() - t0))
+
+    # -- stage 4: postings (cold: one shuffle; hot: salted two-pass)
+    postings_path = os.path.join(index_dir, "postings.parquet")
+    if not os.path.exists(os.path.join(postings_path, "_SUCCESS")):
+        t0 = time.time()
+        lex = spark.read.parquet(lexicon_path)
+        hot_terms = [r["term"] for r in lex.filter(F.col("df") >= cfg.hot_term_df).select("term").collect()]
+        hot_set = set(hot_terms)
+        p = cfg.build_partitions
+
+        cold = flat.filter(~F.col("term").isin(hot_terms)) if hot_terms else flat
+        cold_blocks = (
+            cold.repartition(p, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .mapInPandas(_make_cold_encoder(cfg, avgdl), schema=POSTINGS_SCHEMA)
+        )
+        if hot_terms:
+            # salt = doc_id range bucket → per-salt runs concatenate in order
+            bucket = max(1, math.ceil(n_docs / cfg.n_salts))
+            hot = flat.filter(F.col("term").isin(hot_terms)).withColumn(
+                "salt", (F.col("doc_id") / F.lit(bucket)).cast("int")
+            )
+            runs = hot.groupBy("term", "salt").applyInPandas(
+                _make_run_builder(),
+                schema="term string, salt int, n long, docs_raw binary, tfs_raw binary, dls_raw binary",
+            )
+            hot_blocks = runs.groupBy("term").applyInPandas(
+                _make_hot_encoder(cfg, avgdl), schema=POSTINGS_SCHEMA
+            )
+            blocks = cold_blocks.unionByName(hot_blocks)
+        else:
+            blocks = cold_blocks
+        blocks.write.mode("overwrite").parquet(postings_path)
+        metrics_rows.append(("postings", len(hot_set), time.time() - t0))
+
+    # -- metrics table (B6 analog: per-stage progress/lineage)
+    metrics_path = os.path.join(index_dir, "metrics.parquet")
+    if metrics_rows:
+        mdf = spark.createDataFrame(
+            [(s, int(x), float(sec)) for s, x, sec in metrics_rows],
+            schema="stage string, detail int, seconds double",
+        )
+        mdf.write.mode("append").parquet(metrics_path)
+
+    manifest["finalized"] = True
+    _write_manifest(index_dir, manifest)
+    return InvertedIndex(spark, index_dir, n_docs, avgdl, cfg)

@@ -1,0 +1,298 @@
+"""Query engine — BM25 top-k over the inverted index.
+
+Reference analog — the search entry points of ``ChemicalIndex.java``:
+
+  Q1 free-text OR search          (:466-491)  → :func:`search` mode="disjunctive"
+  Q2 point lookup by PK           (:505-519)  → :func:`search_by_key`
+  Q3 name-or-pk disjunction       (:538-554)  → :func:`search_name_or_key`
+  Q4 exact (canonicalized) match  (:574-589)  → :func:`search_exact`
+  Q5 all-terms conjunction        (:607-637)  → :func:`search` mode="conjunctive"
+  Q6 two-phase candidate+verify   (:657-727)  → :func:`search_two_phase`
+
+Scoring is Okapi BM25 (k1=1.2, b=0.75) replacing Lucene's delegated
+TF-IDF; ranking obeys the reference tie-break law — score DESC, then
+doc_id ASC (``SubstructureHitQueue.java:113-118``). Scores are
+quantized to ``round(score * 10^score_decimals)`` as int64 (column
+``score_q``) so ranks and value-hashes are bit-stable across engines.
+
+This module is the pure-DataFrame path: postings blocks are pruned by a
+pushed-down ``term IN (...)`` predicate at the parquet scan, decoded in
+an Arrow-batched kernel, scored with built-in expressions, and ranked
+with a window. The block-max WAND kernel lives in ``operators/wand.py``
+and must produce identical results (tested).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from org_rdkit_lucene_spark.config import candidate_cap
+from org_rdkit_lucene_spark.functions.codecs import delta_decode, varbyte_decode
+from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
+from org_rdkit_lucene_spark.operators.build import InvertedIndex
+
+RESULT_SCHEMA = "query_id int, rank int, doc_id long, score_q long"
+
+
+def _decode_blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched block decode: postings blocks → (term, doc_id, tf, dl)."""
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        docs_l, tfs_l, dls_l, terms_l = [], [], [], []
+        for term, first, n, db, tb, lb in zip(
+            pdf["term"], pdf["first_doc"], pdf["n"], pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]
+        ):
+            docs_l.append(delta_decode(int(first), bytes(db), int(n)))
+            tfs_l.append(varbyte_decode(bytes(tb)).astype(np.int32))
+            dls_l.append(varbyte_decode(bytes(lb)).astype(np.int32))
+            terms_l.append(np.repeat(np.asarray([term], dtype=object), int(n)))
+        yield pd.DataFrame(
+            {
+                "term": np.concatenate(terms_l),
+                "doc_id": np.concatenate(docs_l),
+                "tf": np.concatenate(tfs_l),
+                "dl": np.concatenate(dls_l),
+            }
+        )
+
+
+def decoded_postings(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """Decode postings for the given terms only.
+
+    The ``isin`` filter is pushed into the parquet scan (PushedFilters),
+    so only the query terms' blocks are read — the Spark analog of
+    Lucene seeking the term dictionary instead of scanning segments.
+    """
+    blocks = index.postings.filter(F.col("term").isin(list(set(terms))))
+    return blocks.mapInPandas(_decode_blocks, schema="term string, doc_id long, tf int, dl int")
+
+
+def tokenize_queries(queries: list[tuple[int, str, int]], profile) -> pd.DataFrame:
+    """Driver-side query tokenization → (query_id, term, qtf, n_terms, k).
+
+    qtf: duplicated query terms weight the clause, mirroring Lucene
+    adding one MUST/SHOULD TermQuery per occurrence
+    (``ChemicalIndex.java:623-628``)."""
+    rows = []
+    for qid, text, k in queries:
+        toks = tokenize_text(text, profile)
+        if not toks:
+            continue
+        counts = pd.Series(toks).value_counts()
+        for term, qtf in counts.items():
+            rows.append((qid, term, int(qtf), len(counts), k))
+    return pd.DataFrame(rows, columns=["query_id", "term", "qtf", "n_terms", "k"])
+
+
+def _bm25_scored(index: InvertedIndex, qterms: pd.DataFrame) -> DataFrame:
+    """(query_id, doc_id, score_raw, n_matched) for all candidate docs."""
+    spark = index.spark
+    p = index.cfg.bm25
+    terms = qterms["term"].unique().tolist()
+    qdf = F.broadcast(spark.createDataFrame(qterms))
+    lex = F.broadcast(index.lexicon.filter(F.col("term").isin(terms)).select("term", "idf"))
+    flat = decoded_postings(index, terms)
+    scored = (
+        flat.join(qdf, "term")
+        .join(lex, "term")
+        .withColumn(
+            "contrib",
+            F.col("qtf")
+            * F.col("idf")
+            * (F.col("tf") * F.lit(p.k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(p.k1)
+                * (F.lit(1.0 - p.b) + F.lit(p.b) * F.col("dl") / F.lit(index.avgdl))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score_raw"),
+            F.count("term").alias("n_matched"),
+            F.first("n_terms").alias("n_terms"),
+            F.first("k").alias("k"),
+        )
+    )
+    return scored
+
+
+def _quantize(col, decimals: int):
+    return F.floor(col * F.lit(float(10**decimals)) + F.lit(0.5)).cast("long")
+
+
+def rank_topk(scored: DataFrame, decimals: int, k_col: str = "k") -> DataFrame:
+    """Tie-break law K2 (SubstructureHitQueue.java:113-118):
+    score DESC, doc_id ASC; bounded by per-query k."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("score_q", _quantize(F.col("score_raw"), decimals))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col(k_col))
+        .select("query_id", "rank", "doc_id", "score_q")
+    )
+
+
+def search(
+    index: InvertedIndex,
+    queries: list[tuple[int, str, int]],
+    mode: str = "disjunctive",
+) -> DataFrame:
+    """BM25 top-k. queries = [(query_id, text, k)].
+
+    mode="disjunctive": OR semantics (Q1 analog).
+    mode="conjunctive": every distinct query term must match the doc —
+    superset containment, the fingerprint-match search Q5
+    (``ChemicalIndex.java:623-632``: all clauses Occur.MUST).
+    """
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    if len(qterms) == 0:
+        return index.spark.createDataFrame([], RESULT_SCHEMA)
+    scored = _bm25_scored(index, qterms)
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    elif mode != "disjunctive":
+        raise ValueError(f"unknown mode {mode!r}")
+    return rank_topk(scored, index.cfg.bm25.score_decimals)
+
+
+def search_after(
+    index: InvertedIndex,
+    queries: list[tuple[int, str, int]],
+    after: dict[int, tuple[int, int]],
+    mode: str = "disjunctive",
+) -> DataFrame:
+    """Keyset pagination (searchAfter analog, K5:
+    ``SubstructureScoreDocCollector.java:97-160``): skip hits ranked at
+    or above (after_score_q, after_doc_id), then take the next k."""
+    spark = index.spark
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    if len(qterms) == 0:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    scored = _bm25_scored(index, qterms)
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    dec = index.cfg.bm25.score_decimals
+    scored = scored.withColumn("score_q", _quantize(F.col("score_raw"), dec))
+    aft = F.broadcast(
+        spark.createDataFrame(
+            [(qid, sq, did) for qid, (sq, did) in after.items()],
+            schema="query_id int, after_score_q long, after_doc_id long",
+        )
+    )
+    scored = scored.join(aft, "query_id", "left").filter(
+        F.col("after_score_q").isNull()
+        | (F.col("score_q") < F.col("after_score_q"))
+        | ((F.col("score_q") == F.col("after_score_q")) & (F.col("doc_id") > F.col("after_doc_id")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score_q")
+    )
+
+
+def search_by_key(index: InvertedIndex, repo: str, path: str, commit: str) -> DataFrame:
+    """Q2 analog (``ChemicalIndex.java:505-519``): exact PK lookup, k=1."""
+    return (
+        index.docmeta.filter(
+            (F.col("repo") == repo) & (F.col("path") == path) & (F.col("commit") == commit)
+        )
+        .select("doc_id", "repo", "path", "commit", "lang", "doc_len", "sha256")
+        .limit(1)
+    )
+
+
+def search_name_or_key(index: InvertedIndex, query: str, k: int) -> DataFrame:
+    """Q3 analog (``ChemicalIndex.java:538-554``): disjunction over the
+    auxiliary name field (here: path tokens) OR the exact key. Scored by
+    number of matching clauses (Lucene coord analog), tie-broken by
+    doc_id ASC."""
+    q = query.lower()
+    dm = index.docmeta
+    matches = dm.withColumn(
+        "path_hit",
+        F.array_contains(
+            F.split(F.lower(F.col("path")), r"[^a-z0-9]+"), q
+        ).cast("int"),
+    ).withColumn("pk_hit", (F.col("commit") == query).cast("int"))
+    return (
+        matches.withColumn("score_q", (F.col("path_hit") + F.col("pk_hit")).cast("long"))
+        .filter(F.col("score_q") > 0)
+        .orderBy(F.desc("score_q"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score_q")
+    )
+
+
+def search_exact(index: InvertedIndex, corpus: DataFrame, content: str, k: int) -> DataFrame:
+    """Q4 analog (``ChemicalIndex.java:574-589``): normalize the query
+    body, then exact match. Normalization = sha256 identity on content;
+    matching via the docmeta sha256 invariant column (no content scan)."""
+    import hashlib
+
+    h = hashlib.sha256(content.encode("utf-8")).hexdigest()
+    return (
+        index.docmeta.filter(F.col("sha256") == h)
+        .orderBy(F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "sha256")
+    )
+
+
+def search_two_phase(
+    index: InvertedIndex,
+    corpus_with_ids: DataFrame,
+    queries: list[tuple[int, str, int]],
+    verify_as_substring: bool = True,
+) -> DataFrame:
+    """Q6 analog — the reference's signature index-then-verify contract
+    (``ChemicalIndex.java:657-727``):
+
+    phase A: conjunctive BM25 candidates capped at min(10k, 100000)
+             (cap constant K8, ``:660-661``);
+    phase B: join candidates to the stored body and verify exactly —
+             here: raw query text must appear as a substring
+             (JVM-side ``contains``, no Python in the loop) — keeping
+             the PHASE-A score (verification only filters, ``:697``),
+             then re-rank to k with the K2 tie-break.
+    """
+    capped = [(qid, text, candidate_cap(k)) for qid, text, k in queries]
+    cands = search(index, capped, mode="conjunctive")
+    qdf = F.broadcast(
+        index.spark.createDataFrame(
+            [(qid, text, k) for qid, text, k in queries],
+            schema="query_id int, qtext string, final_k int",
+        )
+    )
+    joined = (
+        cands.join(qdf, "query_id")
+        .join(corpus_with_ids.select("doc_id", "content"), "doc_id")
+    )
+    if verify_as_substring:
+        joined = joined.filter(F.contains(F.col("content"), F.col("qtext")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("final_k"))
+        .select("query_id", "rank", "doc_id", "score_q")
+    )
+
+
+def hit_counts(index: InvertedIndex, queries: list[tuple[int, str, int]], mode: str = "disjunctive") -> DataFrame:
+    """A4 analog (collector.getTotalHits, ``ChemicalIndex.java:513``):
+    total matching docs per query, uncapped."""
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    if len(qterms) == 0:
+        return index.spark.createDataFrame([], "query_id int, total_hits long")
+    scored = _bm25_scored(index, qterms)
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    return scored.groupBy("query_id").agg(F.count("*").alias("total_hits"))

@@ -1,0 +1,75 @@
+"""North-star determinism gates:
+
+1. posting-list BYTE-equivalence: index built at 1, 4, and 16 build
+   partitions, and with salting forced on vs off, yields identical
+   postings blocks (bytes included), lexicon, and docmeta.
+2. checkpoint-restart determinism: stage 1 run on a partition subset,
+   then resumed, yields an index byte-identical to an uninterrupted
+   build (analog of resume-from-PK, ChemicalIndex.java:248-270).
+"""
+
+import pandas as pd
+import pytest
+
+from org_rdkit_lucene_spark.config import IndexConfig
+from org_rdkit_lucene_spark.operators.build import build_index
+
+
+def _postings_key(idx) -> pd.DataFrame:
+    p = idx.postings.toPandas().sort_values(["term", "block_id"]).reset_index(drop=True)
+    p["doc_bytes"] = p["doc_bytes"].map(bytes)
+    p["tf_bytes"] = p["tf_bytes"].map(bytes)
+    p["dl_bytes"] = p["dl_bytes"].map(bytes)
+    return p
+
+
+def _assert_identical(a, b):
+    pa, pb = _postings_key(a), _postings_key(b)
+    pd.testing.assert_frame_equal(pa, pb)
+    la = a.lexicon.toPandas().sort_values("term").reset_index(drop=True)
+    lb = b.lexicon.toPandas().sort_values("term").reset_index(drop=True)
+    pd.testing.assert_frame_equal(la, lb)
+    da = a.docmeta.toPandas().sort_values("doc_id").reset_index(drop=True)
+    db = b.docmeta.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(da, db)
+
+
+@pytest.mark.parametrize("parts,hot_df,salts", [(1, 10**9, 1), (4, 40, 4), (16, 8, 8)])
+def test_merge_equivalence_across_partitionings(spark, tiny_corpus, tmp_path, parts, hot_df, salts, request):
+    """Same corpus, wildly different partitioning/salting → same bytes."""
+    cfg = IndexConfig(build_partitions=parts, hot_term_df=hot_df, n_salts=salts)
+    idx = build_index(spark, tiny_corpus, cfg, str(tmp_path / f"idx_{parts}"))
+    baseline = request.config.cache  # not used; compare against fresh 1-part build
+    ref_cfg = IndexConfig(build_partitions=2, hot_term_df=10**9, n_salts=1)
+    ref = build_index(spark, tiny_corpus, ref_cfg, str(tmp_path / "ref"))
+    _assert_identical(idx, ref)
+
+
+def test_checkpoint_resume_byte_identical(spark, tiny_corpus, tmp_path):
+    cfg = IndexConfig(build_partitions=8, hot_term_df=60, n_salts=4)
+    # uninterrupted build
+    full = build_index(spark, tiny_corpus, cfg, str(tmp_path / "full"))
+    # interrupted: stage 1 on parts {0,1,2} only → partial (returns None)
+    d = str(tmp_path / "resumed")
+    partial = build_index(spark, tiny_corpus, cfg, d, only_parts=[0, 1, 2])
+    assert partial is None
+    # resume: completes remaining parts + finalizes
+    resumed = build_index(spark, tiny_corpus, cfg, d)
+    assert resumed is not None
+    _assert_identical(full, resumed)
+
+
+def test_resume_skips_completed_parts(spark, tiny_corpus, tmp_path):
+    from org_rdkit_lucene_spark.operators.build import _read_manifest
+
+    cfg = IndexConfig(build_partitions=4)
+    d = str(tmp_path / "skip")
+    build_index(spark, tiny_corpus, cfg, d, only_parts=[1])
+    m = _read_manifest(d)
+    assert m["completed_parts"] == [1]
+    build_index(spark, tiny_corpus, cfg, d, only_parts=[1, 3])
+    m = _read_manifest(d)
+    assert m["completed_parts"] == [1, 3]
+    idx = build_index(spark, tiny_corpus, cfg, d)
+    assert idx is not None
+    assert _read_manifest(d)["finalized"]

@@ -1,0 +1,108 @@
+"""Oracle end-to-end: the Spark engine must produce rank-identical
+top-k (doc_ids AND quantized scores) to the brute-force single-node
+BM25 oracle on the reference query set (SURVEY §5)."""
+
+import pandas as pd
+import pytest
+
+from org_rdkit_lucene_spark.oracle.bm25_oracle import BM25Oracle
+from org_rdkit_lucene_spark.operators.query import (
+    hit_counts,
+    search,
+    search_after,
+    search_two_phase,
+)
+
+
+@pytest.fixture(scope="module")
+def oracle(small_index, small_pdf):
+    docmap = small_index.docmap.toPandas()
+    src = small_pdf.merge(docmap, on=["repo", "path", "commit"])
+    return BM25Oracle(src[["doc_id", "content"]])
+
+
+@pytest.fixture(scope="module")
+def src_with_ids(small_index, small_corpus):
+    return small_corpus.join(small_index.docmap, ["repo", "path", "commit"])
+
+
+def _check(engine_df, oracle_fn, queries):
+    got = engine_df.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    parts = []
+    for qid, text, k in queries:
+        o = oracle_fn(text, k)
+        o.insert(0, "query_id", qid)
+        parts.append(o)
+    want = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+    want = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id", "score_q"]].astype("int64"),
+        want[["query_id", "rank", "doc_id", "score_q"]].astype("int64"),
+    )
+
+
+def test_disjunctive_rank_identity(small_index, oracle, queries_pdf):
+    qs = [
+        (int(r.query_id), r.text, int(r.k))
+        for r in queries_pdf[queries_pdf.query_type == "disjunctive"].itertuples()
+    ]
+    _check(search(small_index, qs, "disjunctive"), lambda t, k: oracle.search(t, k, "disjunctive"), qs)
+
+
+def test_conjunctive_rank_identity(small_index, oracle, queries_pdf):
+    qs = [
+        (int(r.query_id), r.text, int(r.k))
+        for r in queries_pdf[queries_pdf.query_type == "conjunctive"].itertuples()
+    ]
+    _check(search(small_index, qs, "conjunctive"), lambda t, k: oracle.search(t, k, "conjunctive"), qs)
+
+
+def test_two_phase_rank_identity(small_index, oracle, queries_pdf, src_with_ids):
+    qs = [
+        (int(r.query_id), r.text, int(r.k))
+        for r in queries_pdf[queries_pdf.query_type == "phrase_verify"].itertuples()
+    ]
+    _check(
+        search_two_phase(small_index, src_with_ids, qs),
+        lambda t, k: oracle.search_two_phase(t, k),
+        qs,
+    )
+
+
+def test_zero_hit_query(small_index):
+    out = search(small_index, [(999, "zzzunseenterm999", 10)]).toPandas()
+    assert len(out) == 0
+
+
+def test_hit_counts(small_index, oracle, queries_pdf):
+    qs = [
+        (int(r.query_id), r.text, int(r.k))
+        for r in queries_pdf[queries_pdf.query_type == "disjunctive"].head(8).itertuples()
+    ]
+    got = hit_counts(small_index, qs).toPandas().set_index("query_id")["total_hits"]
+    for qid, text, _ in qs:
+        want = oracle.total_hits(text)
+        if want == 0:
+            assert qid not in got.index
+        else:
+            assert got.loc[qid] == want, text
+
+
+def test_search_after_pagination(small_index, oracle, queries_pdf):
+    """K5 keyset pagination: page 2 must continue exactly after page 1."""
+    r = queries_pdf[queries_pdf.query_type == "disjunctive"].iloc[2]
+    qid, text = int(r.query_id), r.text
+    full = oracle.search(text, 20)
+    page1 = search(small_index, [(qid, text, 10)]).toPandas().sort_values("rank")
+    assert len(page1) >= 10
+    last = page1.iloc[9]
+    page2 = (
+        search_after(small_index, [(qid, text, 10)], {qid: (int(last.score_q), int(last.doc_id))})
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    want2 = full.iloc[10:20].reset_index(drop=True)
+    assert list(page2["doc_id"]) == list(want2["doc_id"])
+    assert list(page2["score_q"]) == list(want2["score_q"])

@@ -1,0 +1,81 @@
+"""Tokenizer golden cases + three-way implementation parity
+(pandas canonical / Spark built-in expressions / DuckDB SQL)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from org_rdkit_lucene_spark.config import TokenizerProfile
+from org_rdkit_lucene_spark.functions.tokenizer import (
+    duckdb_tokens_sql,
+    tokenize_text,
+    tokenize_texts,
+    tokens_column,
+)
+
+GOLDEN = [
+    ("getHTTPServerURL", ["get", "http", "server", "url"]),
+    ("snake_case_id", ["snake", "case", "id"]),
+    ("Foo2Bar", ["foo2", "bar"]),
+    ("parseJSON2xml", ["parse", "json2xml"]),
+    ("", []),
+    (None, []),
+    ("x.y.z->q", ["x", "y", "z", "q"]),
+    ("UPPER_CASE_99", ["upper", "case", "99"]),
+    ("a" * 65, []),  # over max_token_len
+    ("mixedCASE123abc", ["mixed", "case123abc"]),
+]
+
+
+def test_golden_scalar():
+    for text, want in GOLDEN:
+        assert tokenize_text(text) == want, text
+
+
+def test_pandas_matches_scalar():
+    s = pd.Series([t for t, _ in GOLDEN])
+    got = list(tokenize_texts(s))
+    assert got == [w for _, w in GOLDEN]
+
+
+def _random_code_strings(n=300, seed=7):
+    rng = np.random.default_rng(seed)
+    alphabet = list("abcXYZ_09.->(){}\n\t éÜ$#")
+    return [
+        "".join(rng.choice(alphabet, size=int(rng.integers(0, 80))))
+        for _ in range(n)
+    ]
+
+
+def test_duckdb_parity_randomized():
+    texts = _random_code_strings()
+    want = list(tokenize_texts(pd.Series(texts)))
+    expr = duckdb_tokens_sql("t")
+    got = [r[0] for r in duckdb.sql(
+        f"select {expr} from (select unnest($1) as t)", params=[texts]
+    ).fetchall()]
+    assert got == want
+
+
+def test_spark_parity_randomized(spark):
+    texts = _random_code_strings()
+    df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+    got = [r["toks"] for r in df.select(tokens_column("t").alias("toks")).collect()]
+    want = list(tokenize_texts(pd.Series(texts)))
+    assert got == want
+
+
+def test_ngram_profile():
+    p = TokenizerProfile(name="ngram2", ngram=2)
+    assert tokenize_text("fooBar baz", p) == ["foo", "bar", "baz", "foo␟bar", "bar␟baz"]
+
+
+def test_profile_validation():
+    with pytest.raises(ValueError):
+        TokenizerProfile(min_token_len=0)
+    with pytest.raises(ValueError):
+        TokenizerProfile(min_token_len=5, max_token_len=2)
+    with pytest.raises(ValueError):
+        tokens_column("x", TokenizerProfile(ngram=2))
