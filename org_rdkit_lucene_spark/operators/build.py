@@ -380,10 +380,16 @@ def build_index(
     index_dir: str,
     only_parts: list[int] | None = None,
     validate_pk: bool = True,
+    id_col: str | None = None,
 ) -> InvertedIndex | None:
     """Run the full build. With ``only_parts`` set, runs stage 1 for just
     those build partitions and returns None (partial build — call again
-    without it to resume and finalize). Idempotent per stage."""
+    without it to resume and finalize). Idempotent per stage.
+
+    ``id_col``: optional column holding an externally-supplied unique
+    integer doc id (analog of the reference's data-supplied ``pkField``,
+    ``LuceneBenchmark.java:745-755``); when absent, dense ids are
+    assigned deterministically by natural-key rank."""
     os.makedirs(index_dir, exist_ok=True)
     metrics_rows: list[tuple] = []
 
@@ -393,15 +399,23 @@ def build_index(
         t0 = time.time()
         if validate_pk:
             total = corpus.count()
-            distinct = corpus.select("repo", "path", "commit").distinct().count()
+            key = [id_col] if id_col else ["repo", "path", "commit"]
+            distinct = corpus.select(*key).distinct().count()
             if total != distinct:
                 raise ValueError(
-                    f"primary key (repo,path,commit) not unique: {total} rows, {distinct} keys"
+                    f"primary key {key} not unique: {total} rows, {distinct} keys"
                 )
-        assign_doc_ids(corpus, cfg.build_partitions).write.mode("overwrite").parquet(docmap_path)
+        if id_col:
+            docmap_df = corpus.select(
+                "repo", "path", "commit", F.col(id_col).cast("long").alias("doc_id")
+            )
+        else:
+            docmap_df = assign_doc_ids(corpus, cfg.build_partitions)
+        docmap_df.write.mode("overwrite").parquet(docmap_path)
         metrics_rows.append(("docmap", -1, time.time() - t0))
     docmap = spark.read.parquet(docmap_path)
-    corpus_ids = corpus.join(docmap, ["repo", "path", "commit"])
+    corpus_base = corpus.drop(id_col) if id_col else corpus
+    corpus_ids = corpus_base.join(docmap, ["repo", "path", "commit"])
 
     # -- stage 1: SPIMI flat runs (resumable)
     t0 = time.time()
@@ -431,13 +445,23 @@ def build_index(
     stats_path = os.path.join(index_dir, "stats.json")
     if not os.path.exists(stats_path):
         row = docmeta.agg(
-            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+            F.count("*").alias("n"),
+            F.avg("doc_len").alias("avgdl"),
+            F.max("doc_id").alias("max_id"),
         ).collect()[0]
         with open(stats_path, "w") as f:
-            json.dump({"n_docs": row["n"], "avgdl": float(row["avgdl"] or 0.0)}, f)
+            json.dump(
+                {
+                    "n_docs": row["n"],
+                    "avgdl": float(row["avgdl"] or 0.0),
+                    "max_doc_id": int(row["max_id"] if row["max_id"] is not None else -1),
+                },
+                f,
+            )
     with open(stats_path) as f:
         stats = json.load(f)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    max_doc_id = stats.get("max_doc_id", n_docs - 1)
 
     # -- stage 3: lexicon with BM25 idf
     lexicon_path = os.path.join(index_dir, "lexicon.parquet")
@@ -473,7 +497,7 @@ def build_index(
         )
         if hot_terms:
             # salt = doc_id range bucket → per-salt runs concatenate in order
-            bucket = max(1, math.ceil(n_docs / cfg.n_salts))
+            bucket = max(1, math.ceil((max_doc_id + 1) / cfg.n_salts))
             hot = flat.filter(F.col("term").isin(hot_terms)).withColumn(
                 "salt", (F.col("doc_id") / F.lit(bucket)).cast("int")
             )

@@ -51,9 +51,9 @@ def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = os.path.join(sf_dir, "documents.parquet")
     df = spark.read.parquet(p)
     return df.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("ext_id"),
         F.col("source").alias("repo"),
-        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.concat(F.col("source"), F.lit("/doc/"), F.col("doc_id").cast("string")).alias("path"),
         F.lit("synthetic").alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
