@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All are per-row column programs over built-in Catalyst expressions —
+whole-stage-codegen'd JVM execution, no Python in the hot path, and
+each has an exact DuckDB SQL twin in ``oracle/sqlgen.py`` (same
+arithmetic, same quantization) for the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from org_rdkit_lucene_spark.functions.tokenizer import tokens_column
+
+# deterministic per-language stopword marker sets (heuristic n-gram/
+# stopword language ID — the mechanism, not a trained model)
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "los", "las", "una", "y", "es", "que"],
+    "fr": ["le", "les", "et", "est", "une", "dans", "pour"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3", "he2", "wo3"],
+}
+LANGS = sorted(STOPWORDS)
+
+
+def _stop_count(toks: Column, lang: str) -> Column:
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", content_col: str = "text") -> DataFrame:
+    """Predict language by max stopword hits; ties break lang-name ASC.
+    Returns (doc_id, pred_lang, best_hits)."""
+    toks = tokens_column(content_col)
+    out = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    for lang in LANGS:
+        out = out.withColumn(f"c_{lang}", _stop_count(F.col("_toks"), lang))
+    counts = [F.col(f"c_{lang}") for lang in LANGS]
+    # CASE chain: first lang (asc) whose count >= all later langs' counts
+    chain = F.lit(LANGS[-1])
+    for i in range(len(LANGS) - 2, -1, -1):
+        lang = LANGS[i]
+        cond = None
+        for j in range(i + 1, len(LANGS)):
+            c = F.col(f"c_{lang}") >= F.col(f"c_{LANGS[j]}")
+            cond = c if cond is None else (cond & c)
+        chain = F.when(cond, F.lit(lang)).otherwise(chain)
+    return out.select(
+        "doc_id",
+        chain.alias("pred_lang"),
+        F.greatest(*counts).cast("long").alias("best_hits"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", content_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_ws_tokens, n_distinct_tokens): code-aware
+    tokenizer count, plain whitespace count (BPE-ish pre-count), and
+    distinct-term count."""
+    toks = tokens_column(content_col)
+    ws = F.split(F.trim(F.col(content_col)), r"\s+")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(F.length(F.trim(F.col(content_col))) == 0, F.lit(0))
+        .otherwise(F.size(ws))
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", content_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristic (length / punctuation / stopword
+    ratios), quantized to 1e-6:
+
+      q = 0.3*min(1, n_tokens/100) + 0.4*(1 - punct_ratio) + 0.3*stop_ratio
+    """
+    c = F.col(content_col)
+    toks = tokens_column(content_col)
+    n_chars = F.length(c)
+    n_alnum = F.length(F.regexp_replace(c, "[^a-zA-Z0-9]", ""))
+    n_space = F.length(c) - F.length(F.regexp_replace(c, r"\s", ""))
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        (n_chars - n_alnum - n_space).cast("double") / n_chars
+    )
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    n_toks = F.size(toks)
+    stop_ratio = F.when(n_toks == 0, F.lit(0.0)).otherwise(n_stop.cast("double") / n_toks)
+    q = (
+        F.lit(0.3) * F.least(F.lit(1.0), n_toks.cast("double") / F.lit(100.0))
+        + F.lit(0.4) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * stop_ratio
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_toks.cast("long").alias("n_tokens"),
+        F.floor(punct_ratio * 1_000_000 + F.lit(0.5)).cast("long").alias("punct_ratio_q"),
+        F.floor(stop_ratio * 1_000_000 + F.lit(0.5)).cast("long").alias("stop_ratio_q"),
+        F.floor(q * 1_000_000 + F.lit(0.5)).cast("long").alias("quality_q"),
+    )
+
+
+def doc_fingerprints(df: DataFrame, id_col: str = "doc_id", content_col: str = "text",
+                     shingle_n: int = 5) -> DataFrame:
+    """Document fingerprint: lexicographic-min md5 over n-gram token
+    shingles (a deterministic rolling-hash-style content signature;
+    md5 makes it reproducible in the SQL oracle)."""
+    from org_rdkit_lucene_spark.operators.dedup import shingles_column
+
+    sh = shingles_column(content_col, shingle_n)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
+    )

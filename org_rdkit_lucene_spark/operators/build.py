@@ -200,8 +200,15 @@ def build_flat_runs(
         "build_part", F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(p)).cast("int")
     )
     df = df.filter(F.col("build_part").isin([int(x) for x in todo]))
-    flat = df.select("doc_id", "content", "build_part").mapInPandas(
-        _make_spimi_fn(cfg), schema=FLAT_SCHEMA + ", build_part int"
+    # explicit repartition before the Python kernel: (a) AQE would
+    # otherwise coalesce the post-join exchange by JVM byte size and
+    # strangle tokenizer parallelism (rows are cheap in bytes, heavy in
+    # Python work); (b) one build_part per task makes the partitionBy
+    # write a straight append instead of a per-task sort
+    flat = (
+        df.select("doc_id", "content", "build_part")
+        .repartition(len(todo), "build_part")
+        .mapInPandas(_make_spimi_fn(cfg), schema=FLAT_SCHEMA + ", build_part int")
     )
     flat.write.partitionBy("build_part").mode("append").parquet(flat_dir)
     elapsed = time.time() - t0
@@ -415,13 +422,16 @@ def build_index(
         metrics_rows.append(("docmap", -1, time.time() - t0))
     docmap = spark.read.parquet(docmap_path)
     corpus_base = corpus.drop(id_col) if id_col else corpus
-    corpus_ids = corpus_base.join(docmap, ["repo", "path", "commit"])
+    # consumed by both stage 1 (flat runs) and stage 2 (docmeta): persist
+    # so the corpus⨝docmap shuffle runs once
+    corpus_ids = corpus_base.join(docmap, ["repo", "path", "commit"]).persist()
 
     # -- stage 1: SPIMI flat runs (resumable)
     t0 = time.time()
     manifest = build_flat_runs(corpus_ids, cfg, index_dir, only_parts)
     metrics_rows.append(("flat_runs", len(manifest["completed_parts"]), time.time() - t0))
     if len(manifest["completed_parts"]) < cfg.build_partitions:
+        corpus_ids.unpersist()
         return None  # partial build; resume later
 
     flat = spark.read.parquet(os.path.join(index_dir, "flat")).select("doc_id", "term", "tf", "dl")
@@ -523,6 +533,7 @@ def build_index(
         )
         mdf.write.mode("append").parquet(metrics_path)
 
+    corpus_ids.unpersist()
     manifest["finalized"] = True
     _write_manifest(index_dir, manifest)
     return InvertedIndex(spark, index_dir, n_docs, avgdl, cfg)

@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each expressed Spark-first (built-in expressions where
+possible so Catalyst/Tungsten run the hot path; shuffles only on the
+natural keys):
+
+- exact:       sha256(content) hash-groupBy — one shuffle on the digest
+- MinHash+LSH: token-shingle → md5-based minhash signature → banded
+               bucket self-join → candidate pairs (shuffle on band key,
+               never all-pairs)
+- SimHash:     weighted term-bit fingerprint (Arrow kernel) + banded
+               hamming candidates
+- n-gram Jaccard: exact Jaccard over rare shingles for candidate pairs
+
+MinHash/Jaccard use md5 (identical hex output in Spark and DuckDB) so
+the driver's oracle can reproduce them bit-for-bit in SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from org_rdkit_lucene_spark.functions.tokenizer import tokens_column
+
+N_MINHASH = 8
+N_BANDS = 4  # 2 hashes per band
+
+
+def shingles_column(text_col: str | Column, n: int = 3) -> Column:
+    """n-gram token shingles (space-joined), built-in expressions only."""
+    toks = tokens_column(text_col)
+    return F.when(F.size(toks) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", content_col: str = "text") -> DataFrame:
+    """Exact dedup: (doc_id, content_hash, is_duplicate) where the
+    lowest doc_id per hash group is the keeper. One shuffle on the
+    digest; at cluster scale the digest groupBy broadcasts nothing and
+    skew is impossible (hashes are uniform)."""
+    h = F.sha2(F.col(content_col), 256).alias("content_hash")
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), h)
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "content_hash",
+            (F.col("doc_id") != F.col("keeper")).alias("is_duplicate"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "text", n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of
+    md5('<i>#' || shingle). md5 is identical across engines, making the
+    signature oracle-reproducible. One explode + one groupBy(doc)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_column(content_col)).alias("shingle"),
+    ).distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band (band = concat of
+    rows-per-band consecutive minhashes). Self-join happens per band
+    key — the classic shingle→minhash→band→bucket-join, never O(n²)."""
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(df, id_col, content_col, n_hashes)
+    bands = []
+    for bi in range(n_bands):
+        cols = [F.col(f"h{bi * rows_per_band + j}") for j in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(bi).alias("band"),
+                F.concat_ws("|", *cols).alias("band_val"),
+            )
+        )
+    stacked = bands[0]
+    for b in bands[1:]:
+        stacked = stacked.unionByName(b)
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard over DISTINCT shingles: pairs with
+    J = |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+
+    Shingles with document frequency > ``max_shingle_df`` are dropped on
+    BOTH sides (a deterministic rare-shingle restriction — the standard
+    guard against the quadratic blowup of joining on boilerplate
+    shingles; at 100 TB this is what keeps the shingle self-join
+    bounded). jacc_q is the Jaccard quantized to 1e-6."""
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles_column(content_col, n)).alias("s"))
+        .distinct()
+    )
+    rare = sh.join(
+        sh.groupBy("s").count().filter(F.col("count") <= max_shingle_df).select("s"),
+        "s",
+    )
+    sizes = rare.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "sz1"), "doc1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "sz2"), "doc2")
+        .withColumn("jacc", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+    )
+    return (
+        j.filter(F.col("jacc") >= threshold)
+        .select(
+            "doc1",
+            "doc2",
+            F.floor(F.col("jacc") * 1_000_000 + F.lit(0.5)).cast("long").alias("jacc_q"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Arrow kernel — 64-bit fingerprints)
+
+
+def _simhash_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        out_ids, out_hashes = [], []
+        for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+            acc = np.zeros(64, dtype=np.float64)
+            if toks is not None and len(toks):
+                terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                for term, tf in zip(terms, counts):
+                    digest = hashlib.md5(str(term).encode("utf-8")).digest()[:8]
+                    bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+                    acc += tf * (bits.astype(np.float64) * 2.0 - 1.0)
+            bits = (acc > 0).astype(np.uint8)
+            out_ids.append(doc_id)
+            out_hashes.append(int.from_bytes(np.packbits(bits).tobytes(), "big", signed=False) - (1 << 63))
+        yield pd.DataFrame({"doc_id": out_ids, "simhash": np.array(out_hashes, dtype=np.int64)})
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", content_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc (md5-derived term bits, tf-weighted),
+    computed in an Arrow-batched kernel. Stored offset by 2^63 into
+    signed int64."""
+    src = df.select(F.col(id_col).alias("doc_id"), tokens_column(content_col).alias("toks"))
+    return src.mapInPandas(_simhash_kernel, schema="doc_id long, simhash long")
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", content_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates: banded SimHash (4×16-bit chunks; hamming ≤ 3
+    guarantees at least one identical chunk), verified by exact popcount."""
+    fp = simhash_fingerprints(df, id_col, content_col)
+    chunks = [
+        fp.select(
+            "doc_id", "simhash",
+            F.lit(ci).alias("chunk"),
+            F.shiftright(F.col("simhash"), ci * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+        )
+        for ci in range(4)
+    ]
+    stacked = chunks[0]
+    for c in chunks[1:]:
+        stacked = stacked.unionByName(c)
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"),
+            F.col("a.simhash").alias("s1"), F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )

@@ -187,3 +187,209 @@ def blocklist_sql(blocked: list[int]) -> str:
     return f"""
 SELECT doc_id::BIGINT AS doc_id FROM documents
 WHERE doc_id NOT IN ({ids}) ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops (dedup / text analysis / ANN / multimodal) — exact
+# SQL twins of the Spark operators in operators/dedup.py, functions/
+# text.py, operators/ann.py, operators/multimodal.py
+
+
+def _shingles(n: int) -> str:
+    toks = duckdb_tokens_sql("text")
+    return (
+        f"CASE WHEN len({toks}) < {n} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) END"
+    )
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT doc_id::BIGINT AS doc_id,
+       sha256(text) AS content_hash,
+       doc_id != min(doc_id) OVER (PARTITION BY sha256(text)) AS is_duplicate
+FROM documents ORDER BY doc_id"""
+
+
+def minhash_signatures_sql(n_hashes: int = 8) -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{i}#' || s)) AS h{i}" for i in range(n_hashes)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_shingles(3)}) AS s FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+       {mins}
+FROM sh GROUP BY doc_id ORDER BY doc_id"""
+
+
+def minhash_lsh_pairs_sql(n_hashes: int = 8, n_bands: int = 4) -> str:
+    rows_per_band = n_hashes // n_bands
+    band_rows = []
+    for bi in range(n_bands):
+        cols = " || '|' || ".join(
+            f"h{bi * rows_per_band + j}" for j in range(rows_per_band)
+        )
+        band_rows.append(f"SELECT doc_id, {bi} AS band, {cols} AS band_val FROM sig")
+    bands = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_shingles(3)}) AS s FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{i}#' || s)) AS h{i}" for i in range(n_hashes))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id::BIGINT AS doc1, b.doc_id::BIGINT AS doc2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+ORDER BY doc1, doc2"""
+
+
+def ngram_jaccard_sql(n: int = 3, threshold: float = 0.8, max_shingle_df: int = 1000) -> str:
+    return f"""
+WITH sh0 AS (
+  SELECT DISTINCT doc_id, unnest({_shingles(n)}) AS s FROM documents
+),
+rare AS (
+  SELECT sh0.* FROM sh0
+  JOIN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {max_shingle_df}) r USING (s)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1::BIGINT AS doc1, doc2::BIGINT AS doc2,
+       CAST(floor(inter * 1.0 / (s1.sz + s2.sz - inter) * 1000000 + 0.5) AS BIGINT) AS jacc_q
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE inter * 1.0 / (s1.sz + s2.sz - inter) >= {threshold}
+ORDER BY doc1, doc2"""
+
+
+def lang_id_sql() -> str:
+    from org_rdkit_lucene_spark.functions.text import LANGS, STOPWORDS
+
+    toks = duckdb_tokens_sql("text")
+    counts = []
+    for lang in LANGS:
+        arr = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        counts.append(
+            f"len(list_filter({toks}, t -> list_contains({arr}, t))) AS c_{lang}"
+        )
+    chain = f"'{LANGS[-1]}'"
+    for i in range(len(LANGS) - 2, -1, -1):
+        lang = LANGS[i]
+        cond = " AND ".join(f"c_{lang} >= c_{LANGS[j]}" for j in range(i + 1, len(LANGS)))
+        chain = f"CASE WHEN {cond} THEN '{lang}' ELSE {chain} END"
+    greatest = "greatest(" + ", ".join(f"c_{lang}" for lang in LANGS) + ")"
+    return f"""
+WITH c AS (
+  SELECT doc_id, {", ".join(counts)} FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, {chain} AS pred_lang,
+       {greatest}::BIGINT AS best_hits
+FROM c ORDER BY doc_id"""
+
+
+def token_counts_sql() -> str:
+    toks = duckdb_tokens_sql("text")
+    return f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len({toks})::BIGINT AS n_tokens,
+       CASE WHEN len(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_ws_tokens,
+       len(list_distinct({toks}))::BIGINT AS n_distinct_tokens
+FROM documents ORDER BY doc_id"""
+
+
+def quality_scores_sql() -> str:
+    from org_rdkit_lucene_spark.functions.text import STOPWORDS
+
+    toks = duckdb_tokens_sql("text")
+    en = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         len({toks}) AS n_toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS n_alnum,
+         length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
+         len(list_filter({toks}, t -> list_contains({en}, t))) AS n_stop
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_toks,
+         CASE WHEN n_chars = 0 THEN 0.0
+              ELSE (n_chars - n_alnum - n_space) * 1.0 / n_chars END AS punct_ratio,
+         CASE WHEN n_toks = 0 THEN 0.0 ELSE n_stop * 1.0 / n_toks END AS stop_ratio
+  FROM m
+)
+SELECT doc_id::BIGINT AS doc_id, n_toks::BIGINT AS n_tokens,
+       CAST(floor(punct_ratio * 1000000 + 0.5) AS BIGINT) AS punct_ratio_q,
+       CAST(floor(stop_ratio * 1000000 + 0.5) AS BIGINT) AS stop_ratio_q,
+       CAST(floor((0.3 * least(1.0, n_toks / 100.0) + 0.4 * (1.0 - punct_ratio)
+                   + 0.3 * stop_ratio) * 1000000 + 0.5) AS BIGINT) AS quality_q
+FROM r ORDER BY doc_id"""
+
+
+def doc_fingerprints_sql(shingle_n: int = 5) -> str:
+    return f"""
+SELECT doc_id::BIGINT AS doc_id,
+       list_min(list_transform({_shingles(shingle_n)}, s -> md5(s))) AS fingerprint
+FROM documents ORDER BY doc_id"""
+
+
+def ann_cosine_topk_sql(query_vec_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_vec_ids)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(floor(
+           list_dot_product(list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))),
+                            list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))))
+           * 1000000 + 0.5) AS BIGINT) AS cos_q
+  FROM q CROSS JOIN e
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, CAST(rnk AS INTEGER) AS rank,
+       vec_id::BIGINT AS vec_id, cos_q
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, rank"""
+
+
+def media_features_sql() -> str:
+    """Twin of multimodal.extract_media_features over attach_fake_media
+    (deterministic md5-derived fake decode)."""
+    h = "('0x' || substr(md5(text), 1, 8))::UBIGINT"
+    return f"""
+SELECT doc_id::BIGINT AS doc_id,
+       ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       substr(md5(text), 1, 16) AS sig,
+       CASE WHEN doc_id % 3 = 0 THEN 64 + {h} % 1024 ELSE 0 END::INT AS width,
+       CASE WHEN doc_id % 3 = 0 THEN 64 + ({h} // 1024) % 1024 ELSE 0 END::INT AS height,
+       CASE WHEN doc_id % 3 IN (1, 2) THEN {h} % 600000 ELSE 0 END::BIGINT AS duration_ms,
+       CASE WHEN doc_id % 3 = 2 THEN {h} % 3000 ELSE 0 END::INT AS n_frames
+FROM documents ORDER BY doc_id"""

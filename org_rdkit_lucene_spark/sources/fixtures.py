@@ -66,38 +66,57 @@ def _make_vocab(rng: np.random.Generator, size: int = 2000) -> list[str]:
     return vocab
 
 
-def make_corpus_pdf(n_docs: int = 5000, seed: int = 42, near_dup_frac: float = 0.02) -> pd.DataFrame:
-    """Build the docs table as a pandas DataFrame (deterministic)."""
+def _make_doc(i: int, seed: int, vocab: list[str], w: np.ndarray) -> tuple:
+    """One corpus row from a per-doc rng — deterministic regardless of
+    generation order/chunking (parallel-safe)."""
+    rng = np.random.default_rng((seed, i))
+    v = len(vocab)
+    lang = LANGS[int(rng.choice(len(LANGS), p=_LANG_W))]
+    n_lines = int(rng.integers(20, 401))
+    kw = _KEYWORDS[lang]
+    idents = rng.choice(v, size=n_lines * 3, p=w)
+    hot_mask = rng.random(n_lines) < 0.35
+    lines = []
+    for ln in range(n_lines):
+        a, b, c = (vocab[int(x)] for x in idents[ln * 3 : ln * 3 + 3])
+        k = kw[ln % len(kw)]
+        hot = f" {HOT_TERMS[ln % len(HOT_TERMS)]}" if hot_mask[ln] else ""
+        if ln % 7 == 0:
+            lines.append(f"# {a} returns the {b} for{hot} {c}")
+        elif ln % 7 == 3:
+            lines.append(f'{k} {a} = "{b}:{c}"{hot}')
+        else:
+            lines.append(f"{k} {a}({b}, {c}){hot} {{")
+    content = "\n".join(lines)
+    repo = f"org{i % 7}/repo{i % 53}"
+    path = f"src/{_MODULES[i % len(_MODULES)]}/{vocab[int(idents[0])].lower()}_{i}.{_EXT[lang]}"
+    commit = hashlib.sha1(f"{repo}|{path}|{seed}".encode()).hexdigest()[:12]
+    return (repo, path, commit, lang, content)
+
+
+def _make_doc_range(args: tuple) -> list[tuple]:
+    lo, hi, seed = args
     rng = np.random.default_rng(seed)
     vocab = _make_vocab(rng)
-    v = len(vocab)
-    # Zipf-ish rank weights, s≈1.1 (FIXTURES.md)
-    w = 1.0 / np.power(np.arange(1, v + 1), 1.1)
+    w = 1.0 / np.power(np.arange(1, len(vocab) + 1), 1.1)
     w /= w.sum()
+    return [_make_doc(i, seed, vocab, w) for i in range(lo, hi)]
 
-    rows = []
-    for i in range(n_docs):
-        lang = LANGS[int(rng.choice(len(LANGS), p=_LANG_W))]
-        n_lines = int(rng.integers(20, 401))
-        kw = _KEYWORDS[lang]
-        idents = rng.choice(v, size=n_lines * 3, p=w)
-        hot_mask = rng.random(n_lines) < 0.35
-        lines = []
-        for ln in range(n_lines):
-            a, b, c = (vocab[int(x)] for x in idents[ln * 3 : ln * 3 + 3])
-            k = kw[ln % len(kw)]
-            hot = f" {HOT_TERMS[ln % len(HOT_TERMS)]}" if hot_mask[ln] else ""
-            if ln % 7 == 0:
-                lines.append(f"# {a} returns the {b} for{hot} {c}")
-            elif ln % 7 == 3:
-                lines.append(f'{k} {a} = "{b}:{c}"{hot}')
-            else:
-                lines.append(f"{k} {a}({b}, {c}){hot} {{")
-        content = "\n".join(lines)
-        repo = f"org{i % 7}/repo{i % 53}"
-        path = f"src/{_MODULES[i % len(_MODULES)]}/{vocab[int(idents[0])].lower()}_{i}.{_EXT[lang]}"
-        commit = hashlib.sha1(f"{repo}|{path}|{seed}".encode()).hexdigest()[:12]
-        rows.append((repo, path, commit, lang, content))
+
+def make_corpus_pdf(
+    n_docs: int = 5000, seed: int = 42, near_dup_frac: float = 0.02, workers: int = 1
+) -> pd.DataFrame:
+    """Build the docs table as a pandas DataFrame (deterministic; the
+    per-doc rng makes output independent of ``workers``)."""
+    if workers > 1 and n_docs >= 4000:
+        from multiprocessing import Pool
+
+        step = (n_docs + workers - 1) // workers
+        chunks = [(lo, min(lo + step, n_docs), seed) for lo in range(0, n_docs, step)]
+        with Pool(workers) as pool:
+            rows = [r for part in pool.map(_make_doc_range, chunks) for r in part]
+    else:
+        rows = _make_doc_range((0, n_docs, seed))
 
     # near-duplicates: clone earlier docs with a one-line tweak
     n_dup = int(n_docs * near_dup_frac)

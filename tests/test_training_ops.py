@@ -1,0 +1,186 @@
+"""Training-data pipeline operators: dedup, ANN, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from org_rdkit_lucene_spark.functions.text import (
+    doc_fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+from org_rdkit_lucene_spark.operators.ann import (
+    cosine_pairs,
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from org_rdkit_lucene_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from org_rdkit_lucene_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_media,
+    extract_media_features,
+    frame_sample_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog again and often"),  # near dup
+        (3, "completely different content about sparkSession and shuffles"),
+        (4, "der hund und die katze und das haus ist nicht hier"),
+        (5, "le chat est dans la maison et les arbres pour toujours"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_dedup_exact(spark, docs_df):
+    out = dedup_exact(docs_df).toPandas().sort_values("doc_id")
+    assert list(out["is_duplicate"]) == [False, True, False, False, False, False]
+    assert out[out.doc_id.isin([0, 1])]["content_hash"].nunique() == 1
+
+
+def test_minhash_near_dup(spark, docs_df):
+    pairs = minhash_lsh_pairs(docs_df).toPandas()
+    tup = set(map(tuple, pairs[["doc1", "doc2"]].to_numpy()))
+    assert (0, 1) in tup  # exact dup must share every band
+    assert (0, 3) not in tup and (0, 4) not in tup
+
+
+def test_minhash_signature_properties(spark, docs_df):
+    sig = minhash_signatures(docs_df).toPandas().set_index("doc_id")
+    assert (sig.loc[0] == sig.loc[1]).all()  # identical text → identical signature
+    assert (sig.loc[0] != sig.loc[3]).any()
+
+
+def test_ngram_jaccard(spark, docs_df):
+    pairs = ngram_jaccard_pairs(docs_df, threshold=0.5).toPandas()
+    tup = {(r.doc1, r.doc2): r.jacc_q for r in pairs.itertuples()}
+    assert tup.get((0, 1)) == 1_000_000  # identical → J=1
+    assert (0, 2) in tup and tup[(0, 2)] < 1_000_000  # near dup
+    assert (0, 3) not in tup
+
+
+def test_simhash(spark, docs_df):
+    fp = simhash_fingerprints(docs_df).toPandas().set_index("doc_id")["simhash"]
+    assert fp.loc[0] == fp.loc[1]
+    # near-dup docs should be close in hamming space
+    ham = bin((int(fp.loc[0]) ^ int(fp.loc[2])) & ((1 << 64) - 1)).count("1")
+    assert ham <= 8
+    pairs = simhash_near_pairs(docs_df, max_hamming=8).toPandas()
+    tup = set(map(tuple, pairs[["doc1", "doc2"]].to_numpy()))
+    assert (0, 1) in tup
+
+
+def test_cosine_topk_exact(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8))
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(50), "embedding": [v.tolist() for v in vecs]})
+    )
+    queries = [(0, vecs[0].tolist()), (1, vecs[7].tolist())]
+    out = cosine_topk(emb, queries, k=5).toPandas()
+    # self must rank first with cos≈1
+    r1 = out[(out.query_id == 0) & (out["rank"] == 1)].iloc[0]
+    assert r1.vec_id == 0 and r1.cos_q == 1_000_000
+    # brute-force numpy check of full ranking
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.floor(nv @ nv[0] * 1_000_000 + 0.5).astype(np.int64)
+    order = np.lexsort((np.arange(50), -sims))[:5]
+    got = out[out.query_id == 0].sort_values("rank")
+    assert list(got.vec_id) == list(order)
+    assert list(got.cos_q) == list(sims[order])
+
+
+def test_lsh_recall(spark):
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((200, 16))
+    # plant near-duplicates of vec 0
+    for i in range(1, 6):
+        base[i] = base[0] + 0.01 * rng.standard_normal(16)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in base]})
+    )
+    q = [(0, base[0].tolist())]
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    approx = lsh_cosine_topk(emb, q, k=5, n_planes=8).toPandas()
+    # planted near-dups share the bucket with overwhelming probability
+    recall = len(set(approx.vec_id) & set(exact.vec_id)) / 5
+    assert recall >= 0.8
+
+
+def test_cosine_pairs(spark):
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((40, 8))
+    base[1] = base[0] + 1e-4 * rng.standard_normal(8)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(40), "embedding": [v.tolist() for v in base]})
+    )
+    pairs = cosine_pairs(emb, threshold=0.99).toPandas()
+    assert (0, 1) in set(map(tuple, pairs[["vec1", "vec2"]].to_numpy()))
+
+
+def test_lang_id(spark, docs_df):
+    out = lang_id(docs_df).toPandas().set_index("doc_id")
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[4, "pred_lang"] == "de"
+    assert out.loc[5, "pred_lang"] == "fr"
+
+
+def test_token_counts(spark, docs_df):
+    out = token_counts(docs_df).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 12
+    assert out.loc[0, "n_ws_tokens"] == 12
+    assert out.loc[0, "n_distinct_tokens"] == 10  # 'the', 'again' repeat
+
+
+def test_quality_scores(spark, docs_df):
+    out = quality_scores(docs_df).toPandas().set_index("doc_id")
+    assert (out["quality_q"] > 0).all()
+    assert (out["quality_q"] <= 1_000_000).all()
+    # doc 0 has english stopwords → higher stop_ratio than doc 4
+    assert out.loc[0, "stop_ratio_q"] > out.loc[4, "stop_ratio_q"]
+
+
+def test_doc_fingerprints(spark, docs_df):
+    out = doc_fingerprints(docs_df).toPandas().set_index("doc_id")["fingerprint"]
+    assert out.loc[0] == out.loc[1]
+    assert out.loc[0] != out.loc[3]
+
+
+def test_multimodal_stub_and_features(spark, docs_df):
+    media = attach_fake_media(docs_df)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image", fake=False)
+    feats = extract_media_features(media, fake=True).toPandas().sort_values("doc_id")
+    assert len(feats) == 6
+    assert (feats["n_bytes"] > 0).all()
+    img = feats[feats.media_type == "image"]
+    vid = feats[feats.media_type == "video"]
+    assert (img["width"] >= 64).all()
+    assert (vid["n_frames"] >= 0).all()
+    # deterministic: same text → same sig
+    s = feats.set_index("doc_id")["sig"]
+    assert s.loc[0] == s.loc[1]
+
+
+def test_frame_sample_plan(spark, docs_df):
+    media = attach_fake_media(docs_df)
+    plan = frame_sample_plan(media, every_ms=50_000).toPandas()
+    feats = extract_media_features(media, fake=True).toPandas()
+    vids = feats[feats.media_type == "video"]
+    for r in vids.itertuples():
+        want = r.duration_ms // 50_000 + 1
+        assert (plan.doc_id == r.doc_id).sum() == want

@@ -1,0 +1,40 @@
+"""Block-max WAND kernel must be result-identical to the DataFrame
+path (and hence to the oracle) on the full query set, for both modes
+and several shard counts."""
+
+import pandas as pd
+import pytest
+
+from org_rdkit_lucene_spark.operators.query import search
+from org_rdkit_lucene_spark.operators.wand import search_wand
+
+
+def _pdf(df):
+    return (
+        df.toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+        .astype({"query_id": "int64", "rank": "int64", "doc_id": "int64", "score_q": "int64"})
+    )
+
+
+@pytest.mark.parametrize("mode", ["disjunctive", "conjunctive"])
+@pytest.mark.parametrize("n_shards", [1, 4, 16])
+def test_wand_matches_dataframe_path(small_index, queries_pdf, mode, n_shards):
+    qtype = "disjunctive" if mode == "disjunctive" else "conjunctive"
+    qs = [
+        (int(r.query_id), r.text, int(r.k))
+        for r in queries_pdf[queries_pdf.query_type == qtype].itertuples()
+    ]
+    want = _pdf(search(small_index, qs, mode))
+    got = _pdf(search_wand(small_index, qs, mode, n_shards=n_shards))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_wand_zero_hit(small_index):
+    assert search_wand(small_index, [(1, "zzzmissing", 5)]).count() == 0
+
+
+def test_wand_bad_mode(small_index):
+    with pytest.raises(ValueError):
+        search_wand(small_index, [(1, "merg", 5)], mode="fuzzy")
