@@ -17,13 +17,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from org_rdkit_lucene_spark.config import IndexConfig
+from org_rdkit_lucene_spark.functions.text import (
+    doc_fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+from org_rdkit_lucene_spark.operators.ann import (
+    cosine_pairs,
+    cosine_topk,
+    lsh_cosine_topk,
+)
 from org_rdkit_lucene_spark.operators.build import InvertedIndex, build_index
+from org_rdkit_lucene_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from org_rdkit_lucene_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_media_features,
+    frame_sample_plan,
+)
 from org_rdkit_lucene_spark.operators.query import (
     hit_counts,
     search,
     search_after,
+    search_name_or_key,
     search_two_phase,
 )
+from org_rdkit_lucene_spark.operators.wand import search_wand
 from org_rdkit_lucene_spark.oracle import sqlgen
 from org_rdkit_lucene_spark.sources.tables import documents_as_corpus
 
@@ -149,6 +175,146 @@ def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dm.join(F.broadcast(bl), "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# WAND kernel + Q3 entries (driver-verified against the same BM25 SQL)
+
+
+def _q_wand_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: block-max WAND kernel — must be rank/score-identical to the
+    pure-DataFrame path, so it shares q1's oracle SQL."""
+    return search_wand(_index_for(spark, sf_dir), DISJ_QUERIES, mode="disjunctive")
+
+
+def _q_wand_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_wand(_index_for(spark, sf_dir), CONJ_QUERIES, mode="conjunctive")
+
+
+NAME_QUERY = ("src3", 10)
+
+
+def _q_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_name_or_key(_index_for(spark, sf_dir), *NAME_QUERY)
+
+
+# ---------------------------------------------------------------------------
+# training-data ops over the documents / embeddings tables
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived view with engineered exact duplicates (upper half of the
+    id space re-uses the lower half's text) — mirrors
+    sqlgen.dup_docs_cte exactly so pair-producing dedup ops have a
+    non-empty deterministic answer."""
+    docs = _documents(spark, sf_dir)
+    half = docs.count() // 2
+    base = docs.select(F.col("doc_id").alias("bid"), F.col("text").alias("text"))
+    return (
+        docs.select("doc_id", (F.col("doc_id") % F.lit(half)).alias("bid"))
+        .join(F.broadcast(base), "bid")
+        .select("doc_id", "text")
+    )
+
+
+def _td_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup_exact(_documents(spark, sf_dir), "doc_id", "text")
+    return out.withColumn("is_duplicate", F.col("is_duplicate").cast("int")).orderBy("doc_id")
+
+
+def _td_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_documents(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
+
+
+def _td_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_dup_documents(spark, sf_dir), "doc_id", "text").orderBy("doc1", "doc2")
+
+
+def _td_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _dup_documents(spark, sf_dir), "doc_id", "text", n=3, threshold=0.8
+    ).orderBy("doc1", "doc2")
+
+
+def _td_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(_documents(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
+
+
+def _td_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = simhash_near_pairs(_dup_documents(spark, sf_dir), "doc_id", "text", max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("int")).orderBy("doc1", "doc2")
+
+
+def _td_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_documents(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
+
+
+def _td_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_documents(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
+
+
+def _td_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(_documents(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
+
+
+def _td_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(_documents(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
+
+
+ANN_QUERY_IDS = [3, 17, 42, 99, 123]
+ANN_K = 10
+
+
+def _ann_query_vecs(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    rows = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("vec_id").isin(ANN_QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return sorted((int(r["vec_id"]), list(r["embedding"])) for r in rows)
+
+
+def _td_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    return cosine_topk(emb, _ann_query_vecs(spark, sf_dir), k=ANN_K).orderBy("query_id", "rank")
+
+
+def _td_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    return lsh_cosine_topk(
+        emb, _ann_query_vecs(spark, sf_dir), k=ANN_K, n_planes=6, seed=42
+    ).orderBy("query_id", "rank")
+
+
+def _td_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    half = emb.count() // 2
+    base = emb.select(F.col("vec_id").alias("bid"), "embedding")
+    dup = (
+        emb.select("vec_id", (F.col("vec_id") % F.lit(half)).alias("bid"))
+        .join(F.broadcast(base), "bid")
+        .select("vec_id", "embedding")
+    )
+    return cosine_pairs(dup, threshold=0.999, n_planes=8, seed=42).orderBy("vec1", "vec2")
+
+
+def _td_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_fake_media(_documents(spark, sf_dir), "doc_id", "text")
+    return extract_media_features(media, fake=True).orderBy("doc_id")
+
+
+def _td_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_fake_media(_documents(spark, sf_dir), "doc_id", "text")
+    return frame_sample_plan(media, every_ms=50_000).orderBy("doc_id", "frame_ts_ms")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_bm25_disjunctive": _q_disjunctive,
@@ -161,6 +327,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_point_lookup": _q_point_lookup,
         "q4_exact_match": _q_exact_match,
         "p2_blocklist": _q_blocklist,
+        "k7_wand_disjunctive": _q_wand_disjunctive,
+        "k7_wand_conjunctive": _q_wand_conjunctive,
+        "q3_name_search": _q_name_search,
+        "td_dedup_exact": _td_dedup_exact,
+        "td_minhash_signatures": _td_minhash_signatures,
+        "td_minhash_lsh_pairs": _td_minhash_lsh_pairs,
+        "td_ngram_jaccard": _td_ngram_jaccard,
+        "td_simhash_fingerprints": _td_simhash,
+        "td_simhash_near_pairs": _td_simhash_pairs,
+        "td_lang_id": _td_lang_id,
+        "td_token_counts": _td_token_counts,
+        "td_quality_scores": _td_quality_scores,
+        "td_doc_fingerprints": _td_doc_fingerprints,
+        "td_ann_cosine_topk": _td_ann_cosine_topk,
+        "td_ann_lsh_topk": _td_ann_lsh_topk,
+        "td_cosine_dup_pairs": _td_cosine_dup_pairs,
+        "td_media_features": _td_media_features,
+        "td_frame_sample": _td_frame_sample,
     }
 
 
@@ -186,4 +370,28 @@ def oracle_sql() -> dict[str, str]:
         "q2_point_lookup": sqlgen.point_lookup_sql(LOOKUP_DOC_ID),
         "q4_exact_match": sqlgen.exact_match_sql(EXACT_ANCHOR_DOC_ID),
         "p2_blocklist": sqlgen.blocklist_sql(BLOCKLIST),
+        "k7_wand_disjunctive": sqlgen.bm25_topk_sql(DISJ_QUERIES, "disjunctive"),
+        "k7_wand_conjunctive": sqlgen.bm25_topk_sql(CONJ_QUERIES, "conjunctive"),
+        "q3_name_search": sqlgen.name_search_sql(*NAME_QUERY),
+        "td_dedup_exact": sqlgen.dedup_exact_sql(),
+        "td_minhash_signatures": sqlgen.minhash_signatures_sql(),
+        "td_minhash_lsh_pairs": sqlgen.minhash_lsh_pairs_sql(
+            table="dup_documents", extra_cte=sqlgen.dup_docs_cte()
+        ),
+        "td_ngram_jaccard": sqlgen.ngram_jaccard_sql(
+            n=3, threshold=0.8, table="dup_documents", extra_cte=sqlgen.dup_docs_cte()
+        ),
+        "td_simhash_fingerprints": sqlgen.simhash_sql(),
+        "td_simhash_near_pairs": sqlgen.simhash_pairs_sql(
+            max_hamming=3, table="dup_documents", extra_cte=sqlgen.dup_docs_cte()
+        ),
+        "td_lang_id": sqlgen.lang_id_sql(),
+        "td_token_counts": sqlgen.token_counts_sql(),
+        "td_quality_scores": sqlgen.quality_scores_sql(),
+        "td_doc_fingerprints": sqlgen.doc_fingerprints_sql(),
+        "td_ann_cosine_topk": sqlgen.ann_cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
+        "td_ann_lsh_topk": sqlgen.ann_lsh_topk_sql(ANN_QUERY_IDS, ANN_K, n_planes=6),
+        "td_cosine_dup_pairs": sqlgen.cosine_dup_pairs_sql(threshold=0.999),
+        "td_media_features": sqlgen.media_features_sql(),
+        "td_frame_sample": sqlgen.frame_sample_sql(every_ms=50_000),
     }

@@ -135,8 +135,19 @@ def rank_topk(scored: DataFrame, decimals: int, k_col: str = "k") -> DataFrame:
         scored.withColumn("score_q", _quantize(F.col("score_raw"), decimals))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col(k_col))
-        .select("query_id", "rank", "doc_id", "score_q")
+        .select(_result_cols())
     )
+
+
+def _result_cols() -> list:
+    """Canonical RESULT_SCHEMA projection — every query path (DataFrame,
+    WAND, pagination) must emit the identical schema."""
+    return [
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score_q").cast("long").alias("score_q"),
+    ]
 
 
 def search(
@@ -195,7 +206,7 @@ def search_after(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col("k"))
-        .select("query_id", "rank", "doc_id", "score_q")
+        .select(_result_cols())
     )
 
 
@@ -282,7 +293,7 @@ def search_two_phase(
     return (
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col("final_k"))
-        .select("query_id", "rank", "doc_id", "score_q")
+        .select(_result_cols())
     )
 
 
@@ -295,4 +306,6 @@ def hit_counts(index: InvertedIndex, queries: list[tuple[int, str, int]], mode: 
     scored = _bm25_scored(index, qterms)
     if mode == "conjunctive":
         scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
-    return scored.groupBy("query_id").agg(F.count("*").alias("total_hits"))
+    return scored.groupBy("query_id").agg(F.count("*").alias("total_hits")).select(
+        F.col("query_id").cast("int").alias("query_id"), "total_hits"
+    )

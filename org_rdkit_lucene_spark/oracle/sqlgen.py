@@ -208,7 +208,7 @@ def dedup_exact_sql() -> str:
     return """
 SELECT doc_id::BIGINT AS doc_id,
        sha256(text) AS content_hash,
-       doc_id != min(doc_id) OVER (PARTITION BY sha256(text)) AS is_duplicate
+       (doc_id != min(doc_id) OVER (PARTITION BY sha256(text)))::INT AS is_duplicate
 FROM documents ORDER BY doc_id"""
 
 
@@ -225,7 +225,21 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM sh GROUP BY doc_id ORDER BY doc_id"""
 
 
-def minhash_lsh_pairs_sql(n_hashes: int = 8, n_bands: int = 4) -> str:
+def dup_docs_cte(table: str = "documents") -> str:
+    """Derived view with engineered exact duplicates: the upper half of
+    the id space re-uses the lower half's text (doc_id % (N//2)). Both
+    the Spark wrapper and this SQL derive it identically, giving the
+    pair-producing dedup operators a non-empty, deterministic answer on
+    a corpus that has no natural duplicates."""
+    return f"""dup_documents AS (
+  SELECT d.doc_id, b.text
+  FROM {table} d
+  JOIN {table} b ON b.doc_id = d.doc_id % (SELECT count(*) // 2 FROM {table})
+)"""
+
+
+def minhash_lsh_pairs_sql(n_hashes: int = 8, n_bands: int = 4, table: str = "documents",
+                          extra_cte: str = "") -> str:
     rows_per_band = n_hashes // n_bands
     band_rows = []
     for bi in range(n_bands):
@@ -234,9 +248,11 @@ def minhash_lsh_pairs_sql(n_hashes: int = 8, n_bands: int = 4) -> str:
         )
         band_rows.append(f"SELECT doc_id, {bi} AS band, {cols} AS band_val FROM sig")
     bands = "\nUNION ALL\n".join(band_rows)
+    pre = f"{extra_cte}," if extra_cte else ""
     return f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_shingles(3)}) AS s FROM documents
+WITH {pre}
+sh AS (
+  SELECT doc_id, unnest({_shingles(3)}) AS s FROM {table}
 ),
 sig AS (
   SELECT doc_id,
@@ -252,10 +268,13 @@ FROM bands a JOIN bands b
 ORDER BY doc1, doc2"""
 
 
-def ngram_jaccard_sql(n: int = 3, threshold: float = 0.8, max_shingle_df: int = 1000) -> str:
+def ngram_jaccard_sql(n: int = 3, threshold: float = 0.8, max_shingle_df: int = 1000,
+                      table: str = "documents", extra_cte: str = "") -> str:
+    pre = f"{extra_cte}," if extra_cte else ""
     return f"""
-WITH sh0 AS (
-  SELECT DISTINCT doc_id, unnest({_shingles(n)}) AS s FROM documents
+WITH {pre}
+sh0 AS (
+  SELECT DISTINCT doc_id, unnest({_shingles(n)}) AS s FROM {table}
 ),
 rare AS (
   SELECT sh0.* FROM sh0
@@ -377,6 +396,183 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, CAST(rnk AS INTEGER) AS rank,
        vec_id::BIGINT AS vec_id, cos_q
 FROM ranked WHERE rnk <= {k} ORDER BY query_id, rank"""
+
+
+_INT64_MIN = "(-9223372036854775807 - 1)"
+
+
+def _simhash_ctes(table: str, extra_cte: str) -> str:
+    """Shared CTE chain computing fp(doc_id, simhash) — the 64-bit
+    tf-weighted SimHash from the MSB-first bits of md5(term)[:8],
+    stored offset by 2^63 into signed int64. Token-less docs hash to
+    the all-zero fingerprint (-2^63), matching the Arrow kernel."""
+    toks = duckdb_tokens_sql("text")
+    pre = f"{extra_cte},\n" if extra_cte else ""
+    return f"""{pre}tok AS (SELECT doc_id, unnest({toks}) AS term FROM {table}),
+tfx AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+th AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h FROM tfx),
+bits AS (
+  SELECT doc_id, j,
+         sum(tf * (CASE WHEN (h >> (63 - j)::INT) & 1 = 1 THEN 1.0 ELSE -1.0 END)) AS acc
+  FROM th CROSS JOIN range(64) r(j) GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN j = 0 THEN (CASE WHEN acc > 0 THEN 0 ELSE {_INT64_MIN} END)
+                  WHEN acc > 0 THEN CAST(1 AS BIGINT) << (63 - j)::INT
+                  ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY 1
+),
+fp AS (
+  SELECT d.doc_id, coalesce(sh.simhash, {_INT64_MIN})::BIGINT AS simhash
+  FROM {table} d LEFT JOIN sh ON sh.doc_id = d.doc_id
+)"""
+
+
+def simhash_sql(table: str = "documents", extra_cte: str = "") -> str:
+    """Exact SQL twin of operators/dedup.simhash_fingerprints."""
+    return f"""
+WITH {_simhash_ctes(table, extra_cte)}
+SELECT doc_id::BIGINT AS doc_id, simhash FROM fp ORDER BY doc_id"""
+
+
+def simhash_pairs_sql(max_hamming: int = 3, table: str = "documents", extra_cte: str = "") -> str:
+    """Twin of simhash_near_pairs. The Spark side generates candidates
+    by 4x16-bit banding then verifies by popcount; hamming <= 3 with 4
+    chunks guarantees a shared chunk (pigeonhole), so the banded result
+    equals this direct all-pairs popcount filter."""
+    return f"""
+WITH {_simhash_ctes(table, extra_cte)}
+SELECT a.doc_id::BIGINT AS doc1, b.doc_id::BIGINT AS doc2,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc1, doc2"""
+
+
+def _plane_matrix(dim: int, n_planes: int, seed: int):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def _bucket_expr(vec_sql: str, planes) -> str:
+    """Sign-LSH bucket as a SQL expression: sum over planes of
+    (dot(v, plane_i) > 0) << i, with the seeded plane matrix embedded
+    as full-precision literals (repr round-trips float64)."""
+    terms = []
+    for i in range(planes.shape[1]):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[:, i]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_sql}, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + "\n         + ".join(terms) + ")"
+
+
+def ann_lsh_topk_sql(
+    query_vec_ids: list[int], k: int = 10, dim: int = 64, n_planes: int = 12, seed: int = 42
+) -> str:
+    """Twin of operators/ann.lsh_cosine_topk with corpus vectors as
+    queries: exact cosine re-rank within the query's LSH bucket."""
+    planes = _plane_matrix(dim, n_planes, seed)
+    ids = ", ".join(str(i) for i in query_vec_ids)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, ev,
+         {_bucket_expr("ev", planes)} AS bucket
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM b WHERE vec_id IN ({ids})),
+cand AS (SELECT q.query_id, q.qv, b.vec_id, b.ev FROM q JOIN b USING (bucket)),
+scored AS (
+  SELECT query_id, vec_id,
+         CAST(floor(
+           list_dot_product(list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev))),
+                            list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))))
+           * 1000000 + 0.5) AS BIGINT) AS cos_q
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, CAST(rnk AS INTEGER) AS rank,
+       vec_id::BIGINT AS vec_id, cos_q
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, rank"""
+
+
+def cosine_dup_pairs_sql(threshold: float = 0.999, dim: int = 64, n_planes: int = 8,
+                         seed: int = 42) -> str:
+    """Twin of operators/ann.cosine_pairs over a derived embeddings view
+    with engineered duplicates (vec_id % (N//2) re-uses the base
+    vector), so the near-dup pair set is non-empty and deterministic."""
+    planes = _plane_matrix(dim, n_planes, seed)
+    q = int(threshold * 1_000_000)
+    return f"""
+WITH dup_emb AS (
+  SELECT d.vec_id, b.embedding
+  FROM embeddings d
+  JOIN embeddings b ON b.vec_id = d.vec_id % (SELECT count(*) // 2 FROM embeddings)
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM dup_emb
+),
+b AS (
+  SELECT vec_id, ev,
+         {_bucket_expr("ev", planes)} AS bucket
+  FROM e
+),
+scored AS (
+  SELECT a.vec_id AS vec1, c.vec_id AS vec2,
+         CAST(floor(
+           list_dot_product(list_transform(a.ev, x -> x / sqrt(list_dot_product(a.ev, a.ev))),
+                            list_transform(c.ev, x -> x / sqrt(list_dot_product(c.ev, c.ev))))
+           * 1000000 + 0.5) AS BIGINT) AS cos_q
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT vec1::BIGINT AS vec1, vec2::BIGINT AS vec2, cos_q
+FROM scored WHERE cos_q >= {q} ORDER BY vec1, vec2"""
+
+
+def frame_sample_sql(every_ms: int = 50_000) -> str:
+    """Twin of operators/multimodal.frame_sample_plan over
+    attach_fake_media: one row per sampled frame timestamp of each
+    video doc (duration from the deterministic fake decode)."""
+    h = "('0x' || substr(md5(text), 1, 8))::UBIGINT"
+    return f"""
+WITH vids AS (
+  SELECT doc_id, ({h} % 600000)::BIGINT AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id::BIGINT AS doc_id,
+       unnest(generate_series(0, duration_ms, {every_ms}))::BIGINT AS frame_ts_ms
+FROM vids ORDER BY doc_id, frame_ts_ms"""
+
+
+def name_search_sql(query: str, k: int) -> str:
+    """Twin of query.search_name_or_key (Q3 analog,
+    ChemicalIndex.java:538-554) over the documents-derived corpus whose
+    path is source || '/doc/' || doc_id and commit is 'synthetic'."""
+    esc = query.replace("'", "''")
+    lower_esc = query.lower().replace("'", "''")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         (list_contains(
+            regexp_split_to_array(lower(source || '/doc/' || doc_id), '[^a-z0-9]+'),
+            '{lower_esc}')::INT
+          + ('synthetic' = '{esc}')::INT)::BIGINT AS score_q
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, score_q FROM m
+WHERE score_q > 0
+ORDER BY score_q DESC, doc_id ASC LIMIT {k}"""
 
 
 def media_features_sql() -> str:
