@@ -42,7 +42,8 @@ from org_rdkit_lucene_spark.functions.tokenizer import tokenize_texts
 FLAT_SCHEMA = "doc_id long, term string, tf int, dl int"
 POSTINGS_SCHEMA = (
     "term string, block_id int, first_doc long, last_doc long, n int, "
-    "doc_bytes binary, tf_bytes binary, dl_bytes binary, max_tf_norm double"
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, max_tf_norm double, "
+    "max_tf int, min_dl int"
 )
 
 # ---------------------------------------------------------------------------
@@ -237,13 +238,18 @@ def _encode_term_arrays(
 ) -> list[tuple]:
     """Chunk one term's full sorted postings into independently-decodable
     blocks. Block-max metadata (``max_tf_norm``) replaces Lucene skip
-    lists for WAND skipping (SURVEY §2.4 B3)."""
+    lists for WAND skipping (SURVEY §2.4 B3). ``max_tf``/``min_dl`` are
+    also stored so a *safe* bound can be recomputed under a different
+    corpus ``avgdl`` (incremental segments shift global stats; tf_norm
+    is increasing in tf and decreasing in dl, so f(max_tf, min_dl)
+    upper-bounds every member for any avgdl)."""
     rows = []
     n = len(docs)
     tf_norm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
     for bi, start in enumerate(range(0, n, block_size)):
         d = docs[start : start + block_size]
         first, gap_bytes = delta_encode(d)
+        sl = slice(start, start + block_size)
         rows.append(
             (
                 term,
@@ -252,9 +258,11 @@ def _encode_term_arrays(
                 int(d[-1]),
                 len(d),
                 gap_bytes,
-                varbyte_encode(tfs[start : start + block_size].astype(np.uint64)),
-                varbyte_encode(dls[start : start + block_size].astype(np.uint64)),
-                float(tf_norm[start : start + block_size].max()),
+                varbyte_encode(tfs[sl].astype(np.uint64)),
+                varbyte_encode(dls[sl].astype(np.uint64)),
+                float(tf_norm[sl].max()),
+                int(tfs[sl].max()),
+                int(dls[sl].min()),
             )
         )
     return rows
@@ -266,7 +274,7 @@ def _make_cold_encoder(cfg: IndexConfig, avgdl: float):
     term spanning batches is encoded exactly once from its full list."""
     bs, k1, b = cfg.block_size, cfg.bm25.k1, cfg.bm25.b
     cols = ["term", "block_id", "first_doc", "last_doc", "n",
-            "doc_bytes", "tf_bytes", "dl_bytes", "max_tf_norm"]
+            "doc_bytes", "tf_bytes", "dl_bytes", "max_tf_norm", "max_tf", "min_dl"]
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -328,7 +336,7 @@ def _make_hot_encoder(cfg: IndexConfig, avgdl: float):
     sorted) and block-encode — byte-identical to an unsalted build."""
     bs, k1, b = cfg.block_size, cfg.bm25.k1, cfg.bm25.b
     cols = ["term", "block_id", "first_doc", "last_doc", "n",
-            "doc_bytes", "tf_bytes", "dl_bytes", "max_tf_norm"]
+            "doc_bytes", "tf_bytes", "dl_bytes", "max_tf_norm", "max_tf", "min_dl"]
 
     def merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("salt")
@@ -352,6 +360,8 @@ class InvertedIndex:
     n_docs: int
     avgdl: float
     cfg: IndexConfig
+    total_dl: int = 0
+    max_doc_id: int = -1
 
     @property
     def docmap(self) -> DataFrame:
@@ -377,7 +387,15 @@ class InvertedIndex:
     def load(cls, spark: SparkSession, index_dir: str, cfg: IndexConfig | None = None) -> "InvertedIndex":
         with open(os.path.join(index_dir, "stats.json")) as f:
             stats = json.load(f)
-        return cls(spark, index_dir, stats["n_docs"], stats["avgdl"], cfg or IndexConfig())
+        return cls(
+            spark,
+            index_dir,
+            stats["n_docs"],
+            stats["avgdl"],
+            cfg or IndexConfig(),
+            total_dl=stats.get("total_dl", int(stats["avgdl"] * stats["n_docs"] + 0.5)),
+            max_doc_id=stats.get("max_doc_id", stats["n_docs"] - 1),
+        )
 
 
 def build_index(
@@ -456,14 +474,21 @@ def build_index(
     if not os.path.exists(stats_path):
         row = docmeta.agg(
             F.count("*").alias("n"),
-            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("total_dl"),
             F.max("doc_id").alias("max_id"),
         ).collect()[0]
+        n = row["n"]
+        total_dl = int(row["total_dl"] or 0)
         with open(stats_path, "w") as f:
             json.dump(
                 {
-                    "n_docs": row["n"],
-                    "avgdl": float(row["avgdl"] or 0.0),
+                    "n_docs": n,
+                    # avgdl from the EXACT integer token total: a merged
+                    # multi-segment index recomputes the identical float
+                    # (sum of per-segment total_dl / sum of n), keeping
+                    # BM25 scores bit-identical to a full rebuild
+                    "total_dl": total_dl,
+                    "avgdl": (total_dl / n) if n else 0.0,
                     "max_doc_id": int(row["max_id"] if row["max_id"] is not None else -1),
                 },
                 f,
@@ -536,4 +561,7 @@ def build_index(
     corpus_ids.unpersist()
     manifest["finalized"] = True
     _write_manifest(index_dir, manifest)
-    return InvertedIndex(spark, index_dir, n_docs, avgdl, cfg)
+    return InvertedIndex(
+        spark, index_dir, n_docs, avgdl, cfg,
+        total_dl=stats.get("total_dl", 0), max_doc_id=max_doc_id,
+    )

@@ -188,11 +188,7 @@ def search_wand(
         return spark.createDataFrame([], RESULT_SCHEMA)
     if n_shards is None:
         n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    import json
-    import os
-
-    with open(os.path.join(index.index_dir, "stats.json")) as f:
-        max_doc_id = json.load(f).get("max_doc_id", index.n_docs - 1)
+    max_doc_id = index.max_doc_id if index.max_doc_id >= 0 else index.n_docs - 1
     shard_size = max(1, math.ceil((max_doc_id + 1) / n_shards))
 
     terms = qterms["term"].unique().tolist()

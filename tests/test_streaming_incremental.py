@@ -1,0 +1,156 @@
+"""Structured Streaming incremental indexing: delta segments must be
+rank- AND score-identical to a monolithic rebuild over base+streamed
+docs, on both query paths; replays must be idempotent."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from org_rdkit_lucene_spark.config import IndexConfig
+from org_rdkit_lucene_spark.operators.build import build_index
+from org_rdkit_lucene_spark.operators.query import hit_counts, search
+from org_rdkit_lucene_spark.operators.wand import search_wand
+from org_rdkit_lucene_spark.sources.fixtures import make_corpus_pdf
+from org_rdkit_lucene_spark.streaming.incremental import (
+    SegmentedIndex,
+    index_stream,
+    list_segments,
+)
+
+QUERIES = [
+    (1, "getIndexValue merg scorer", 10),
+    (2, "token pars hash", 10),
+    (3, "zzzmissing", 5),
+    (4, "main data", 7),
+]
+
+STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("ext_id", T.LongType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def incremental_setup(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("stream")
+    pdf = make_corpus_pdf(n_docs=300, seed=7)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    base_pdf, delta1, delta2 = pdf.iloc[:200], pdf.iloc[200:250], pdf.iloc[250:]
+
+    cfg = IndexConfig(build_partitions=4, hot_term_df=60, n_salts=4)
+    base_dir = str(tmp / "base")
+    base = build_index(spark, spark.createDataFrame(base_pdf), cfg, base_dir, id_col="ext_id")
+    assert base is not None
+
+    src = tmp / "incoming"
+    src.mkdir()
+    delta1.to_parquet(src / "b1.parquet", index=False)
+    delta2.to_parquet(src / "b2.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = index_stream(stream, base_dir, cfg, str(tmp / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    full = build_index(
+        spark, spark.createDataFrame(pdf), cfg, str(tmp / "full"), id_col="ext_id"
+    )
+    seg = SegmentedIndex.load(spark, base_dir, cfg)
+    return {"seg": seg, "full": full, "base_dir": base_dir, "cfg": cfg,
+            "stream_src": src, "tmp": tmp, "spark": spark}
+
+
+def _sorted(df) -> pd.DataFrame:
+    p = df.toPandas()
+    return p.sort_values(list(p.columns)).reset_index(drop=True)
+
+
+def test_segments_created(incremental_setup):
+    segs = list_segments(incremental_setup["base_dir"])
+    assert len(segs) == 2  # maxFilesPerTrigger=1 → one segment per file
+
+
+def test_merged_stats_exact(incremental_setup):
+    seg, full = incremental_setup["seg"], incremental_setup["full"]
+    assert seg.n_docs == full.n_docs == 306  # 300 + 2% near-dups
+    assert seg.total_dl == full.total_dl
+    assert seg.avgdl == full.avgdl  # exact: both are total_dl / n
+    assert seg.max_doc_id == full.max_doc_id
+
+
+def test_merged_lexicon_matches_rebuild(incremental_setup):
+    seg, full = incremental_setup["seg"], incremental_setup["full"]
+    a = _sorted(seg.lexicon.select("term", "df", "cf", "idf"))
+    b = _sorted(full.lexicon.select("term", "df", "cf", "idf"))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_search_rank_identical_to_rebuild(incremental_setup):
+    seg, full = incremental_setup["seg"], incremental_setup["full"]
+    a = _sorted(search(seg, QUERIES, mode="disjunctive"))
+    b = _sorted(search(full, QUERIES, mode="disjunctive"))
+    pd.testing.assert_frame_equal(a, b)
+    ac = _sorted(search(seg, QUERIES[:2], mode="conjunctive"))
+    bc = _sorted(search(full, QUERIES[:2], mode="conjunctive"))
+    pd.testing.assert_frame_equal(ac, bc)
+
+
+def test_wand_rank_identical_to_rebuild(incremental_setup):
+    """WAND over the merged view relies on the safe (max_tf, min_dl)
+    bound re-derivation — segment blocks were encoded under a different
+    avgdl than the merged corpus."""
+    seg, full = incremental_setup["seg"], incremental_setup["full"]
+    a = _sorted(search_wand(seg, QUERIES, mode="disjunctive"))
+    b = _sorted(search_wand(full, QUERIES, mode="disjunctive"))
+    pd.testing.assert_frame_equal(a, b)
+    # and WAND(seg) == DataFrame(seg)
+    c = _sorted(search(seg, QUERIES, mode="disjunctive"))
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_hit_counts_match(incremental_setup):
+    seg, full = incremental_setup["seg"], incremental_setup["full"]
+    pd.testing.assert_frame_equal(
+        _sorted(hit_counts(seg, QUERIES)), _sorted(hit_counts(full, QUERIES))
+    )
+
+
+def test_replay_idempotent(incremental_setup):
+    """Re-running the stream over the same source + checkpoint adds no
+    new segments (checkpoint) and a forced re-process of a batch id
+    overwrites, not duplicates."""
+    spark = incremental_setup["spark"]
+    base_dir = incremental_setup["base_dir"]
+    cfg = incremental_setup["cfg"]
+    before = list_segments(base_dir)
+    stream = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(incremental_setup["stream_src"]))
+    )
+    q = index_stream(stream, base_dir, cfg, str(incremental_setup["tmp"] / "ckpt"))
+    q.awaitTermination(timeout=120)
+    assert list_segments(base_dir) == before
+    seg = SegmentedIndex.load(spark, base_dir, cfg)
+    assert seg.n_docs == 306
+
+
+def test_sha256_invariant_covers_segments(incremental_setup):
+    """The per-row content sha256 invariant holds across base + deltas."""
+    seg = incremental_setup["seg"]
+    full = incremental_setup["full"]
+    a = _sorted(seg.docmeta.select("doc_id", "sha256", "doc_len"))
+    b = _sorted(full.docmeta.select("doc_id", "sha256", "doc_len"))
+    pd.testing.assert_frame_equal(a, b)
