@@ -1,0 +1,89 @@
+"""Physical-plan contracts (SURVEY §4): pushdown, broadcast selection,
+JVM-only column programs, shuffle budgets. A regression that silently
+de-optimizes a plan fails here instead of surfacing as a 10x slowdown
+at cluster scale."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from org_rdkit_lucene_spark.functions.text import lang_id, quality_scores, token_counts
+from org_rdkit_lucene_spark.operators.dedup import dedup_exact, minhash_signatures
+from org_rdkit_lucene_spark.operators.query import decoded_postings, search, search_two_phase
+from org_rdkit_lucene_spark.operators.wand import search_wand
+from org_rdkit_lucene_spark.plans import audit
+
+QUERIES = [(1, "getIndexValue merg scorer", 5), (2, "token hash", 5)]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [(i, f"someCamelCase token_{i} the quick value") for i in range(20)]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_postings_scan_prunes_to_query_terms(small_index):
+    """The term IN (...) predicate must reach the parquet scan — the
+    analog of Lucene's term-dictionary seek (SURVEY §4)."""
+    df = decoded_postings(small_index, ["get", "index"])
+    assert audit.has_pushed_term_filter(df, "term")
+
+
+def test_search_broadcasts_small_sides(small_index):
+    """Query terms and the pruned lexicon slice are broadcast; the only
+    sort-merge-eligible join in the plan must not materialize (small
+    sides forced via F.broadcast)."""
+    plan_df = search(small_index, QUERIES)
+    assert audit.count_nodes(plan_df, "BroadcastHashJoin") >= 2
+    assert audit.count_nodes(plan_df, "SortMergeJoin") == 0
+    assert audit.count_nodes(plan_df, "CartesianProduct") == 0
+    assert audit.has_pushed_term_filter(plan_df, "term")
+
+
+def test_wand_plan_prunes_and_broadcasts(small_index):
+    df = search_wand(small_index, QUERIES)
+    assert audit.has_pushed_term_filter(df, "term")
+    assert audit.count_nodes(df, "SortMergeJoin") == 0
+    assert audit.count_nodes(df, "CartesianProduct") == 0
+
+
+def test_two_phase_verify_is_jvm_side(small_index, small_corpus):
+    """Phase-B verification must be the built-in `contains` on the JVM,
+    not a Python filter (ChemicalIndex.java:683-709 analog without the
+    per-candidate JNI crossing)."""
+    corpus_ids = small_corpus.join(small_index.docmap, ["repo", "path", "commit"])
+    df = search_two_phase(small_index, corpus_ids, [(1, "merg", 3)])
+    assert audit.count_nodes(df, "BatchEvalPython") == 0
+
+
+def test_column_programs_are_jvm_only(docs_df):
+    """lang_id / token_counts / quality_scores / dedup_exact are pure
+    Catalyst column programs — whole-stage codegen, zero Python."""
+    for op in (lang_id, token_counts, quality_scores, dedup_exact):
+        audit.assert_jvm_only(op(docs_df, "doc_id", "text"))
+
+
+def test_dedup_exact_single_shuffle(docs_df):
+    """Exact dedup shuffles ONCE on the digest (hash groupBy/window) —
+    the property that keeps it linear at 100 TB."""
+    assert audit.count_shuffles(dedup_exact(docs_df, "doc_id", "text")) == 1
+
+
+def test_minhash_signatures_shuffle_budget(docs_df):
+    """Shingle explode + distinct + per-doc agg: bounded exchanges (no
+    join, no cartesian)."""
+    df = minhash_signatures(docs_df, "doc_id", "text")
+    assert audit.count_nodes(df, "CartesianProduct") == 0
+    assert audit.count_shuffles(df) <= 3
+
+
+def test_no_rowwise_python_anywhere(small_index, docs_df):
+    """input_hint: vectorized pandas/Arrow UDFs only — BatchEvalPython
+    (row-at-a-time) must never appear in any engine plan."""
+    for df in (
+        search(small_index, QUERIES),
+        search_wand(small_index, QUERIES),
+        decoded_postings(small_index, ["get"]),
+        minhash_signatures(docs_df, "doc_id", "text"),
+    ):
+        audit.assert_no_rowwise_python(df)
