@@ -315,6 +315,31 @@ def _td_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=50_000).orderBy("doc_id", "frame_ts_ms")
 
 
+# ---------------------------------------------------------------------------
+# event-stream analytics (windowed agg runs as a REAL availableNow stream)
+
+_EV_COUNTER = [0]
+
+
+def _ev_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from org_rdkit_lucene_spark.streaming.events import stream_windowed_event_counts
+
+    _EV_COUNTER[0] += 1
+    return stream_windowed_event_counts(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        window="1 hour",
+        query_name=f"evw_{_EV_COUNTER[0]}",
+    ).orderBy("window_start", "event_type")
+
+
+def _ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from org_rdkit_lucene_spark.streaming.events import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize(ev, gap="30 minutes").orderBy("user_id", "session_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_bm25_disjunctive": _q_disjunctive,
@@ -345,6 +370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_cosine_dup_pairs": _td_cosine_dup_pairs,
         "td_media_features": _td_media_features,
         "td_frame_sample": _td_frame_sample,
+        "ev_windowed_stream": _ev_windowed_stream,
+        "ev_sessionize": _ev_sessionize,
     }
 
 
@@ -394,4 +421,6 @@ def oracle_sql() -> dict[str, str]:
         "td_cosine_dup_pairs": sqlgen.cosine_dup_pairs_sql(threshold=0.999),
         "td_media_features": sqlgen.media_features_sql(),
         "td_frame_sample": sqlgen.frame_sample_sql(every_ms=50_000),
+        "ev_windowed_stream": sqlgen.windowed_events_sql("1 hour"),
+        "ev_sessionize": sqlgen.sessionize_sql(30),
     }

@@ -575,6 +575,45 @@ WHERE score_q > 0
 ORDER BY score_q DESC, doc_id ASC LIMIT {k}"""
 
 
+def windowed_events_sql(window: str = "1 hour") -> str:
+    """Twin of streaming/events.windowed_event_counts (run by the entry
+    as a REAL availableNow stream): tumbling windows align to the unix
+    epoch in both engines (Spark F.window / DuckDB time_bucket)."""
+    return f"""
+SELECT time_bucket(INTERVAL '{window}', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_q
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    """Twin of streaming/events.sessionize (native session_window):
+    a session breaks when consecutive events are >= gap apart —
+    reproduced relationally with lag + running sum of breaks."""
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL {gap_minutes} MINUTE
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id::BIGINT AS user_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_q
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start"""
+
+
 def media_features_sql() -> str:
     """Twin of multimodal.extract_media_features over attach_fake_media
     (deterministic md5-derived fake decode)."""

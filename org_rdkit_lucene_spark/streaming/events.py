@@ -1,0 +1,111 @@
+"""Event-stream analytics: tumbling-window aggregation and gap-based
+sessionization, usable on both batch DataFrames and Structured Streams.
+
+The aggregations are plain Catalyst programs (``F.window`` /
+``F.session_window`` in a ``groupBy``), so the SAME function serves the
+batch path (driver-entry oracle parity) and the streaming path
+(``readStream`` → ``withWatermark`` → windowed agg → sink). Late-data
+semantics (watermark drops events older than the threshold, windows
+finalize append-only) are exercised in ``tests/test_streaming_events.py``
+with engineered late arrivals.
+
+Quantization: ``sum(value)`` is emitted as ``sum_value_q =
+floor(sum*100 + 0.5)`` (values are 2-decimal), putting the floored
+quantity mid-interval — bit-stable across engines and summation orders.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _q2(col) -> F.Column:
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event type. Works unchanged on a
+    batch DataFrame or a stream (add ``withWatermark`` upstream for
+    append-mode finalization)."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _q2(F.sum("value")).alias("sum_value_q"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_q",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions per user via the native ``session_window``
+    (streaming-stateful under the hood; batch-exact here): a session
+    breaks when consecutive events are >= gap apart.
+
+    Output: (user_id, session_start, session_end, n_events,
+    sum_value_q) with session_end = last event ts (not ts+gap, which
+    would leak the gap parameter into the data)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            _q2(F.sum("value")).alias("sum_value_q"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value_q")
+    )
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    query_name: str = "ev_windowed",
+    watermark: str | None = None,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run the windowed aggregation as a REAL Structured Streaming job
+    (file source → availableNow → memory sink) and return the result.
+
+    ``complete`` mode without watermark emits every window (bounded
+    input ⇒ deterministic, used by the driver entry); ``append`` with a
+    watermark emits only finalized windows (late-data tests).
+
+    ``events_path`` may be a directory or a single parquet file (the
+    file source requires a directory, so a file resolves to its parent
+    plus a ``pathGlobFilter`` on the name)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if os.path.isfile(events_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        events_path = os.path.dirname(events_path)
+    stream = reader.parquet(events_path)
+    if watermark:
+        stream = stream.withWatermark("ts", watermark)
+    agg = windowed_event_counts(stream, window)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
