@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # smaller scan partitions: source files carry heavy text columns,
+        # and the default 128m packs whole small-file corpora into a
+        # handful of tasks, capping the parallelism of every pre-shuffle
+        # stage (SURVEY §7.3: size maxPartitionBytes to the workload)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
