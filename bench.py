@@ -142,11 +142,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     quick = "--quick" in sys.argv
-    # N vs 4N on one box: high level = HALF the machine so the JVM's
-    # service threads, shuffle I/O, and the OS are not competing with
-    # Python workers for every core (a real N/4N executor pair has that
-    # headroom per node); low level = high/4 for the 4x ratio.
-    n_high = max(4, cpus // 2)
+    # N vs 4N on one box: each local[K] task slot pairs a JVM thread
+    # with an Arrow python worker (~2K hardware threads busy), so the
+    # high level is capped at a QUARTER of the cores (= half the
+    # hardware threads) — both levels then run unsaturated, like a real
+    # N vs 4N executor fleet where executors don't fight for cores.
+    # Low level = high/4 for the exact 4x ratio.
+    n_high = max(4, cpus // 4)
     n_low = max(1, n_high // 4)
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -213,10 +215,11 @@ Per-query best-of-{repeats} seconds at 4N: {json.dumps(high["queries"])}
 
 Build reps (best-of; first build per JVM pays JIT/worker warm-up, the
 reference also excludes warm-up): N {low.get("build_secs_all", [])} /
-4N {high.get("build_secs_all", [])}. Levels are half-machine and an
-eighth-machine ({n_high}/{n_low} of {cpus} cores) so the high level is
-not competing with JVM service threads and the OS for every core —
-the headroom a real N vs 4N executor fleet has per node.
+4N {high.get("build_secs_all", [])}. Each local[K] slot pairs a JVM
+thread with an Arrow python worker (~2K hardware threads busy), so the
+levels are {n_high}/{n_low} of {cpus} cores — even the high level uses
+only ~half the hardware threads, the headroom a real N vs 4N executor
+fleet has per node.
 
 Warm-up: {WARMUP_N} fixed queries, excluded (LuceneBenchmark.java:645-664
 analog). Reference workload analog: query line-file x search types

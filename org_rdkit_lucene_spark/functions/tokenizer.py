@@ -142,6 +142,57 @@ def duckdb_tokens_sql(col_sql: str, profile: TokenizerProfile = DEFAULT_PROFILE)
     )
 
 
+def tokenize_flat_arrow_ascii(
+    texts: pd.Series, profile: TokenizerProfile = DEFAULT_PROFILE
+):
+    """Arrow-native flat tokenization for ASCII batches — the build
+    kernel's fast path.
+
+    Runs the IDENTICAL pipeline (camel regexes → lower → sep-split →
+    length filter) entirely in Arrow C++ kernels (RE2 + utf8), so no
+    per-token Python objects are created — the allocation churn of 8M
+    PyObjects per batch is what throttles multi-worker scaling. Output
+    is byte-identical to :func:`tokenize_texts` for ASCII input
+    (asserted in tests); callers MUST gate on ASCII-ness (Unicode
+    lower/regex edge semantics are only guaranteed by the canonical
+    pandas path).
+
+    Returns ``(doc_idx, flat)``: int64 row index per token and the flat
+    Arrow string array of tokens, plus per-row token counts.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if profile.ngram > 1:
+        raise ValueError("ngram profiles use the pandas path")
+    arr = pa.array(texts.fillna(""), type=pa.large_string())
+    s = arr
+    if profile.split_camel_case:
+        s = pc.replace_substring_regex(s, pattern=_CAMEL1, replacement=r"\1 \2")
+        s = pc.replace_substring_regex(s, pattern=_CAMEL2, replacement=r"\1 \2")
+    if profile.lowercase:
+        s = pc.utf8_lower(s)
+    lists = pc.split_pattern_regex(s, pattern=_SEP)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy().astype(np.int64)
+    ln = pc.utf8_length(flat).to_numpy()
+    mask = (ln >= profile.min_token_len) & (ln <= profile.max_token_len)
+    doc_idx = parent[mask]
+    flat = flat.filter(pa.array(mask))
+    counts = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
+    return doc_idx, flat, counts
+
+
+def batch_is_ascii(texts: pd.Series) -> bool:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts.fillna(""), type=pa.large_string())
+    ok = pc.all(pc.string_is_ascii(arr))
+    return bool(ok.as_py())
+
+
 def tokenize_query_terms(
     queries: Iterable[str], profile: TokenizerProfile = DEFAULT_PROFILE
 ) -> list[list[str]]:

@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 
 from org_rdkit_lucene_spark.config import IndexConfig
 from org_rdkit_lucene_spark.functions.codecs import delta_encode, varbyte_encode
-from org_rdkit_lucene_spark.functions.tokenizer import tokenize_texts
+from org_rdkit_lucene_spark.functions.tokenizer import (
+    batch_is_ascii,
+    tokenize_flat_arrow_ascii,
+    tokenize_texts,
+)
 
 FLAT_SCHEMA = "doc_id long, term string, tf int, dl int"
 POSTINGS_SCHEMA = (
@@ -107,6 +111,22 @@ def _make_spimi_fn(cfg: IndexConfig):
         for pdf in it:
             if len(pdf) == 0:
                 continue
+            # fast path: ASCII batches tokenize entirely in Arrow C++
+            # kernels (no per-token Python objects — the allocation
+            # churn that throttles multi-worker scaling); byte-identical
+            # to the canonical pipeline for ASCII input (tested).
+            # Non-ASCII batches and the n-gram profile take the
+            # canonical pandas path.
+            if profile.ngram == 0:
+                try:
+                    if batch_is_ascii(pdf["content"]):
+                        out = _flat_arrow(pdf, profile)
+                        if out is not None:
+                            yield out
+                        consecutive_errors = 0
+                        continue
+                except Exception:
+                    pass  # fall through to the canonical path
             try:
                 toks = tokenize_texts(pdf["content"], profile)
                 consecutive_errors = 0
@@ -160,6 +180,34 @@ def spark_parallelism(df: DataFrame) -> int:
     """Current session's target task parallelism (defaultParallelism =
     total cores in local mode / executor slots on a cluster)."""
     return int(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _flat_arrow(pdf: pd.DataFrame, profile) -> pd.DataFrame | None:
+    """Arrow-native flat aggregation for one ASCII batch: tokenize in
+    C++ kernels, dictionary-encode terms, tf via np.unique on the
+    (doc, term-code) composite key. Same output as the pandas path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    doc_idx, flat, counts = tokenize_flat_arrow_ascii(pdf["content"], profile)
+    if len(doc_idx) == 0:
+        return None
+    denc = pc.dictionary_encode(flat)
+    codes = denc.indices.to_numpy().astype(np.int64)
+    uniq = denc.dictionary
+    key = doc_idx * np.int64(len(uniq)) + codes
+    uk, tf = np.unique(key, return_counts=True)
+    g_doc = (uk // len(uniq)).astype(np.int64)
+    g_code = (uk % len(uniq)).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy(np.int64)[g_doc],
+            "term": uniq.take(pa.array(g_code)).to_pandas().to_numpy(object),
+            "tf": tf.astype(np.int32),
+            "dl": counts.astype(np.int32)[g_doc],
+            "build_part": pdf["build_part"].to_numpy(np.int32)[g_doc],
+        }
+    )
 
 
 def _manifest_path(index_dir: str) -> str:
@@ -500,11 +548,20 @@ def build_index(
         .persist()
     )
 
-    # -- stage 2: docmeta + stats (sha256 invariant via JVM-side sha2)
+    # -- stage 2: docmeta + stats (sha256 invariant via JVM-side sha2).
+    # Corpus stats ride the SAME job via df.observe() — no separate
+    # aggregation job, and scale-correct at any corpus size (the
+    # observation is computed by the write job's tasks).
     docmeta_path = os.path.join(index_dir, "docmeta.parquet")
-    if not os.path.exists(os.path.join(docmeta_path, "_SUCCESS")):
+    stats_path = os.path.join(index_dir, "stats.json")
+    if not os.path.exists(os.path.join(docmeta_path, "_SUCCESS")) or not os.path.exists(
+        stats_path
+    ):
+        from pyspark.sql import Observation
+
         t0 = time.time()
         dl = flat.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
+        obs = Observation("corpus_stats")
         docmeta = (
             corpus_ids.select(
                 "doc_id", "repo", "path", "commit", "lang",
@@ -512,19 +569,17 @@ def build_index(
             )
             .join(dl, "doc_id", "left")
             .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doc_len").alias("total_dl"),
+                F.max("doc_id").alias("max_id"),
+            )
         )
         docmeta.write.mode("overwrite").parquet(docmeta_path)
-        metrics_rows.append(("docmeta", -1, time.time() - t0))
-    docmeta = spark.read.parquet(docmeta_path)
-    stats_path = os.path.join(index_dir, "stats.json")
-    if not os.path.exists(stats_path):
-        row = docmeta.agg(
-            F.count("*").alias("n"),
-            F.sum("doc_len").alias("total_dl"),
-            F.max("doc_id").alias("max_id"),
-        ).collect()[0]
-        n = row["n"]
-        total_dl = int(row["total_dl"] or 0)
+        got = obs.get
+        n = int(got["n"])
+        total_dl = int(got["total_dl"] or 0)
         with open(stats_path, "w") as f:
             json.dump(
                 {
@@ -535,10 +590,11 @@ def build_index(
                     # BM25 scores bit-identical to a full rebuild
                     "total_dl": total_dl,
                     "avgdl": (total_dl / n) if n else 0.0,
-                    "max_doc_id": int(row["max_id"] if row["max_id"] is not None else -1),
+                    "max_doc_id": int(got["max_id"] if got["max_id"] is not None else -1),
                 },
                 f,
             )
+        metrics_rows.append(("docmeta", -1, time.time() - t0))
     with open(stats_path) as f:
         stats = json.load(f)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -565,8 +621,16 @@ def build_index(
     postings_path = os.path.join(index_dir, "postings.parquet")
     if not os.path.exists(os.path.join(postings_path, "_SUCCESS")):
         t0 = time.time()
-        lex = spark.read.parquet(lexicon_path)
-        hot_terms = [r["term"] for r in lex.filter(F.col("df") >= cfg.hot_term_df).select("term").collect()]
+        # hot-term discovery straight from the lexicon parquet with
+        # predicate pushdown — the hot set is tiny by construction and
+        # was being materialized on the driver either way; pyarrow skips
+        # the extra Spark job and its scheduling latency
+        import pyarrow.parquet as pq
+
+        hot_tbl = pq.read_table(
+            lexicon_path, columns=["term"], filters=[("df", ">=", cfg.hot_term_df)]
+        )
+        hot_terms = hot_tbl.column("term").to_pylist()
         hot_set = set(hot_terms)
         p = cfg.build_partitions
 
@@ -595,14 +659,25 @@ def build_index(
         blocks.write.mode("overwrite").parquet(postings_path)
         metrics_rows.append(("postings", len(hot_set), time.time() - t0))
 
-    # -- metrics table (B6 analog: per-stage progress/lineage)
+    # -- metrics table (B6 analog: per-stage progress/lineage). Always
+    # driver-sized (one row per stage) → written directly with pyarrow
+    # instead of paying a Spark job for a five-row table.
     metrics_path = os.path.join(index_dir, "metrics.parquet")
     if metrics_rows:
-        mdf = spark.createDataFrame(
-            [(s, int(x), float(sec)) for s, x, sec in metrics_rows],
-            schema="stage string, detail int, seconds double",
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(metrics_path, exist_ok=True)
+        tbl = pa.table(
+            {
+                "stage": pa.array([s for s, _, _ in metrics_rows], pa.string()),
+                "detail": pa.array([int(x) for _, x, _ in metrics_rows], pa.int32()),
+                "seconds": pa.array([float(sec) for _, _, sec in metrics_rows], pa.float64()),
+            }
         )
-        mdf.write.mode("append").parquet(metrics_path)
+        pq.write_table(tbl, os.path.join(metrics_path, f"part-{uuid.uuid4().hex}.parquet"))
 
     corpus_ids.unpersist()
     flat.unpersist()

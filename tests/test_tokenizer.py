@@ -67,6 +67,33 @@ def test_spark_parity_randomized(spark):
     assert got == want
 
 
+def test_arrow_fast_path_parity_randomized():
+    """The ASCII Arrow fast path (build kernel) must be byte-identical
+    to the canonical pandas pipeline on ASCII input."""
+    from org_rdkit_lucene_spark.functions.tokenizer import (
+        batch_is_ascii,
+        tokenize_flat_arrow_ascii,
+    )
+
+    texts = [t for t in _random_code_strings(seed=11) if t.isascii()]
+    texts += [t for t, _ in GOLDEN if t is not None and t.isascii()]
+    s = pd.Series(texts)
+    assert batch_is_ascii(s)
+    doc_idx, flat, counts = tokenize_flat_arrow_ascii(s)
+    want = list(tokenize_texts(s))
+    assert flat.to_pandas().tolist() == [t for xs in want for t in xs]
+    assert counts.tolist() == [len(xs) for xs in want]
+    # doc_idx maps each flat token to its row, in row order
+    assert (np.sort(doc_idx) == doc_idx).all()
+
+
+def test_batch_is_ascii_gate():
+    from org_rdkit_lucene_spark.functions.tokenizer import batch_is_ascii
+
+    assert batch_is_ascii(pd.Series(["abc", "", None]))
+    assert not batch_is_ascii(pd.Series(["abc", "Üben"]))
+
+
 def test_ngram_profile():
     p = TokenizerProfile(name="ngram2", ngram=2)
     assert tokenize_text("fooBar baz", p) == ["foo", "bar", "baz", "foo␟bar", "bar␟baz"]
