@@ -392,6 +392,97 @@ def _make_cold_encoder(cfg: IndexConfig, avgdl: float):
     return encode
 
 
+_POSTINGS_ARROW_TYPES = None
+
+
+def _postings_arrow_schema():
+    global _POSTINGS_ARROW_TYPES
+    if _POSTINGS_ARROW_TYPES is None:
+        import pyarrow as pa
+
+        _POSTINGS_ARROW_TYPES = pa.schema(
+            [
+                ("term", pa.string()),
+                ("block_id", pa.int32()),
+                ("first_doc", pa.int64()),
+                ("last_doc", pa.int64()),
+                ("n", pa.int32()),
+                ("doc_bytes", pa.binary()),
+                ("tf_bytes", pa.binary()),
+                ("dl_bytes", pa.binary()),
+                ("max_tf_norm", pa.float64()),
+                ("max_tf", pa.int32()),
+                ("min_dl", pa.int32()),
+            ]
+        )
+    return _POSTINGS_ARROW_TYPES
+
+
+def _make_cold_encoder_arrow(cfg: IndexConfig, avgdl: float):
+    """mapInArrow twin of :func:`_make_cold_encoder`: consumes the
+    term-partitioned, (term, doc_id)-sorted stream as raw Arrow batches
+    — the term column never becomes Python objects (term boundaries are
+    found on dictionary codes; one string materializes per term, not
+    per row). Carries the trailing term across batches exactly like the
+    pandas version. Output blocks are byte-identical (tested)."""
+    bs, k1, b = cfg.block_size, cfg.bm25.k1, cfg.bm25.b
+
+    def _rows_to_rb(rows: list[tuple]):
+        import pyarrow as pa
+
+        schema = _postings_arrow_schema()
+        cols = list(zip(*rows))
+        return pa.record_batch(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)], schema=schema
+        )
+
+    def encode(batches) -> Iterator:
+        import pyarrow.compute as pc
+
+        carry: tuple | None = None  # (term, docs, tfs, dls)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            gi = rb.schema.get_field_index
+            terms = rb.column(gi("term"))
+            denc = pc.dictionary_encode(terms)
+            idx = denc.indices.to_numpy()
+            dictv = denc.dictionary
+            docs = rb.column(gi("doc_id")).to_numpy()
+            tfs = rb.column(gi("tf")).to_numpy().astype(np.float64)
+            dls = rb.column(gi("dl")).to_numpy().astype(np.float64)
+            bounds = np.flatnonzero(idx[1:] != idx[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(idx)]))
+            out_rows: list[tuple] = []
+            for s, e in zip(starts, ends):
+                term = dictv[idx[s]].as_py()
+                d, t, l = docs[s:e], tfs[s:e], dls[s:e]
+                if carry is not None:
+                    if carry[0] == term:
+                        d = np.concatenate([carry[1], d])
+                        t = np.concatenate([carry[2], t])
+                        l = np.concatenate([carry[3], l])
+                    else:
+                        out_rows.extend(
+                            _encode_term_arrays(carry[0], carry[1], carry[2], carry[3],
+                                                bs, k1, b, avgdl)
+                        )
+                    carry = None
+                if e == len(idx):
+                    carry = (term, d, t, l)
+                else:
+                    out_rows.extend(_encode_term_arrays(term, d, t, l, bs, k1, b, avgdl))
+            if out_rows:
+                yield _rows_to_rb(out_rows)
+        if carry is not None:
+            yield _rows_to_rb(
+                _encode_term_arrays(carry[0], carry[1], carry[2], carry[3], bs, k1, b, avgdl)
+            )
+
+    return encode
+
+
 def _make_run_builder():
     """applyInPandas phase 1 for hot terms: one (term, salt) group →
     one compact raw run (sorted doc/tf/dl arrays as binary)."""
@@ -638,7 +729,7 @@ def build_index(
         cold_blocks = (
             cold.repartition(p, "term")
             .sortWithinPartitions("term", "doc_id")
-            .mapInPandas(_make_cold_encoder(cfg, avgdl), schema=POSTINGS_SCHEMA)
+            .mapInArrow(_make_cold_encoder_arrow(cfg, avgdl), schema=POSTINGS_SCHEMA)
         )
         if hot_terms:
             # salt = doc_id range bucket → per-salt runs concatenate in order
