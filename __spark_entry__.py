@@ -44,9 +44,11 @@ from org_rdkit_lucene_spark.operators.multimodal import (
 )
 from org_rdkit_lucene_spark.operators.query import (
     hit_counts,
+    max_scores,
     search,
     search_after,
     search_name_or_key,
+    search_syntax,
     search_two_phase,
 )
 from org_rdkit_lucene_spark.operators.wand import search_wand
@@ -190,6 +192,23 @@ def _q_wand_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NAME_QUERY = ("src3", 10)
+
+# Q1 query-syntax workload (+required, -excluded, "phrase", bare OR)
+SYNTAX_QUERIES = [
+    (41, '+merge join -batch', 10),
+    (42, 'hash "table scan" spark', 10),
+    (43, '+customer filter -zzzmissingterm', 5),
+    (44, '"batch batch" value', 5),
+]
+
+
+def _q_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return search_syntax(idx, _corpus_for(spark, sf_dir), SYNTAX_QUERIES)
+
+
+def _q_max_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return max_scores(_index_for(spark, sf_dir), DISJ_QUERIES).orderBy("query_id")
 
 
 def _q_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_frame_sample": _td_frame_sample,
         "ev_windowed_stream": _ev_windowed_stream,
         "ev_sessionize": _ev_sessionize,
+        "q1_query_syntax": _q_syntax,
+        "k6_max_scores": _q_max_scores,
     }
 
 
@@ -423,4 +444,6 @@ def oracle_sql() -> dict[str, str]:
         "td_frame_sample": sqlgen.frame_sample_sql(every_ms=50_000),
         "ev_windowed_stream": sqlgen.windowed_events_sql("1 hour"),
         "ev_sessionize": sqlgen.sessionize_sql(30),
+        "q1_query_syntax": sqlgen.query_syntax_sql(SYNTAX_QUERIES),
+        "k6_max_scores": sqlgen.max_scores_sql(DISJ_QUERIES),
     }

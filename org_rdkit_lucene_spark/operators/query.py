@@ -297,6 +297,188 @@ def search_two_phase(
     )
 
 
+def max_scores(
+    index: InvertedIndex, queries: list[tuple[int, str, int]], mode: str = "disjunctive"
+) -> DataFrame:
+    """K6 analog (maxScore for TopDocs,
+    ``SubstructureScoreDocCollector.java:316-338``): the best quantized
+    score per query — equals the rank-1 score of :func:`search`."""
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    if len(qterms) == 0:
+        return index.spark.createDataFrame([], "query_id int, max_score_q long")
+    scored = _bm25_scored(index, qterms)
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    dec = index.cfg.bm25.score_decimals
+    return (
+        scored.withColumn("score_q", _quantize(F.col("score_raw"), dec))
+        .groupBy("query_id")
+        .agg(F.max("score_q").alias("max_score_q"))
+        .select(F.col("query_id").cast("int").alias("query_id"), "max_score_q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1 query-syntax surface (MultiFieldQueryParser analog,
+# ChemicalIndex.java:482-485): +term = required (MUST), -term = excluded
+# (MUST_NOT), "a b" = phrase (verified against the stored body), bare
+# terms = optional (SHOULD). BM25 scores sum over the required+optional
+# terms; exclusion and phrase verification only filter.
+
+import re as _re
+
+_SYNTAX_RE = _re.compile(r'"([^"]*)"|(\+|-)?(\S+)')
+
+
+def parse_query(text: str) -> dict:
+    """Parse the minimal query syntax into
+    {required, optional, excluded, phrases} term/text lists."""
+    out = {"required": [], "optional": [], "excluded": [], "phrases": []}
+    for m in _SYNTAX_RE.finditer(text):
+        phrase, op, word = m.group(1), m.group(2), m.group(3)
+        if phrase is not None:
+            if phrase.strip():
+                out["phrases"].append(phrase.strip())
+        elif op == "+":
+            out["required"].append(word)
+        elif op == "-":
+            out["excluded"].append(word)
+        else:
+            out["optional"].append(word)
+    return out
+
+
+def search_syntax(
+    index: InvertedIndex,
+    corpus_with_ids: DataFrame | None,
+    queries: list[tuple[int, str, int]],
+) -> DataFrame:
+    """Q1 with query syntax. Scoring terms = required + optional + the
+    tokens of each phrase (phrases contribute to the score like the
+    two-phase prefilter, ChemicalIndex.java:697: verification only
+    filters). A doc must match every required term and every phrase
+    term, match no excluded term, and contain each phrase verbatim.
+    ``corpus_with_ids`` (doc_id, content) is only needed when phrases
+    are present."""
+    spark = index.spark
+    prof = index.cfg.tokenizer
+    parsed = {qid: parse_query(text) for qid, text, _ in queries}
+
+    scoring, must_counts, excluded_rows, phrase_rows = [], [], [], []
+    for qid, text, k in queries:
+        p = parsed[qid]
+        must_terms: set[str] = set()
+        for w in p["required"]:
+            must_terms.update(tokenize_text(w, prof))
+        for ph in p["phrases"]:
+            must_terms.update(tokenize_text(ph, prof))
+        opt_terms: list[str] = []
+        for w in p["optional"]:
+            opt_terms.extend(tokenize_text(w, prof))
+        counts: dict[str, int] = {}
+        for t in list(must_terms) + opt_terms:
+            counts[t] = counts.get(t, 0) + 1
+        # required terms appear once in scoring regardless of qtf policy
+        for t in sorted(must_terms):
+            counts[t] = 1
+        for term, qtf in counts.items():
+            scoring.append((qid, term, int(qtf), len(counts), k))
+        must_counts.append((qid, len(must_terms), k))
+        for w in p["excluded"]:
+            for t in tokenize_text(w, prof):
+                excluded_rows.append((qid, t))
+        for ph in p["phrases"]:
+            phrase_rows.append((qid, ph))
+
+    if not scoring:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qterms = pd.DataFrame(scoring, columns=["query_id", "term", "qtf", "n_terms", "k"])
+    scored = _bm25_scored(index, qterms)
+
+    # required-coverage: count matched MUST terms per doc
+    must_map = {qid: n for qid, n, _ in must_counts}
+    must_terms_rows = [
+        (qid, t)
+        for qid, text, _ in queries
+        for t in sorted(
+            set().union(
+                *[set(tokenize_text(w, prof)) for w in parsed[qid]["required"]] or [set()],
+                *[set(tokenize_text(ph, prof)) for ph in parsed[qid]["phrases"]] or [set()],
+            )
+        )
+    ]
+    if must_terms_rows:
+        mt = F.broadcast(
+            spark.createDataFrame(must_terms_rows, "query_id int, term string")
+        )
+        flat = decoded_postings(index, sorted({t for _, t in must_terms_rows}))
+        must_hit = (
+            flat.join(mt, "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.countDistinct("term").alias("n_must_matched"))
+        )
+        scored = scored.join(must_hit, ["query_id", "doc_id"], "left").withColumn(
+            "n_must_matched", F.coalesce(F.col("n_must_matched"), F.lit(0))
+        )
+    else:
+        scored = scored.withColumn("n_must_matched", F.lit(0))
+    need = F.broadcast(
+        spark.createDataFrame(must_counts, "query_id int, n_must int, k_final int")
+    )
+    scored = scored.join(need, "query_id").filter(
+        F.col("n_must_matched") == F.col("n_must")
+    )
+
+    # excluded terms: anti-join
+    if excluded_rows:
+        ex = F.broadcast(spark.createDataFrame(excluded_rows, "query_id int, term string"))
+        ex_docs = (
+            decoded_postings(index, sorted({t for _, t in excluded_rows}))
+            .join(ex, "term")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        scored = scored.join(ex_docs, ["query_id", "doc_id"], "left_anti")
+
+    # phrase verification against the stored body (keeps the pre-filter
+    # score; verification only filters). Phrase-less queries must pass
+    # through untouched: verify only the scored candidates of phrase
+    # queries, left-join the per-doc verified-phrase count back, and
+    # require it to equal the query's phrase count (0 for none).
+    if phrase_rows:
+        if corpus_with_ids is None:
+            raise ValueError("phrase queries require corpus_with_ids")
+        ph = F.broadcast(spark.createDataFrame(phrase_rows, "query_id int, phrase string"))
+        ok = (
+            scored.select("query_id", "doc_id")
+            .join(ph, "query_id")
+            .join(corpus_with_ids.select("doc_id", "content"), "doc_id")
+            .filter(F.contains(F.col("content"), F.col("phrase")))
+            .groupBy("query_id", "doc_id")
+            .agg(F.count("*").alias("n_ph_ok"))
+        )
+        phn = F.broadcast(
+            spark.createDataFrame(
+                [(qid, len(parsed[qid]["phrases"])) for qid, _, _ in queries],
+                "query_id int, n_ph int",
+            )
+        )
+        scored = (
+            scored.join(ok, ["query_id", "doc_id"], "left")
+            .join(phn, "query_id")
+            .filter(F.coalesce(F.col("n_ph_ok"), F.lit(0)) == F.col("n_ph"))
+        )
+
+    dec = index.cfg.bm25.score_decimals
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("score_q", _quantize(F.col("score_raw"), dec))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k_final"))
+        .select(_result_cols())
+    )
+
+
 def hit_counts(index: InvertedIndex, queries: list[tuple[int, str, int]], mode: str = "disjunctive") -> DataFrame:
     """A4 analog (collector.getTotalHits, ``ChemicalIndex.java:513``):
     total matching docs per query, uncapped."""

@@ -111,6 +111,18 @@ GROUP BY 1 ORDER BY 1"""
     )
 
 
+def max_scores_sql(queries: list[tuple[int, str, int]], mode: str = "disjunctive") -> str:
+    """Twin of query.max_scores (K6 maxScore analog)."""
+    flt = "WHERE n_matched = n_terms" if mode == "conjunctive" else ""
+    return (
+        _bm25_ctes(queries)
+        + f"""
+SELECT CAST(query_id AS INTEGER) AS query_id,
+       max(CAST(floor(score_raw * {_QUANT} + 0.5) AS BIGINT)) AS max_score_q
+FROM scored {flt} GROUP BY 1 ORDER BY 1"""
+    )
+
+
 def two_phase_sql(queries: list[tuple[int, str, int]]) -> str:
     """Q6 analog: conjunctive candidates capped at min(10k, 1e5), verify
     raw query text as substring of the stored body, keep phase-A score,
@@ -142,6 +154,119 @@ SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk2 AS INTEGER) AS rank,
 FROM verified WHERE rnk2 <= final_k
 ORDER BY query_id, rank"""
     )
+
+
+def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "documents") -> str:
+    """Twin of operators/query.search_syntax (Q1 MultiFieldQueryParser
+    analog): +term required, -term excluded, "a b" phrase (substring-
+    verified, score unchanged), bare terms optional."""
+    from org_rdkit_lucene_spark.operators.query import parse_query
+
+    q_rows, must_rows, mreq_rows, ex_rows, ph_rows, phn_rows = [], [], [], [], [], []
+    for qid, text, k in queries:
+        p = parse_query(text)
+        must_terms: set[str] = set()
+        for w in p["required"]:
+            must_terms.update(tokenize_text(w))
+        for ph in p["phrases"]:
+            must_terms.update(tokenize_text(ph))
+        opt: list[str] = []
+        for w in p["optional"]:
+            opt.extend(tokenize_text(w))
+        counts: dict[str, int] = {}
+        for t in list(must_terms) + opt:
+            counts[t] = counts.get(t, 0) + 1
+        for t in sorted(must_terms):
+            counts[t] = 1
+        for term, qtf in counts.items():
+            esc = term.replace("'", "''")
+            q_rows.append(f"({qid}, '{esc}', {qtf}, {len(counts)}, {k})")
+        mreq_rows.append(f"({qid}, {len(must_terms)})")
+        for t in sorted(must_terms):
+            must_rows.append(f"({qid}, '{t.replace(chr(39), chr(39)*2)}')")
+        for w in p["excluded"]:
+            for t in tokenize_text(w):
+                ex_rows.append(f"({qid}, '{t.replace(chr(39), chr(39)*2)}')")
+        for ph in p["phrases"]:
+            ph_rows.append(f"({qid}, '{ph.replace(chr(39), chr(39)*2)}')")
+        phn_rows.append(f"({qid}, {len(p['phrases'])})")
+
+    def vals(rows, arity):
+        return ",\n    ".join(rows) if rows else "(" + ", ".join(["NULL"] * arity) + ")"
+
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM {table}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+nstat AS (SELECT count(*)::DOUBLE AS n FROM {table}),
+dlstat AS (
+  SELECT sum(coalesce(dl.dl, 0)) / (SELECT n FROM nstat) AS avgdl
+  FROM {table} LEFT JOIN dl USING (doc_id)
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, qtf, n_terms, k) AS (VALUES
+    {vals(q_rows, 5)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1.0 + ((SELECT n FROM nstat) - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf * {P.k1 + 1.0}
+             / (tf.tf + {P.k1} * (1.0 - {P.b} + {P.b} * dl.dl / (SELECT avgdl FROM dlstat)))
+         ) AS score_raw,
+         max(q.k) AS k
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
+  WHERE q.query_id IS NOT NULL
+  GROUP BY 1, 2
+),
+must(query_id, term) AS (VALUES
+    {vals(must_rows, 2)}),
+mreq(query_id, n_must) AS (VALUES
+    {vals(mreq_rows, 2)}),
+mhit AS (
+  SELECT m.query_id, tf.doc_id, count(DISTINCT tf.term) AS c
+  FROM tf JOIN must m ON m.term = tf.term
+  WHERE m.query_id IS NOT NULL GROUP BY 1, 2
+),
+ex(query_id, term) AS (VALUES
+    {vals(ex_rows, 2)}),
+exdocs AS (
+  SELECT DISTINCT e.query_id, tf.doc_id
+  FROM tf JOIN ex e ON e.term = tf.term WHERE e.query_id IS NOT NULL
+),
+ph(query_id, phrase) AS (VALUES
+    {vals(ph_rows, 2)}),
+phn(query_id, n_ph) AS (VALUES
+    {vals(phn_rows, 2)}),
+phok AS (
+  SELECT p.query_id, d.doc_id, count(*) AS c
+  FROM ph p JOIN {table} d ON contains(d.text, p.phrase)
+  WHERE p.query_id IS NOT NULL GROUP BY 1, 2
+),
+filtered AS (
+  SELECT s.query_id, s.doc_id, s.score_raw, s.k
+  FROM scored s
+  JOIN mreq ON mreq.query_id = s.query_id
+  LEFT JOIN mhit ON mhit.query_id = s.query_id AND mhit.doc_id = s.doc_id
+  LEFT JOIN exdocs x ON x.query_id = s.query_id AND x.doc_id = s.doc_id
+  LEFT JOIN phn ON phn.query_id = s.query_id
+  LEFT JOIN phok ON phok.query_id = s.query_id AND phok.doc_id = s.doc_id
+  WHERE coalesce(mhit.c, 0) = mreq.n_must
+    AND x.doc_id IS NULL
+    AND coalesce(phok.c, 0) = coalesce(phn.n_ph, 0)
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score_raw * {_QUANT} + 0.5) AS BIGINT) AS score_q, k,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(floor(score_raw * {_QUANT} + 0.5) AS BIGINT) DESC, doc_id ASC
+         ) AS rnk
+  FROM filtered
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score_q
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank"""
 
 
 def lexicon_sql(limit: int = 30) -> str:

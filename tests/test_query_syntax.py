@@ -1,0 +1,94 @@
+"""Q1 query-syntax surface (MultiFieldQueryParser analog): +required,
+-excluded, "phrase", bare OR terms — parser unit tests + engine
+semantics against brute-force checks."""
+
+import pandas as pd
+import pytest
+
+from org_rdkit_lucene_spark.operators.query import (
+    max_scores,
+    parse_query,
+    search,
+    search_syntax,
+)
+
+
+def test_parse_query():
+    p = parse_query('+getIndex -deprecated "hash table" scan merge')
+    assert p == {
+        "required": ["getIndex"],
+        "optional": ["scan", "merge"],
+        "excluded": ["deprecated"],
+        "phrases": ["hash table"],
+    }
+    assert parse_query("") == {"required": [], "optional": [], "excluded": [], "phrases": []}
+    assert parse_query('""')["phrases"] == []
+
+
+@pytest.fixture(scope="module")
+def syn_corpus(small_index, small_corpus):
+    return small_corpus.join(small_index.docmap, ["repo", "path", "commit"])
+
+
+def test_bare_terms_equal_disjunctive(small_index, syn_corpus):
+    """Bare-term syntax == plain disjunctive search."""
+    q = [(1, "merg scorer token", 10)]
+    a = search_syntax(small_index, syn_corpus, q).toPandas().sort_values("rank").reset_index(drop=True)
+    b = search(small_index, q).toPandas().sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_required_filters_but_all_terms_score(small_index, syn_corpus, small_pdf):
+    """+term restricts hits to docs containing it; every returned doc
+    contains the required token."""
+    out = search_syntax(small_index, syn_corpus, [(1, "+merg scorer", 20)]).toPandas()
+    assert len(out) > 0
+    docmap = small_index.docmap.toPandas()
+    src = small_pdf.merge(docmap, on=["repo", "path", "commit"]).set_index("doc_id")
+    from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
+
+    for d in out["doc_id"]:
+        assert "merg" in tokenize_text(src.loc[int(d), "content"])
+
+
+def test_excluded_removes_docs(small_index, syn_corpus, small_pdf):
+    base = search_syntax(small_index, syn_corpus, [(1, "merg scorer", 50)]).toPandas()
+    excl = search_syntax(small_index, syn_corpus, [(1, "merg scorer -get", 50)]).toPandas()
+    docmap = small_index.docmap.toPandas()
+    src = small_pdf.merge(docmap, on=["repo", "path", "commit"]).set_index("doc_id")
+    from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
+
+    for d in excl["doc_id"]:
+        assert "get" not in tokenize_text(src.loc[int(d), "content"])
+    # some base hits did contain the excluded term, so the sets differ
+    dropped = set(base["doc_id"]) - set(excl["doc_id"])
+    assert dropped
+
+
+def test_phrase_verifies_substring(small_index, syn_corpus, small_pdf):
+    out = search_syntax(small_index, syn_corpus, [(1, '"merg" scorer', 20)]).toPandas()
+    docmap = small_index.docmap.toPandas()
+    src = small_pdf.merge(docmap, on=["repo", "path", "commit"]).set_index("doc_id")
+    assert len(out) > 0
+    for d in out["doc_id"]:
+        assert "merg" in src.loc[int(d), "content"]
+
+
+def test_mixed_batch_no_cross_query_interference(small_index, syn_corpus):
+    """Phrase-less and phrase queries in one batch must not affect each
+    other (regression: inner join on phrases dropped phrase-less ones)."""
+    qs = [(1, "+merg scorer -get", 10), (2, '"scor" token', 10), (3, "token", 5)]
+    batch = search_syntax(small_index, syn_corpus, qs).toPandas()
+    for qid, text, k in qs:
+        solo = search_syntax(small_index, syn_corpus, [(qid, text, k)]).toPandas()
+        got = batch[batch.query_id == qid].sort_values("rank").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, solo.sort_values("rank").reset_index(drop=True))
+
+
+def test_max_scores_equals_rank1(small_index):
+    qs = [(1, "merg scorer", 10), (2, "token", 5)]
+    top = search(small_index, qs).toPandas()
+    ms = max_scores(small_index, qs).toPandas().set_index("query_id")["max_score_q"]
+    for qid in (1, 2):
+        r1 = top[(top.query_id == qid) & (top["rank"] == 1)].iloc[0]
+        assert ms.loc[qid] == r1.score_q
