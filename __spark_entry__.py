@@ -39,6 +39,7 @@ from org_rdkit_lucene_spark.operators.dedup import (
 )
 from org_rdkit_lucene_spark.operators.multimodal import (
     attach_fake_media,
+    embed_media_stub,
     extract_media_features,
     frame_sample_plan,
 )
@@ -334,6 +335,21 @@ def _td_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=50_000).orderBy("doc_id", "frame_ts_ms")
 
 
+MEDIA_ANCHOR_IDS = [3, 17, 42]
+
+
+def _td_media_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline: opaque blobs -> deterministic embedding
+    kernel -> exact cosine top-k against anchor docs."""
+    media = attach_fake_media(_documents(spark, sf_dir), "doc_id", "text")
+    emb = embed_media_stub(media)
+    anchors = sorted(
+        (int(r["doc_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("doc_id").isin(MEDIA_ANCHOR_IDS)).collect()
+    )
+    return cosine_topk(emb, anchors, k=ANN_K, id_col="doc_id").orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # event-stream analytics (windowed agg runs as a REAL availableNow stream)
 
@@ -393,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": _ev_sessionize,
         "q1_query_syntax": _q_syntax,
         "k6_max_scores": _q_max_scores,
+        "td_media_embed_topk": _td_media_embed_topk,
     }
 
 
@@ -446,4 +463,5 @@ def oracle_sql() -> dict[str, str]:
         "ev_sessionize": sqlgen.sessionize_sql(30),
         "q1_query_syntax": sqlgen.query_syntax_sql(SYNTAX_QUERIES),
         "k6_max_scores": sqlgen.max_scores_sql(DISJ_QUERIES),
+        "td_media_embed_topk": sqlgen.media_embed_topk_sql(MEDIA_ANCHOR_IDS, ANN_K),
     }

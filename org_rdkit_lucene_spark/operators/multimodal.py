@@ -105,10 +105,16 @@ def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def embed_media_stub(media_df: DataFrame, dim: int = 16) -> DataFrame:
-    """Deterministic fake media embedding (md5-seeded) — the plumbing a
-    real encoder-model UDF would use: binary in, fixed-size float array
-    out, Arrow-batched, no per-row Python object churn beyond hashing."""
+def embed_media_stub(media_df: DataFrame) -> DataFrame:
+    """Deterministic stand-in media embedding — the plumbing a real
+    encoder-model UDF would use: binary in, fixed-size float array out,
+    Arrow-batched.
+
+    dim-16 vector: v_i = (md5(blob)[i] - 127.5) / 127.5 over the 16
+    digest bytes, emitted as float64 so the DuckDB oracle computes the
+    bit-identical values (a float32 round-trip would shift cosines near
+    quantization boundaries). A real encoder would replace this kernel
+    body; the schema/batching contract is the deliverable."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -116,13 +122,11 @@ def embed_media_stub(media_df: DataFrame, dim: int = 16) -> DataFrame:
                 continue
             ids, vecs = [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-                seed = int.from_bytes(hashlib.md5(bytes(blob)).digest()[:8], "big")
-                rng = np.random.default_rng(seed)
-                v = rng.standard_normal(dim)
-                vecs.append((v / np.linalg.norm(v)).astype(np.float32).tolist())
+                b = np.frombuffer(hashlib.md5(bytes(blob)).digest(), dtype=np.uint8)
+                vecs.append(((b.astype(np.float64) - 127.5) / 127.5).tolist())
                 ids.append(int(doc_id))
             yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
 
     return media_df.select("doc_id", "media").mapInPandas(
-        kernel, schema="doc_id long, embedding array<float>"
+        kernel, schema="doc_id long, embedding array<double>"
     )

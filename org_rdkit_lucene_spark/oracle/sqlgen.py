@@ -665,6 +665,39 @@ SELECT vec1::BIGINT AS vec1, vec2::BIGINT AS vec2, cos_q
 FROM scored WHERE cos_q >= {q} ORDER BY vec1, vec2"""
 
 
+def media_embed_topk_sql(anchor_doc_ids: list[int], k: int = 10) -> str:
+    """Twin of the multimodal pipeline attach_fake_media →
+    embed_media_stub → ann.cosine_topk: dim-16 embedding from the md5
+    digest bytes of the blob ((byte - 127.5)/127.5 in float64), exact
+    cosine top-k against the anchor docs' own embeddings."""
+    comps = ", ".join(
+        f"(('0x' || substr(md5(text), {2 * i + 1}, 2))::INT - 127.5) / 127.5"
+        for i in range(16)
+    )
+    ids = ", ".join(str(i) for i in anchor_doc_ids)
+    return f"""
+WITH e AS (
+  SELECT doc_id, [{comps}] AS ev FROM documents
+),
+q AS (SELECT doc_id AS query_id, ev AS qv FROM e WHERE doc_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.doc_id AS vec_id,
+         CAST(floor(
+           list_dot_product(list_transform(e.ev, x -> x / sqrt(list_dot_product(e.ev, e.ev))),
+                            list_transform(q.qv, x -> x / sqrt(list_dot_product(q.qv, q.qv))))
+           * 1000000 + 0.5) AS BIGINT) AS cos_q
+  FROM q CROSS JOIN e
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, CAST(rnk AS INTEGER) AS rank,
+       vec_id::BIGINT AS vec_id, cos_q
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, rank"""
+
+
 def frame_sample_sql(every_ms: int = 50_000) -> str:
     """Twin of operators/multimodal.frame_sample_plan over
     attach_fake_media: one row per sampled frame timestamp of each
