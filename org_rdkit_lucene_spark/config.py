@@ -75,6 +75,10 @@ class IndexConfig:
     """
 
     block_size: int = 128
+    # Posting-bytes codec: "varbyte" (variable width, skewed gaps) or
+    # "for" (Frame-of-Reference fixed bit-width, dense blocks). Recorded
+    # in stats.json so queries decode with the build-time codec.
+    codec: str = "varbyte"
     # Salted term-merge: hot terms (df >= hot_term_df) are built in
     # `n_salts` doc_id-range buckets, then concatenated (SURVEY §7.3).
     hot_term_df: int = 4096
@@ -89,6 +93,8 @@ class IndexConfig:
     def __post_init__(self) -> None:
         if self.block_size < 1:
             raise ValueError(f"block_size must be >= 1, got {self.block_size}")
+        if self.codec not in ("varbyte", "for"):
+            raise ValueError(f"codec must be 'varbyte' or 'for', got {self.codec!r}")
         if self.n_salts < 1:
             raise ValueError(f"n_salts must be >= 1, got {self.n_salts}")
         if self.hot_term_df < 1:

@@ -70,22 +70,45 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return out
 
 
-def delta_encode(sorted_ids: np.ndarray) -> tuple[int, bytes]:
-    """Sorted strictly-increasing ids -> (first_id, varbyte(gaps))."""
+CODECS = ("varbyte", "for")
+
+
+def encode_ints(values: np.ndarray, codec: str = "varbyte") -> bytes:
+    """Encode a non-negative int array with the selected codec
+    (IndexConfig.codec): VByte (variable per-value width, best for
+    skewed gaps) or Frame-of-Reference (fixed bit-width, best for
+    dense/uniform blocks)."""
+    if codec == "varbyte":
+        return varbyte_encode(values)
+    if codec == "for":
+        return for_encode(values)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def decode_ints(buf: bytes, codec: str = "varbyte") -> np.ndarray:
+    if codec == "varbyte":
+        return varbyte_decode(buf)
+    if codec == "for":
+        return for_decode(buf)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def delta_encode(sorted_ids: np.ndarray, codec: str = "varbyte") -> tuple[int, bytes]:
+    """Sorted strictly-increasing ids -> (first_id, codec(gaps))."""
     a = np.asarray(sorted_ids, dtype=np.int64)
     if a.size == 0:
         return 0, b""
     gaps = np.diff(a)
     if a.size > 1 and gaps.min() <= 0:
         raise ValueError("ids must be strictly increasing")
-    return int(a[0]), varbyte_encode(gaps.astype(np.uint64))
+    return int(a[0]), encode_ints(gaps.astype(np.uint64), codec)
 
 
-def delta_decode(first_id: int, gap_bytes: bytes, n: int) -> np.ndarray:
+def delta_decode(first_id: int, gap_bytes: bytes, n: int, codec: str = "varbyte") -> np.ndarray:
     """Inverse of delta_encode; n = number of ids in the block."""
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    gaps = varbyte_decode(gap_bytes).astype(np.int64)
+    gaps = decode_ints(gap_bytes, codec).astype(np.int64)
     if gaps.size != n - 1:
         raise ValueError(f"expected {n - 1} gaps, got {gaps.size}")
     out = np.empty(n, dtype=np.int64)

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from org_rdkit_lucene_spark.config import IndexConfig
-from org_rdkit_lucene_spark.functions.codecs import delta_encode, varbyte_encode
+from org_rdkit_lucene_spark.functions.codecs import delta_encode, encode_ints
 from org_rdkit_lucene_spark.functions.tokenizer import (
     batch_is_ascii,
     tokenize_flat_arrow_ascii,
@@ -317,6 +317,7 @@ def _encode_term_arrays(
     k1: float,
     b: float,
     avgdl: float,
+    codec: str = "varbyte",
 ) -> list[tuple]:
     """Chunk one term's full sorted postings into independently-decodable
     blocks. Block-max metadata (``max_tf_norm``) replaces Lucene skip
@@ -330,7 +331,7 @@ def _encode_term_arrays(
     tf_norm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
     for bi, start in enumerate(range(0, n, block_size)):
         d = docs[start : start + block_size]
-        first, gap_bytes = delta_encode(d)
+        first, gap_bytes = delta_encode(d, codec)
         sl = slice(start, start + block_size)
         rows.append(
             (
@@ -340,8 +341,8 @@ def _encode_term_arrays(
                 int(d[-1]),
                 len(d),
                 gap_bytes,
-                varbyte_encode(tfs[sl].astype(np.uint64)),
-                varbyte_encode(dls[sl].astype(np.uint64)),
+                encode_ints(tfs[sl].astype(np.uint64), codec),
+                encode_ints(dls[sl].astype(np.uint64), codec),
                 float(tf_norm[sl].max()),
                 int(tfs[sl].max()),
                 int(dls[sl].min()),
@@ -354,7 +355,7 @@ def _make_cold_encoder(cfg: IndexConfig, avgdl: float):
     """mapInPandas encoder over a term-partitioned, (term, doc_id)-sorted
     stream. Carries incomplete trailing terms across Arrow batches so a
     term spanning batches is encoded exactly once from its full list."""
-    bs, k1, b = cfg.block_size, cfg.bm25.k1, cfg.bm25.b
+    bs, k1, b, codec = cfg.block_size, cfg.bm25.k1, cfg.bm25.b, cfg.codec
     cols = ["term", "block_id", "first_doc", "last_doc", "n",
             "doc_bytes", "tf_bytes", "dl_bytes", "max_tf_norm", "max_tf", "min_dl"]
 
@@ -372,7 +373,7 @@ def _make_cold_encoder(cfg: IndexConfig, avgdl: float):
             ends = np.concatenate((boundaries, [len(terms)]))
             for s, e in zip(starts, ends):
                 out_rows.extend(
-                    _encode_term_arrays(terms[s], docs[s:e], tfs[s:e], dls[s:e], bs, k1, b, avgdl)
+                    _encode_term_arrays(terms[s], docs[s:e], tfs[s:e], dls[s:e], bs, k1, b, avgdl, codec)
                 )
             return pd.DataFrame(out_rows, columns=cols)
 
@@ -425,7 +426,7 @@ def _make_cold_encoder_arrow(cfg: IndexConfig, avgdl: float):
     found on dictionary codes; one string materializes per term, not
     per row). Carries the trailing term across batches exactly like the
     pandas version. Output blocks are byte-identical (tested)."""
-    bs, k1, b = cfg.block_size, cfg.bm25.k1, cfg.bm25.b
+    bs, k1, b, codec = cfg.block_size, cfg.bm25.k1, cfg.bm25.b, cfg.codec
 
     def _rows_to_rb(rows: list[tuple]):
         import pyarrow as pa
@@ -466,18 +467,18 @@ def _make_cold_encoder_arrow(cfg: IndexConfig, avgdl: float):
                     else:
                         out_rows.extend(
                             _encode_term_arrays(carry[0], carry[1], carry[2], carry[3],
-                                                bs, k1, b, avgdl)
+                                                bs, k1, b, avgdl, codec)
                         )
                     carry = None
                 if e == len(idx):
                     carry = (term, d, t, l)
                 else:
-                    out_rows.extend(_encode_term_arrays(term, d, t, l, bs, k1, b, avgdl))
+                    out_rows.extend(_encode_term_arrays(term, d, t, l, bs, k1, b, avgdl, codec))
             if out_rows:
                 yield _rows_to_rb(out_rows)
         if carry is not None:
             yield _rows_to_rb(
-                _encode_term_arrays(carry[0], carry[1], carry[2], carry[3], bs, k1, b, avgdl)
+                _encode_term_arrays(carry[0], carry[1], carry[2], carry[3], bs, k1, b, avgdl, codec)
             )
 
     return encode
@@ -507,7 +508,7 @@ def _make_hot_encoder(cfg: IndexConfig, avgdl: float):
     """applyInPandas phase 2 for hot terms: concatenate per-salt runs in
     salt order (salts are doc_id ranges ⇒ concatenation is globally
     sorted) and block-encode — byte-identical to an unsalted build."""
-    bs, k1, b = cfg.block_size, cfg.bm25.k1, cfg.bm25.b
+    bs, k1, b, codec = cfg.block_size, cfg.bm25.k1, cfg.bm25.b, cfg.codec
     cols = ["term", "block_id", "first_doc", "last_doc", "n",
             "doc_bytes", "tf_bytes", "dl_bytes", "max_tf_norm", "max_tf", "min_dl"]
 
@@ -516,7 +517,7 @@ def _make_hot_encoder(cfg: IndexConfig, avgdl: float):
         docs = np.concatenate([np.frombuffer(x, dtype=np.int64) for x in pdf["docs_raw"]])
         tfs = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in pdf["tfs_raw"]]).astype(np.float64)
         dls = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in pdf["dls_raw"]]).astype(np.float64)
-        rows = _encode_term_arrays(pdf["term"].iloc[0], docs, tfs, dls, bs, k1, b, avgdl)
+        rows = _encode_term_arrays(pdf["term"].iloc[0], docs, tfs, dls, bs, k1, b, avgdl, codec)
         return pd.DataFrame(rows, columns=cols)
 
     return merge_runs
@@ -535,6 +536,7 @@ class InvertedIndex:
     cfg: IndexConfig
     total_dl: int = 0
     max_doc_id: int = -1
+    codec: str = "varbyte"
 
     @property
     def docmap(self) -> DataFrame:
@@ -568,6 +570,7 @@ class InvertedIndex:
             cfg or IndexConfig(),
             total_dl=stats.get("total_dl", int(stats["avgdl"] * stats["n_docs"] + 0.5)),
             max_doc_id=stats.get("max_doc_id", stats["n_docs"] - 1),
+            codec=stats.get("codec", "varbyte"),
         )
 
 
@@ -682,6 +685,7 @@ def build_index(
                     "total_dl": total_dl,
                     "avgdl": (total_dl / n) if n else 0.0,
                     "max_doc_id": int(got["max_id"] if got["max_id"] is not None else -1),
+                    "codec": cfg.codec,
                 },
                 f,
             )
@@ -777,4 +781,5 @@ def build_index(
     return InvertedIndex(
         spark, index_dir, n_docs, avgdl, cfg,
         total_dl=stats.get("total_dl", 0), max_doc_id=max_doc_id,
+        codec=stats.get("codec", cfg.codec),
     )

@@ -32,34 +32,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from org_rdkit_lucene_spark.config import candidate_cap
-from org_rdkit_lucene_spark.functions.codecs import delta_decode, varbyte_decode
+from org_rdkit_lucene_spark.functions.codecs import decode_ints, delta_decode
 from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
 from org_rdkit_lucene_spark.operators.build import InvertedIndex
 
 RESULT_SCHEMA = "query_id int, rank int, doc_id long, score_q long"
 
 
-def _decode_blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _make_decode_blocks(codec: str = "varbyte"):
     """Arrow-batched block decode: postings blocks → (term, doc_id, tf, dl)."""
-    for pdf in it:
-        if len(pdf) == 0:
-            continue
-        docs_l, tfs_l, dls_l, terms_l = [], [], [], []
-        for term, first, n, db, tb, lb in zip(
-            pdf["term"], pdf["first_doc"], pdf["n"], pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]
-        ):
-            docs_l.append(delta_decode(int(first), bytes(db), int(n)))
-            tfs_l.append(varbyte_decode(bytes(tb)).astype(np.int32))
-            dls_l.append(varbyte_decode(bytes(lb)).astype(np.int32))
-            terms_l.append(np.repeat(np.asarray([term], dtype=object), int(n)))
-        yield pd.DataFrame(
-            {
-                "term": np.concatenate(terms_l),
-                "doc_id": np.concatenate(docs_l),
-                "tf": np.concatenate(tfs_l),
-                "dl": np.concatenate(dls_l),
-            }
-        )
+
+    def _decode_blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            docs_l, tfs_l, dls_l, terms_l = [], [], [], []
+            for term, first, n, db, tb, lb in zip(
+                pdf["term"], pdf["first_doc"], pdf["n"], pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]
+            ):
+                docs_l.append(delta_decode(int(first), bytes(db), int(n), codec))
+                tfs_l.append(decode_ints(bytes(tb), codec).astype(np.int32))
+                dls_l.append(decode_ints(bytes(lb), codec).astype(np.int32))
+                terms_l.append(np.repeat(np.asarray([term], dtype=object), int(n)))
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms_l),
+                    "doc_id": np.concatenate(docs_l),
+                    "tf": np.concatenate(tfs_l),
+                    "dl": np.concatenate(dls_l),
+                }
+            )
+
+    return _decode_blocks
 
 
 def decoded_postings(index: InvertedIndex, terms: list[str]) -> DataFrame:
@@ -70,7 +74,10 @@ def decoded_postings(index: InvertedIndex, terms: list[str]) -> DataFrame:
     Lucene seeking the term dictionary instead of scanning segments.
     """
     blocks = index.postings.filter(F.col("term").isin(list(set(terms))))
-    return blocks.mapInPandas(_decode_blocks, schema="term string, doc_id long, tf int, dl int")
+    codec = getattr(index, "codec", "varbyte")
+    return blocks.mapInPandas(
+        _make_decode_blocks(codec), schema="term string, doc_id long, tf int, dl int"
+    )
 
 
 def tokenize_queries(queries: list[tuple[int, str, int]], profile) -> pd.DataFrame:

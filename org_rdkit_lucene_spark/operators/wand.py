@@ -42,12 +42,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from org_rdkit_lucene_spark.functions.codecs import delta_decode, varbyte_decode
+from org_rdkit_lucene_spark.functions.codecs import decode_ints, delta_decode
 from org_rdkit_lucene_spark.operators.build import InvertedIndex
 from org_rdkit_lucene_spark.operators.query import RESULT_SCHEMA, tokenize_queries
 
 
-def _make_kernel(k1: float, b: float, avgdl: float, quant: int, conjunctive: bool):
+def _make_kernel(k1: float, b: float, avgdl: float, quant: int, conjunctive: bool, codec: str = "varbyte"):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         k = int(pdf["k"].iloc[0])
@@ -101,9 +101,9 @@ def _make_kernel(k1: float, b: float, avgdl: float, quant: int, conjunctive: boo
         def decode(bi: int):
             if bi not in decoded:
                 row = pdf.iloc[bi]
-                docs = delta_decode(int(row["first_doc"]), bytes(row["doc_bytes"]), int(row["n"]))
-                tfs = varbyte_decode(bytes(row["tf_bytes"])).astype(np.float64)
-                dls = varbyte_decode(bytes(row["dl_bytes"])).astype(np.float64)
+                docs = delta_decode(int(row["first_doc"]), bytes(row["doc_bytes"]), int(row["n"]), codec)
+                tfs = decode_ints(bytes(row["tf_bytes"]), codec).astype(np.float64)
+                dls = decode_ints(bytes(row["dl_bytes"]), codec).astype(np.float64)
                 contrib = qtfs[bi] * idfs[bi] * tfs * (k1 + 1.0) / (
                     tfs + k1 * (1.0 - b + b * dls / avgdl)
                 )
@@ -214,7 +214,8 @@ def search_wand(
 
     p = index.cfg.bm25
     kernel = _make_kernel(
-        p.k1, p.b, index.avgdl, 10**p.score_decimals, mode == "conjunctive"
+        p.k1, p.b, index.avgdl, 10**p.score_decimals, mode == "conjunctive",
+        codec=getattr(index, "codec", "varbyte"),
     )
     local = blocks.groupBy("query_id", "shard").applyInPandas(
         kernel, schema="query_id int, doc_id long, score_q long"

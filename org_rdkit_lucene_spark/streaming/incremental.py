@@ -205,6 +205,10 @@ class SegmentedIndex:
         return self.base.cfg
 
     @property
+    def codec(self) -> str:
+        return getattr(self.base, "codec", "varbyte")
+
+    @property
     def index_dir(self) -> str:
         return self.base.index_dir
 

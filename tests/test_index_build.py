@@ -107,6 +107,45 @@ def test_config_validation():
         candidate_cap(0)
 
 
+def test_for_codec_rank_identical(spark, tiny_corpus, tmp_path):
+    """codec='for' (Frame-of-Reference) must produce identical query
+    results to the default varbyte layout on both query paths, from
+    different posting bytes."""
+    from org_rdkit_lucene_spark.operators.build import build_index
+    from org_rdkit_lucene_spark.operators.query import search
+    from org_rdkit_lucene_spark.operators.wand import search_wand
+
+    cfg_v = IndexConfig(build_partitions=4, hot_term_df=40, n_salts=4, codec="varbyte")
+    cfg_f = IndexConfig(build_partitions=4, hot_term_df=40, n_salts=4, codec="for")
+    iv = build_index(spark, tiny_corpus, cfg_v, str(tmp_path / "v"))
+    iff = build_index(spark, tiny_corpus, cfg_f, str(tmp_path / "f"))
+    assert iff.codec == "for" and iv.codec == "varbyte"
+    qs = [(1, "getIndexValue merg scorer", 10), (2, "token hash", 5)]
+    a = search(iv, qs).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = search(iff, qs).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    import pandas as pdt
+
+    pdt.testing.assert_frame_equal(a, b)
+    c = search_wand(iff, qs).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pdt.testing.assert_frame_equal(a, c)
+    # layouts genuinely differ on disk
+    bv = iv.postings.select("tf_bytes").limit(5).toPandas()["tf_bytes"].map(bytes).tolist()
+    bf = iff.postings.select("tf_bytes").limit(5).toPandas()["tf_bytes"].map(bytes).tolist()
+    assert bv != bf
+    # reload picks the codec up from stats.json without a cfg
+    from org_rdkit_lucene_spark.operators.build import InvertedIndex
+
+    reloaded = InvertedIndex.load(spark, str(tmp_path / "f"))
+    assert reloaded.codec == "for"
+    d = search(reloaded, qs).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pdt.testing.assert_frame_equal(a, d)
+
+
+def test_codec_validation():
+    with pytest.raises(ValueError):
+        IndexConfig(codec="zstd")
+
+
 def test_duplicate_pk_rejected(spark, tmp_path):
     pdf = pd.DataFrame(
         [("r", "p", "c", "py", "x"), ("r", "p", "c", "py", "y")],
