@@ -295,10 +295,25 @@ def build_flat_runs(
     flat = src.mapInPandas(_make_spimi_fn(cfg), schema=FLAT_SCHEMA + ", build_part int")
     flat.write.mode("overwrite").parquet(run_dir)
     elapsed = time.time() - t0
+    # per-partition lineage (north_star): rows + distinct docs per
+    # build_part from the just-written run — a metadata-scale agg
+    part_rows = {
+        int(r["build_part"]): (int(r["rows"]), int(r["docs"]))
+        for r in corpus_ids.sparkSession.read.parquet(run_dir)
+        .groupBy("build_part")
+        .agg(F.count("*").alias("rows"), F.countDistinct("doc_id").alias("docs"))
+        .collect()
+    }
     manifest = _read_manifest(index_dir)
     manifest["completed_parts"] = sorted(set(manifest["completed_parts"]) | set(todo))
     for part in todo:
-        manifest["part_lineage"][str(part)] = {"seconds": round(elapsed / len(todo), 3)}
+        rows, docs = part_rows.get(int(part), (0, 0))
+        manifest["part_lineage"][str(part)] = {
+            "seconds": round(elapsed / len(todo), 3),
+            "flat_rows": rows,
+            "docs": docs,
+            "run_dir": os.path.basename(run_dir),
+        }
     manifest["n_parts"] = p
     _write_manifest(index_dir, manifest)
     return manifest
