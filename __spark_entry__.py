@@ -217,6 +217,62 @@ def _q_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B1 upsert parity (delete-then-add, ChemicalIndex.java:801): build the
+# base index, stream a segment that UPDATES every doc_id % UPSERT_MOD == 0
+# (same id, new content) plus a pure-delete tombstone, then requery the
+# segmented view. The oracle runs the same BM25 SQL over the UPDATED
+# corpus — a hash match proves the engine's tombstone stat corrections
+# (N/avgdl/df/cf) are exact, not Lucene-style stale-until-merge.
+
+UPSERT_MOD = 25
+UPSERT_MARKER = " upsert probe marker"
+UPSERT_DELETED = [13, 77]
+UPSERT_QUERIES = [
+    (61, "upsert probe marker", 10),
+    (62, "merge join spark", 10),
+]
+
+_UPSERT_CACHE: dict[str, object] = {}
+
+
+def _upsert_index(spark: SparkSession, sf_dir: str):
+    from org_rdkit_lucene_spark.streaming.incremental import (
+        SegmentedIndex,
+        build_segment,
+        delete_docs,
+        segments_root,
+    )
+
+    key = os.path.abspath(sf_dir)
+    if key not in _UPSERT_CACHE:
+        corpus = documents_as_corpus(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="orls_upsert_")
+        cfg = IndexConfig(build_partitions=8, hot_term_df=1024, n_salts=4)
+        idx = build_index(spark, corpus, cfg, d, id_col="ext_id")
+        assert idx is not None
+        batch = corpus.filter((F.col("ext_id") % UPSERT_MOD) == 0).withColumn(
+            "content", F.concat(F.col("content"), F.lit(UPSERT_MARKER))
+        )
+        build_segment(
+            spark, batch, os.path.join(segments_root(d), "seg-00000000"),
+            cfg, id_col="ext_id",
+        )
+        delete_docs(spark, d, UPSERT_DELETED, cfg)
+        _UPSERT_CACHE[key] = SegmentedIndex.load(spark, d, cfg)
+    return _UPSERT_CACHE[key]
+
+
+def _q_upsert_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search(_upsert_index(spark, sf_dir), UPSERT_QUERIES, mode="disjunctive")
+
+
+def _q_upsert_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAND kernel over the same tombstoned view — kill-filtering
+    happens inside the kernel; shares the upsert oracle SQL."""
+    return search_wand(_upsert_index(spark, sf_dir), UPSERT_QUERIES, mode="disjunctive")
+
+
+# ---------------------------------------------------------------------------
 # training-data ops over the documents / embeddings tables
 
 
@@ -410,6 +466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_query_syntax": _q_syntax,
         "k6_max_scores": _q_max_scores,
         "td_media_embed_topk": _td_media_embed_topk,
+        "b1_upsert_requery": _q_upsert_requery,
+        "b1_upsert_wand": _q_upsert_wand,
     }
 
 
@@ -464,4 +522,16 @@ def oracle_sql() -> dict[str, str]:
         "q1_query_syntax": sqlgen.query_syntax_sql(SYNTAX_QUERIES),
         "k6_max_scores": sqlgen.max_scores_sql(DISJ_QUERIES),
         "td_media_embed_topk": sqlgen.media_embed_topk_sql(MEDIA_ANCHOR_IDS, ANN_K),
+        "b1_upsert_requery": sqlgen.bm25_topk_sql(
+            UPSERT_QUERIES,
+            "disjunctive",
+            table="upsert_documents",
+            extra_cte=sqlgen.upsert_docs_cte(UPSERT_MOD, UPSERT_MARKER, UPSERT_DELETED),
+        ),
+        "b1_upsert_wand": sqlgen.bm25_topk_sql(
+            UPSERT_QUERIES,
+            "disjunctive",
+            table="upsert_documents",
+            extra_cte=sqlgen.upsert_docs_cte(UPSERT_MOD, UPSERT_MARKER, UPSERT_DELETED),
+        ),
     }

@@ -83,6 +83,11 @@ class IndexConfig:
     # `n_salts` doc_id-range buckets, then concatenated (SURVEY §7.3).
     hot_term_df: int = 4096
     n_salts: int = 8
+    # Above this many hot terms, the hot/cold split uses a broadcast
+    # join instead of inlining an `isin` literal list into the plan
+    # (a multi-thousand-literal In bloats analysis/codegen at 100x
+    # corpus scale; the broadcast join is plan-size O(1)).
+    hot_broadcast_threshold: int = 10_000
     build_partitions: int = 32
     # Error budget: abort ingest if this many consecutive rows fail to
     # tokenize (analog of ChemicalIndex.java:285-287's 100-failure abort).
@@ -99,6 +104,10 @@ class IndexConfig:
             raise ValueError(f"n_salts must be >= 1, got {self.n_salts}")
         if self.hot_term_df < 1:
             raise ValueError(f"hot_term_df must be >= 1, got {self.hot_term_df}")
+        if self.hot_broadcast_threshold < 0:
+            raise ValueError(
+                f"hot_broadcast_threshold must be >= 0, got {self.hot_broadcast_threshold}"
+            )
         if self.build_partitions < 1:
             raise ValueError(f"build_partitions must be >= 1, got {self.build_partitions}")
         if self.max_consecutive_errors < 1:

@@ -229,6 +229,33 @@ def _write_manifest(index_dir: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(index_dir))
 
 
+def flat_run_dirs(index_dir: str, manifest: dict | None = None) -> list[str]:
+    """Flat run directories REFERENCED BY THE MANIFEST — the only runs
+    that may be read. A run dir on disk but absent from the manifest's
+    ``part_lineage`` (e.g. a write that committed ``_SUCCESS`` right
+    before a crash that lost the manifest update) is an orphan: reading
+    it would double-count its parts after a resume rebuilds them into a
+    new run. Orphans are deleted by :func:`build_flat_runs` cleanup."""
+    manifest = manifest if manifest is not None else _read_manifest(index_dir)
+    runs = sorted(
+        {v["run_dir"] for v in manifest["part_lineage"].values() if v.get("run_dir")}
+    )
+    return [os.path.join(index_dir, "flat", r) for r in runs]
+
+
+def read_flat(spark: SparkSession, index_dir: str, manifest: dict | None = None) -> DataFrame:
+    """Read the flat (doc_id, term, tf, dl) table from exactly the
+    manifest-recorded run dirs (see :func:`flat_run_dirs`)."""
+    dirs = flat_run_dirs(index_dir, manifest)
+    if not dirs:  # legacy manifest without run_dir lineage
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(index_dir, "flat"))
+            .select("doc_id", "term", "tf", "dl")
+        )
+    return spark.read.parquet(*dirs).select("doc_id", "term", "tf", "dl")
+
+
 def build_flat_runs(
     corpus_ids: DataFrame,
     cfg: IndexConfig,
@@ -254,13 +281,23 @@ def build_flat_runs(
     # one plain parquet RUN directory per invocation (build_part stays a
     # data column): a dynamic `partitionBy` write would force a per-task
     # sort + up-to-P concurrent writers per task, which dominated build
-    # time at high parallelism. Crash cleanup = drop run dirs that never
-    # committed (_SUCCESS missing); completed parts live only in
-    # committed runs, so resume stays byte-exact.
+    # time at high parallelism. Commit model: parquet run write first,
+    # manifest update (completed_parts + per-part run_dir lineage) last.
+    # Crash cleanup therefore removes every run dir the manifest does
+    # NOT reference — that covers both uncommitted writes (_SUCCESS
+    # missing) and the nastier window where _SUCCESS landed but the
+    # crash lost the manifest update: such a run's parts are still
+    # "todo", a resume rebuilds them into a new run, and keeping the
+    # orphan would double-count its postings. Downstream stages read
+    # only manifest-referenced runs (read_flat), so resume stays
+    # byte-exact at any only_parts grouping.
+    recorded = {
+        v.get("run_dir") for v in manifest["part_lineage"].values() if v.get("run_dir")
+    }
     if os.path.isdir(flat_dir):
         for d in os.listdir(flat_dir):
             full = os.path.join(flat_dir, d)
-            if d.startswith("run-") and not os.path.exists(os.path.join(full, "_SUCCESS")):
+            if d.startswith("run-") and d not in recorded:
                 shutil.rmtree(full)
     import hashlib
 
@@ -279,9 +316,10 @@ def build_flat_runs(
     # equal row count — hash-partitioning on the small-integer
     # build_part key would collide (balls-in-bins: ~1/e of tasks empty,
     # others doubled) and create stragglers. Mixing parts within a task
-    # is safe: the partitionBy write splits by value, and resume
-    # granularity is per-build_part DIRECTORY (all todo dirs are
-    # deleted on retry until the whole write commits).
+    # is safe: all todo parts land in ONE run dir whose visibility is
+    # governed by the manifest update after the write — a retry deletes
+    # any unreferenced run wholesale and rebuilds every todo part, so
+    # per-task part mixing never splits resume granularity.
     n_tasks = max(len(todo), spark_parallelism(df))
     src = df.select("doc_id", "content", "build_part")
     # repartition ONLY when the scan doesn't already provide enough
@@ -538,6 +576,60 @@ def _make_hot_encoder(cfg: IndexConfig, avgdl: float):
     return merge_runs
 
 
+def encode_postings(
+    flat: DataFrame,
+    cfg: IndexConfig,
+    avgdl: float,
+    max_doc_id: int,
+    hot_terms: list[str],
+) -> DataFrame:
+    """Stage-4 block encoding as a reusable plan: cold terms via one
+    term-shuffle + mapInArrow encode; hot terms via the salted two-pass
+    (doc_id-range salts concatenate in order ⇒ byte-identical to an
+    unsalted build). Used by the batch build and by compaction."""
+    spark = flat.sparkSession
+    p = cfg.build_partitions
+    if hot_terms and len(hot_terms) > cfg.hot_broadcast_threshold:
+        # past the literal-list threshold an `isin` would inline
+        # thousands of literals into the plan (bloating analysis and
+        # losing nothing by switching): broadcast-join the hot-term set
+        # instead — same rows, plan stays O(1) in hot-set size.
+        hot_df = F.broadcast(
+            spark.createDataFrame([(t,) for t in hot_terms], "term string")
+        )
+        cold = flat.join(hot_df, "term", "left_anti")
+    elif hot_terms:
+        cold = flat.filter(~F.col("term").isin(hot_terms))
+    else:
+        cold = flat
+    cold_blocks = (
+        cold.repartition(p, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .mapInArrow(_make_cold_encoder_arrow(cfg, avgdl), schema=POSTINGS_SCHEMA)
+    )
+    if not hot_terms:
+        return cold_blocks
+    # salt = doc_id range bucket → per-salt runs concatenate in order
+    bucket = max(1, math.ceil((max_doc_id + 1) / cfg.n_salts))
+    if len(hot_terms) > cfg.hot_broadcast_threshold:
+        hot_src = flat.join(
+            F.broadcast(spark.createDataFrame([(t,) for t in hot_terms], "term string")),
+            "term",
+            "left_semi",
+        )
+    else:
+        hot_src = flat.filter(F.col("term").isin(hot_terms))
+    hot = hot_src.withColumn("salt", (F.col("doc_id") / F.lit(bucket)).cast("int"))
+    runs = hot.groupBy("term", "salt").applyInPandas(
+        _make_run_builder(),
+        schema="term string, salt int, n long, docs_raw binary, tfs_raw binary, dls_raw binary",
+    )
+    hot_blocks = runs.groupBy("term").applyInPandas(
+        _make_hot_encoder(cfg, avgdl), schema=POSTINGS_SCHEMA
+    )
+    return cold_blocks.unionByName(hot_blocks)
+
+
 # ---------------------------------------------------------------------------
 # the index handle
 
@@ -572,6 +664,14 @@ class InvertedIndex:
     @property
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "metrics.parquet"))
+
+    @property
+    def flat(self) -> DataFrame:
+        """The flat (doc_id, term, tf, dl) table this index was encoded
+        from — manifest-referenced run dirs only. Kept after the build;
+        consumed by the segmented view's exact df/cf correction for
+        tombstoned docs and by compaction."""
+        return read_flat(self.spark, self.index_dir)
 
     @classmethod
     def load(cls, spark: SparkSession, index_dir: str, cfg: IndexConfig | None = None) -> "InvertedIndex":
@@ -636,7 +736,10 @@ def build_index(
     # on the natural key was pure overhead); only assigned-rank ids
     # require the corpus⨝docmap shuffle.
     if id_col:
-        corpus_ids = corpus.withColumn("doc_id", F.col(id_col).cast("long")).drop(id_col).persist()
+        corpus_ids = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
+        if id_col != "doc_id":  # don't drop the column we just created
+            corpus_ids = corpus_ids.drop(id_col)
+        corpus_ids = corpus_ids.persist()
     else:
         corpus_ids = corpus.join(docmap, ["repo", "path", "commit"]).persist()
 
@@ -649,13 +752,9 @@ def build_index(
         return None  # partial build; resume later
 
     # flat feeds three downstream stages (docmeta dl, lexicon, postings):
-    # persist to avoid three parquet re-reads of the widest table
-    flat = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(os.path.join(index_dir, "flat"))
-        .select("doc_id", "term", "tf", "dl")
-        .persist()
-    )
+    # persist to avoid three parquet re-reads of the widest table.
+    # Read ONLY manifest-referenced run dirs — never orphans (read_flat).
+    flat = read_flat(spark, index_dir, manifest).persist()
 
     # -- stage 2: docmeta + stats (sha256 invariant via JVM-side sha2).
     # Corpus stats ride the SAME job via df.observe() — no separate
@@ -741,33 +840,9 @@ def build_index(
             lexicon_path, columns=["term"], filters=[("df", ">=", cfg.hot_term_df)]
         )
         hot_terms = hot_tbl.column("term").to_pylist()
-        hot_set = set(hot_terms)
-        p = cfg.build_partitions
-
-        cold = flat.filter(~F.col("term").isin(hot_terms)) if hot_terms else flat
-        cold_blocks = (
-            cold.repartition(p, "term")
-            .sortWithinPartitions("term", "doc_id")
-            .mapInArrow(_make_cold_encoder_arrow(cfg, avgdl), schema=POSTINGS_SCHEMA)
-        )
-        if hot_terms:
-            # salt = doc_id range bucket → per-salt runs concatenate in order
-            bucket = max(1, math.ceil((max_doc_id + 1) / cfg.n_salts))
-            hot = flat.filter(F.col("term").isin(hot_terms)).withColumn(
-                "salt", (F.col("doc_id") / F.lit(bucket)).cast("int")
-            )
-            runs = hot.groupBy("term", "salt").applyInPandas(
-                _make_run_builder(),
-                schema="term string, salt int, n long, docs_raw binary, tfs_raw binary, dls_raw binary",
-            )
-            hot_blocks = runs.groupBy("term").applyInPandas(
-                _make_hot_encoder(cfg, avgdl), schema=POSTINGS_SCHEMA
-            )
-            blocks = cold_blocks.unionByName(hot_blocks)
-        else:
-            blocks = cold_blocks
+        blocks = encode_postings(flat, cfg, avgdl, max_doc_id, hot_terms)
         blocks.write.mode("overwrite").parquet(postings_path)
-        metrics_rows.append(("postings", len(hot_set), time.time() - t0))
+        metrics_rows.append(("postings", len(hot_terms), time.time() - t0))
 
     # -- metrics table (B6 analog: per-stage progress/lineage). Always
     # driver-sized (one row per stage) → written directly with pyarrow

@@ -39,44 +39,65 @@ from org_rdkit_lucene_spark.operators.build import InvertedIndex
 RESULT_SCHEMA = "query_id int, rank int, doc_id long, score_q long"
 
 
-def _make_decode_blocks(codec: str = "varbyte"):
-    """Arrow-batched block decode: postings blocks → (term, doc_id, tf, dl)."""
+def _make_decode_blocks(codec: str = "varbyte", with_ord: bool = False):
+    """Arrow-batched block decode: postings blocks → (term, doc_id, tf,
+    dl[, seg_ord]) — seg_ord carried through when decoding a segmented
+    view so tombstoned versions can be dropped downstream."""
 
     def _decode_blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            docs_l, tfs_l, dls_l, terms_l = [], [], [], []
-            for term, first, n, db, tb, lb in zip(
-                pdf["term"], pdf["first_doc"], pdf["n"], pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]
+            docs_l, tfs_l, dls_l, terms_l, ords_l = [], [], [], [], []
+            ords = pdf["seg_ord"] if with_ord else np.zeros(len(pdf), dtype=np.int32)
+            for term, first, n, db, tb, lb, so in zip(
+                pdf["term"], pdf["first_doc"], pdf["n"], pdf["doc_bytes"],
+                pdf["tf_bytes"], pdf["dl_bytes"], ords,
             ):
                 docs_l.append(delta_decode(int(first), bytes(db), int(n), codec))
                 tfs_l.append(decode_ints(bytes(tb), codec).astype(np.int32))
                 dls_l.append(decode_ints(bytes(lb), codec).astype(np.int32))
                 terms_l.append(np.repeat(np.asarray([term], dtype=object), int(n)))
-            yield pd.DataFrame(
-                {
-                    "term": np.concatenate(terms_l),
-                    "doc_id": np.concatenate(docs_l),
-                    "tf": np.concatenate(tfs_l),
-                    "dl": np.concatenate(dls_l),
-                }
-            )
+                if with_ord:
+                    ords_l.append(np.full(int(n), int(so), dtype=np.int32))
+            out = {
+                "term": np.concatenate(terms_l),
+                "doc_id": np.concatenate(docs_l),
+                "tf": np.concatenate(tfs_l),
+                "dl": np.concatenate(dls_l),
+            }
+            if with_ord:
+                out["seg_ord"] = np.concatenate(ords_l)
+            yield pd.DataFrame(out)
 
     return _decode_blocks
 
 
 def decoded_postings(index: InvertedIndex, terms: list[str]) -> DataFrame:
-    """Decode postings for the given terms only.
+    """Decode postings for the given terms only — LIVE versions only.
 
     The ``isin`` filter is pushed into the parquet scan (PushedFilters),
     so only the query terms' blocks are read — the Spark analog of
     Lucene seeking the term dictionary instead of scanning segments.
+    On a segmented view with tombstones, decoded rows keep their
+    segment ordinal and dead versions (ordinal < the tombstone's) are
+    dropped with a broadcast join against the delta-scale kill map.
     """
     blocks = index.postings.filter(F.col("term").isin(list(set(terms))))
     codec = getattr(index, "codec", "varbyte")
-    return blocks.mapInPandas(
-        _make_decode_blocks(codec), schema="term string, doc_id long, tf int, dl int"
+    kill = getattr(index, "kill_map", None)
+    if kill is None:
+        return blocks.mapInPandas(
+            _make_decode_blocks(codec), schema="term string, doc_id long, tf int, dl int"
+        )
+    flat = blocks.mapInPandas(
+        _make_decode_blocks(codec, with_ord=True),
+        schema="term string, doc_id long, tf int, dl int, seg_ord int",
+    )
+    return (
+        flat.join(F.broadcast(kill), "doc_id", "left")
+        .filter(F.col("kill_ord").isNull() | (F.col("seg_ord") >= F.col("kill_ord")))
+        .select("term", "doc_id", "tf", "dl")
     )
 
 

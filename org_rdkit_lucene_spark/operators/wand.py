@@ -47,13 +47,28 @@ from org_rdkit_lucene_spark.operators.build import InvertedIndex
 from org_rdkit_lucene_spark.operators.query import RESULT_SCHEMA, tokenize_queries
 
 
-def _make_kernel(k1: float, b: float, avgdl: float, quant: int, conjunctive: bool, codec: str = "varbyte"):
+def _make_kernel(
+    k1: float,
+    b: float,
+    avgdl: float,
+    quant: int,
+    conjunctive: bool,
+    codec: str = "varbyte",
+    kill: tuple[np.ndarray, np.ndarray] | None = None,
+):
+    kill_ids, kill_ords = kill if kill is not None else (None, None)
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         k = int(pdf["k"].iloc[0])
         n_terms = int(pdf["n_terms"].iloc[0])
         shard_lo = int(pdf["shard_lo"].iloc[0])
         shard_hi = int(pdf["shard_hi"].iloc[0])  # exclusive
+        seg_ords = (
+            pdf["seg_ord"].to_numpy(np.int64)
+            if "seg_ord" in pdf.columns
+            else np.zeros(len(pdf), dtype=np.int64)
+        )
 
         # block table (clip ranges to shard)
         firsts = pdf["first_doc"].to_numpy(np.int64)
@@ -104,6 +119,15 @@ def _make_kernel(k1: float, b: float, avgdl: float, quant: int, conjunctive: boo
                 docs = delta_decode(int(row["first_doc"]), bytes(row["doc_bytes"]), int(row["n"]), codec)
                 tfs = decode_ints(bytes(row["tf_bytes"]), codec).astype(np.float64)
                 dls = decode_ints(bytes(row["dl_bytes"]), codec).astype(np.float64)
+                if kill_ids is not None and len(kill_ids):
+                    # drop tombstoned versions: a kill from segment
+                    # ordinal j removes docs of blocks with ordinal < j
+                    pos = np.searchsorted(kill_ids, docs)
+                    pos_c = np.minimum(pos, len(kill_ids) - 1)
+                    dead = (kill_ids[pos_c] == docs) & (kill_ords[pos_c] > seg_ords[bi])
+                    if dead.any():
+                        keep = ~dead
+                        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
                 contrib = qtfs[bi] * idfs[bi] * tfs * (k1 + 1.0) / (
                     tfs + k1 * (1.0 - b + b * dls / avgdl)
                 )
@@ -155,14 +179,24 @@ def _make_kernel(k1: float, b: float, avgdl: float, quant: int, conjunctive: boo
             sq = np.floor(sums * quant + 0.5).astype(np.int64)
             top_docs = np.concatenate([top_docs, uniq])
             top_scores = np.concatenate([top_scores, sq])
-            # keep only k best candidates (score desc, doc asc)
-            if len(top_docs) > k:
+            # AMORTIZED truncation for large k: an exact (score desc,
+            # doc asc) lexsort per segment is O(k log k) per segment —
+            # at reference-scale k (10⁵-10⁶, LuceneBenchmark.java:358-364)
+            # that dominates. Instead let the pool grow to 2k, truncate
+            # exactly then (amortized O(log k)/candidate), and maintain
+            # θ each segment via an O(n) partition — θ only needs the
+            # k-th best SCORE (pruning is strict <, so score ties at θ
+            # are still admitted and resolved by the final truncation).
+            if len(top_docs) > 2 * k:
                 sel = np.lexsort((top_docs, -top_scores))[:k]
                 top_docs, top_scores = top_docs[sel], top_scores[sel]
-            if len(top_docs) == k:
-                theta_q = int(top_scores.min())
+            if len(top_docs) >= k:
+                theta_q = int(np.partition(top_scores, -k)[-k])
         if len(top_docs) == 0:
             return pd.DataFrame(columns=["query_id", "doc_id", "score_q"])
+        if len(top_docs) > k:  # exact shard-local top-k for the merge
+            sel = np.lexsort((top_docs, -top_scores))[:k]
+            top_docs, top_scores = top_docs[sel], top_scores[sel]
         return pd.DataFrame({"query_id": qid, "doc_id": top_docs, "score_q": top_scores})
 
     return kernel
@@ -213,9 +247,12 @@ def search_wand(
     )
 
     p = index.cfg.bm25
+    # segmented views expose delta-scale tombstones; broadcast them
+    # into the kernel so dead versions never occupy top-k slots
+    kill = index.kill_pairs() if hasattr(index, "kill_pairs") else None
     kernel = _make_kernel(
         p.k1, p.b, index.avgdl, 10**p.score_decimals, mode == "conjunctive",
-        codec=getattr(index, "codec", "varbyte"),
+        codec=getattr(index, "codec", "varbyte"), kill=kill,
     )
     local = blocks.groupBy("query_id", "shard").applyInPandas(
         kernel, schema="query_id int, doc_id long, score_q long"

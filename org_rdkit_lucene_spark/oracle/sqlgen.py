@@ -38,10 +38,13 @@ def _values_qterms(queries: list[tuple[int, str, int]]) -> str:
     return ",\n    ".join(rows)
 
 
-def _bm25_ctes(queries: list[tuple[int, str, int]], table: str = "documents") -> str:
+def _bm25_ctes(
+    queries: list[tuple[int, str, int]], table: str = "documents", extra_cte: str = ""
+) -> str:
     toks = duckdb_tokens_sql("text")
+    pre = f"{extra_cte},\n" if extra_cte else ""
     return f"""
-WITH tok AS (
+WITH {pre}tok AS (
   SELECT doc_id, unnest({toks}) AS term FROM {table}
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
@@ -87,10 +90,31 @@ ranked AS (
 )"""
 
 
-def bm25_topk_sql(queries: list[tuple[int, str, int]], mode: str = "disjunctive") -> str:
+def upsert_docs_cte(
+    mod: int, marker: str, deleted_ids: list[int], table: str = "documents"
+) -> str:
+    """The UPDATED corpus as a CTE — the oracle's view of delete-then-
+    add upserts applied by the engine's segment path: every doc_id
+    divisible by ``mod`` has ``marker`` appended to its body (the
+    streamed new version), and ``deleted_ids`` are gone entirely."""
+    ids = ", ".join(str(i) for i in deleted_ids) or "-1"
+    esc = marker.replace("'", "''")
+    return f"""upsert_documents AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {mod} = 0 THEN text || '{esc}' ELSE text END AS text
+  FROM {table} WHERE doc_id NOT IN ({ids})
+)"""
+
+
+def bm25_topk_sql(
+    queries: list[tuple[int, str, int]],
+    mode: str = "disjunctive",
+    table: str = "documents",
+    extra_cte: str = "",
+) -> str:
     conj = mode == "conjunctive"
     return (
-        _bm25_ctes(queries)
+        _bm25_ctes(queries, table=table, extra_cte=extra_cte)
         + _ranked(conj)
         + """
 SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,

@@ -1,47 +1,66 @@
-"""Structured Streaming incremental indexing — segment-based deltas.
+"""Structured Streaming incremental indexing — segment-based deltas
+with delete-then-add upsert (tombstones) and compaction.
 
 Reference analog: Lucene's buffered-docs → flushed-segment model that
 the reference delegates to ``IndexWriter`` (call sites
-``ChemicalIndex.java:864-876``; incremental adds via delete-then-add
-upsert at ``:801``). Spark-first re-expression:
+``ChemicalIndex.java:864-876``) and its delete-then-add upsert per PK
+(``ChemicalIndex.java:801``: ``deleteDocuments(term)`` +
+``addDocument``). Spark-first re-expression:
 
-- the batch-built index (:mod:`operators.build`) is the BASE segment;
-- a stream of new documents (``readStream``) produces one DELTA
-  segment per micro-batch via ``foreachBatch`` — per-segment postings,
-  docmeta, lexicon (df/cf only) and exact stats, written under
-  ``<base>/segments/seg-<batch>``, idempotent per batch id (re-running
-  a batch after a crash overwrites the same directory, so
-  exactly-once composes with the stream checkpoint);
+- the batch-built index (:mod:`operators.build`) is the BASE segment
+  (version ordinal 0);
+- a stream of documents (``readStream``) produces one DELTA segment
+  per micro-batch via ``foreachBatch`` (ordinal = position + 1) —
+  per-segment postings, docmeta, lexicon (df/cf only), flat rows,
+  TOMBSTONES (``deletes.parquet``: the batch ids that were live in the
+  prior view — delete-then-add), and exact stats. Written under
+  ``<base>/segments/seg-<batch>``, idempotent per batch id;
 - :class:`SegmentedIndex` presents base+deltas through the SAME
-  surface as :class:`InvertedIndex` (``postings`` / ``lexicon`` /
-  ``docmeta`` / ``n_docs`` / ``avgdl``), so every query path —
-  DataFrame BM25, block-max WAND, two-phase verify, pagination —
-  works over the merged view unchanged.
+  surface as :class:`InvertedIndex`; every query path — DataFrame
+  BM25, block-max WAND, two-phase verify, pagination — works over the
+  merged view unchanged, with tombstoned versions filtered out.
 
-Rank identity with a full rebuild is exact, not approximate:
+Versioning law: a tombstone written by segment ordinal *j* kills every
+version of that doc_id with ordinal < *j*. Delete-then-add puts the
+tombstone and the re-add in the SAME segment, so the re-added version
+(ordinal *j*) survives; a pure delete (:func:`delete_docs`) writes a
+tombstone with no re-add. After filtering, each live doc_id appears in
+exactly one segment's postings.
 
-- ``avgdl`` is recomputed from the EXACT integer token totals
-  (sum of per-segment ``total_dl`` / sum of ``n_docs``), the same
-  float a monolithic rebuild computes;
-- per-term ``df``/``cf`` sum across segments (doc sets are disjoint);
-  ``idf`` is recomputed from the merged ``N``;
-- block-max metadata stored at segment-encode time used a *segment*
-  ``avgdl``, so :class:`SegmentedIndex` re-derives a safe per-block
-  upper bound from the stored ``(max_tf, min_dl)`` under the merged
-  ``avgdl`` (tf_norm is increasing in tf, decreasing in dl) — WAND
-  skipping stays correct while global stats drift.
+Rank identity with a full rebuild over the UPDATED corpus is exact:
 
-Tested: ``tests/test_streaming_incremental.py`` asserts rank- and
-score-identical top-k (both query paths) vs a from-scratch rebuild
-over base+streamed docs, plus restart idempotence.
+- ``N`` / ``total_dl`` / ``avgdl`` arithmetic subtracts each
+  segment's recorded stats of the docs it tombstoned (integer-exact,
+  so the merged avgdl is bit-identical to a rebuild's);
+- per-term ``df``/``cf`` merge additively, then subtract the dead
+  versions' contributions computed from the retained flat tables
+  (term-prunable: a query's lexicon lookup pushes its term filter
+  into the flat scan); ``idf`` is recomputed under the merged ``N``
+  — unlike Lucene, whose docFreq counts deleted docs until merge,
+  the merged stats here are exact at all times;
+- block-max metadata stays a SAFE upper bound (removing docs can only
+  lower a block's true max), re-derived for the merged avgdl from the
+  stored ``(max_tf, min_dl)``.
+
+Scale note: tombstone volume is bounded by stream volume since the
+last :func:`compact` (the kill map is broadcast to the decode /
+kernel); compaction folds segments + tombstones into a fresh
+monolithic base — the analog of Lucene's background segment merge.
+
+Tested: ``tests/test_streaming_incremental.py`` (append-only rank
+identity + restart idempotence) and ``tests/test_upsert.py`` (update/
+delete rank identity vs rebuild over the updated corpus, compaction
+byte-equivalence).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -52,7 +71,11 @@ from org_rdkit_lucene_spark.operators.build import (
     InvertedIndex,
     _make_cold_encoder,
     _make_spimi_fn,
+    _write_manifest,
+    encode_postings,
 )
+
+FLAT_COLS = ["doc_id", "term", "tf", "dl"]
 
 
 def segments_root(index_dir: str) -> str:
@@ -71,23 +94,48 @@ def list_segments(index_dir: str) -> list[str]:
     )
 
 
+def _prior_view(
+    spark: SparkSession, base_dir: str, seg_dir: str, cfg: IndexConfig
+) -> "SegmentedIndex":
+    """The live view of everything strictly BEFORE ``seg_dir`` — what a
+    replayed batch must diff against (idempotence: a crash between the
+    segment write and the checkpoint commit replays the batch; the
+    prior view excludes the half-written segment by name)."""
+    base = InvertedIndex.load(spark, base_dir, cfg)
+    prior = [
+        d for d in list_segments(base_dir)
+        if os.path.basename(d) < os.path.basename(seg_dir)
+    ]
+    return SegmentedIndex(spark, base, prior)
+
+
+def _empty(spark: SparkSession, schema: str) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
 def build_segment(
     spark: SparkSession,
     batch: DataFrame,
     seg_dir: str,
     cfg: IndexConfig,
     id_col: str = "ext_id",
+    base_index_dir: str | None = None,
 ) -> None:
-    """Encode one micro-batch of docs as a self-contained delta segment.
+    """Encode one micro-batch of docs as a self-contained delta segment
+    with delete-then-add upsert semantics (``ChemicalIndex.java:801``).
 
     ``batch`` must carry the corpus shape plus an externally-supplied
     unique integer id (streaming arrival order is not deterministic, so
     ids must come from the data — the reference's data-supplied
-    ``pkField`` configuration, ``LuceneBenchmark.java:745-755``).
-    Written atomically: parquet outputs first, ``stats.json`` last (a
-    segment without stats is ignored by :func:`list_segments`).
+    ``pkField`` configuration, ``LuceneBenchmark.java:745-755``). An id
+    already live in the prior view is an UPDATE: the old version is
+    tombstoned (recorded in ``deletes.parquet``) and the new content
+    indexed under the same id. Written atomically: parquet outputs
+    first, ``stats.json`` last (a segment without stats is ignored by
+    :func:`list_segments`).
     """
     n_parts = max(1, min(cfg.build_partitions, 8))
+    base_dir = base_index_dir or os.path.dirname(os.path.dirname(seg_dir))
     ids = batch.select(
         F.col(id_col).cast("long").alias("doc_id"),
         "repo", "path", "commit", "lang", "content",
@@ -107,11 +155,39 @@ def build_segment(
         flat.groupBy("doc_id").agg(F.first("dl").alias("doc_len")), "doc_id", "left"
     ).agg(
         F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("n_distinct"),
         F.sum(F.coalesce(F.col("doc_len"), F.lit(0))).alias("total_dl"),
         F.max("doc_id").alias("max_id"),
     ).collect()[0]
     n, total_dl = int(stats_row["n"]), int(stats_row["total_dl"] or 0)
+    # a duplicated id within one batch silently inflates df and emits
+    # duplicate doc_ids in results — the streaming analog of the batch
+    # build's validate_pk (ids overlapping EARLIER segments/base are
+    # fine: that's an upsert, handled by the tombstone written below)
+    if int(stats_row["n_distinct"]) != n:
+        raise ValueError(
+            f"batch ids not unique: {n} rows, {int(stats_row['n_distinct'])} distinct {id_col}"
+        )
     seg_avgdl = (total_dl / n) if n else 1.0
+
+    # delete-then-add: batch ids already live in the prior view are
+    # tombstoned; their (count, Σ doc_len) is recorded so the merged
+    # stats arithmetic stays integer-exact. One metadata-scale semi-
+    # join per batch (docmeta, not postings).
+    prior = _prior_view(spark, base_dir, seg_dir, cfg)
+    deld = (
+        prior.docmeta.join(F.broadcast(ids.select("doc_id")), "doc_id", "left_semi")
+        .select("doc_id", "doc_len")
+        .persist()
+    )
+    drow = deld.agg(
+        F.count("*").alias("dn"), F.sum("doc_len").alias("ddl")
+    ).collect()[0]
+    del_n, del_dl = int(drow["dn"]), int(drow["ddl"] or 0)
+    deld.select("doc_id").write.mode("overwrite").parquet(
+        os.path.join(seg_dir, "deletes.parquet")
+    )
+    deld.unpersist()
 
     docmeta = ids.join(
         flat.groupBy("doc_id").agg(F.first("dl").alias("doc_len")), "doc_id", "left"
@@ -124,6 +200,13 @@ def build_segment(
 
     lex = flat.groupBy("term").agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
     lex.write.mode("overwrite").parquet(os.path.join(seg_dir, "lexicon.parquet"))
+
+    # the flat rows are retained per segment (like the base build's
+    # flat runs) so a LATER tombstone can subtract this segment's
+    # df/cf contributions exactly
+    flat.select(*FLAT_COLS).write.mode("overwrite").parquet(
+        os.path.join(seg_dir, "flat.parquet")
+    )
 
     blocks = (
         flat.repartition(n_parts, "term")
@@ -141,10 +224,67 @@ def build_segment(
                 "total_dl": total_dl,
                 "avgdl": seg_avgdl,
                 "max_doc_id": int(stats_row["max_id"] if stats_row["max_id"] is not None else -1),
+                "del_n_docs": del_n,
+                "del_total_dl": del_dl,
             },
             f,
         )
     os.replace(tmp, os.path.join(seg_dir, "stats.json"))
+
+
+def delete_docs(
+    spark: SparkSession,
+    base_index_dir: str,
+    doc_ids: list[int],
+    cfg: IndexConfig,
+    seg_name: str | None = None,
+) -> str:
+    """Pure delete: write a tombstone-only segment removing ``doc_ids``
+    from the live view (no re-add). Returns the segment dir. The
+    reference's standalone ``deleteDocuments`` half of the upsert."""
+    existing = list_segments(base_index_dir)
+    if seg_name is None:
+        nums = [
+            int(m.group(1))
+            for d in existing
+            if (m := re.match(r"seg-(\d+)", os.path.basename(d)))
+        ]
+        # numbered after every existing segment; intended between
+        # stream runs (an ACTIVE stream's next batch id is unknown)
+        seg_name = f"seg-{(max(nums) + 1) if nums else 0:08d}-del"
+    seg_dir = os.path.join(segments_root(base_index_dir), seg_name)
+    prior = _prior_view(spark, base_index_dir, seg_dir, cfg)
+    ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    deld = (
+        prior.docmeta.join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("doc_id", "doc_len")
+        .persist()
+    )
+    drow = deld.agg(F.count("*").alias("dn"), F.sum("doc_len").alias("ddl")).collect()[0]
+    del_n, del_dl = int(drow["dn"]), int(drow["ddl"] or 0)
+    deld.select("doc_id").write.mode("overwrite").parquet(
+        os.path.join(seg_dir, "deletes.parquet")
+    )
+    deld.unpersist()
+    # empty add-side tables keep the segment surface uniform
+    _empty(spark, "doc_id long, repo string, path string, commit string, lang string, "
+                  "sha256 string, doc_len int").write.mode("overwrite").parquet(
+        os.path.join(seg_dir, "docmeta.parquet"))
+    _empty(spark, "term string, df long, cf long").write.mode("overwrite").parquet(
+        os.path.join(seg_dir, "lexicon.parquet"))
+    _empty(spark, "doc_id long, term string, tf int, dl int").write.mode(
+        "overwrite").parquet(os.path.join(seg_dir, "flat.parquet"))
+    _empty(spark, POSTINGS_SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(seg_dir, "postings.parquet"))
+    tmp = os.path.join(seg_dir, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"n_docs": 0, "total_dl": 0, "avgdl": 0.0, "max_doc_id": -1,
+             "del_n_docs": del_n, "del_total_dl": del_dl},
+            f,
+        )
+    os.replace(tmp, os.path.join(seg_dir, "stats.json"))
+    return seg_dir
 
 
 def index_stream(
@@ -156,7 +296,8 @@ def index_stream(
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Attach a document stream to an index: every micro-batch becomes a
-    delta segment. ``foreachBatch`` + per-batch-id directories +
+    delta segment (adds + upserts — an id already indexed is tombstoned
+    and re-added). ``foreachBatch`` + per-batch-id directories +
     last-write-of-stats atomicity make replays idempotent, composing
     with the stream checkpoint for effective exactly-once."""
     spark = stream.sparkSession
@@ -165,7 +306,8 @@ def index_stream(
         if batch.isEmpty():
             return
         seg = os.path.join(segments_root(base_index_dir), f"seg-{batch_id:08d}")
-        build_segment(spark, batch, seg, cfg, id_col=id_col)
+        build_segment(spark, batch, seg, cfg, id_col=id_col,
+                      base_index_dir=base_index_dir)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
@@ -177,9 +319,10 @@ def index_stream(
 
 @dataclass
 class SegmentedIndex:
-    """Base index + delta segments behind the :class:`InvertedIndex`
-    query surface — ``search``/``search_wand``/``hit_counts``/
-    ``search_two_phase`` work unchanged over the merged view."""
+    """Base index + delta segments (with tombstones) behind the
+    :class:`InvertedIndex` query surface — ``search``/``search_wand``/
+    ``hit_counts``/``search_two_phase`` work unchanged over the merged
+    view; dead (tombstoned) versions are filtered everywhere."""
 
     spark: SparkSession
     base: InvertedIndex
@@ -188,17 +331,22 @@ class SegmentedIndex:
     total_dl: int = field(init=False)
     avgdl: float = field(init=False)
     max_doc_id: int = field(init=False)
+    has_deletes: bool = field(init=False)
 
     def __post_init__(self) -> None:
         n, dl, mx = self.base.n_docs, self.base.total_dl, self.base.max_doc_id
+        self.has_deletes = False
         for d in self.segment_dirs:
             with open(os.path.join(d, "stats.json")) as f:
                 s = json.load(f)
-            n += s["n_docs"]
-            dl += s["total_dl"]
+            n += s["n_docs"] - s.get("del_n_docs", 0)
+            dl += s["total_dl"] - s.get("del_total_dl", 0)
             mx = max(mx, s["max_doc_id"])
+            if s.get("del_n_docs", 0) > 0:
+                self.has_deletes = True
         self.n_docs, self.total_dl, self.max_doc_id = n, dl, mx
         self.avgdl = (dl / n) if n else 0.0
+        self._kill_pairs_cache: tuple[np.ndarray, np.ndarray] | None = None
 
     @property
     def cfg(self) -> IndexConfig:
@@ -219,27 +367,104 @@ class SegmentedIndex:
         base = InvertedIndex.load(spark, index_dir, cfg)
         return cls(spark, base, list_segments(index_dir))
 
-    def _union(self, name: str) -> DataFrame:
+    # -- version ordinals & tombstones ------------------------------------
+
+    def _seg_df(self, d: str, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(d, f"{name}.parquet"))
+
+    def _union(self, name: str, with_ord: bool = False) -> DataFrame:
         df = getattr(self.base, name)
-        for d in self.segment_dirs:
-            df = df.unionByName(
-                self.spark.read.parquet(os.path.join(d, f"{name}.parquet")),
-                allowMissingColumns=True,
-            )
+        if with_ord:
+            df = df.withColumn("seg_ord", F.lit(0))
+        for i, d in enumerate(self.segment_dirs):
+            s = self._seg_df(d, name)
+            if with_ord:
+                s = s.withColumn("seg_ord", F.lit(i + 1))
+            df = df.unionByName(s, allowMissingColumns=True)
         return df
 
     @property
+    def kill_map(self) -> DataFrame | None:
+        """(doc_id, kill_ord): a tombstone from segment ordinal j kills
+        every version with ordinal < j. None when no segment deletes
+        anything (the append-only fast path — zero overhead)."""
+        if not self.has_deletes:
+            return None
+        parts = []
+        for i, d in enumerate(self.segment_dirs):
+            p = os.path.join(d, "deletes.parquet")
+            if os.path.isdir(p):
+                parts.append(
+                    self.spark.read.parquet(p).withColumn("ord", F.lit(i + 1))
+                )
+        if not parts:
+            return None
+        df = parts[0]
+        for x in parts[1:]:
+            df = df.unionByName(x)
+        return df.groupBy("doc_id").agg(F.max("ord").alias("kill_ord"))
+
+    def kill_pairs(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """Driver-side (sorted doc_ids, kill_ords) for kernel use.
+        Tombstone volume is bounded by stream volume since the last
+        compaction, so this is delta-scale by construction."""
+        if not self.has_deletes:
+            return None
+        if self._kill_pairs_cache is None:
+            pdf = self.kill_map.toPandas()
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            ords = pdf["kill_ord"].to_numpy(np.int64)
+            o = np.argsort(ids)
+            self._kill_pairs_cache = (ids[o], ords[o])
+        return self._kill_pairs_cache
+
+    def _flat_all(self) -> DataFrame:
+        """Every segment's flat rows with version ordinals (base = 0)."""
+        df = self.base.flat.withColumn("seg_ord", F.lit(0))
+        for i, d in enumerate(self.segment_dirs):
+            s = self._seg_df(d, "flat").select(*FLAT_COLS).withColumn(
+                "seg_ord", F.lit(i + 1)
+            )
+            df = df.unionByName(s)
+        return df
+
+    def live_flat(self) -> DataFrame:
+        """Kill-filtered flat (doc_id, term, tf, dl) — exactly the rows
+        a monolithic rebuild over the updated corpus would produce.
+        Feeds compaction."""
+        flat = self._flat_all()
+        kill = self.kill_map
+        if kill is None:
+            return flat.select(*FLAT_COLS)
+        return (
+            flat.join(F.broadcast(kill), "doc_id", "left")
+            .filter(F.col("kill_ord").isNull() | (F.col("seg_ord") >= F.col("kill_ord")))
+            .select(*FLAT_COLS)
+        )
+
+    # -- merged tables -----------------------------------------------------
+
+    @property
     def docmeta(self) -> DataFrame:
-        return self._union("docmeta")
+        dm = self._union("docmeta", with_ord=True)
+        kill = self.kill_map
+        if kill is not None:
+            dm = dm.join(F.broadcast(kill), "doc_id", "left").filter(
+                F.col("kill_ord").isNull() | (F.col("seg_ord") >= F.col("kill_ord"))
+            ).drop("kill_ord")
+        return dm.drop("seg_ord")
 
     @property
     def postings(self) -> DataFrame:
-        """Union of all segments' blocks with the block-max bound
-        re-derived for the MERGED avgdl from stored (max_tf, min_dl) —
-        the stored max_tf_norm was computed under each segment's own
-        avgdl and is not a valid bound once stats drift."""
+        """Union of all segments' blocks (tagged with ``seg_ord`` so the
+        decode paths can drop tombstoned versions) with the block-max
+        bound re-derived for the MERGED avgdl from stored
+        (max_tf, min_dl) — the stored max_tf_norm was computed under
+        each segment's own avgdl and is not a valid bound once stats
+        drift. Tombstones only REMOVE docs from a block, so the
+        re-derived bound remains safe."""
         p = self.cfg.bm25
-        raw = self._union("postings")
+        raw = self._union("postings", with_ord=True)
         safe = (
             F.col("max_tf").cast("double")
             * F.lit(p.k1 + 1.0)
@@ -253,14 +478,34 @@ class SegmentedIndex:
 
     @property
     def lexicon(self) -> DataFrame:
-        """Merged per-term stats: df/cf sum across disjoint segments;
-        idf recomputed under the merged N (same formula as stage 3 of
-        the batch build, so scores match a full rebuild exactly)."""
+        """Merged per-term stats: df/cf sum across segments, MINUS the
+        tombstoned versions' contributions (computed from the retained
+        flat tables — a query's term filter pushes into that scan);
+        idf recomputed under the merged live N. Matches a full rebuild
+        over the updated corpus exactly."""
         merged = (
             self._union("lexicon")
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         )
+        kill = self.kill_map
+        if kill is not None:
+            dead = (
+                self._flat_all()
+                .join(F.broadcast(kill), "doc_id")
+                .filter(F.col("seg_ord") < F.col("kill_ord"))
+                .groupBy("term")
+                .agg(F.count("*").alias("ddf"), F.sum("tf").alias("dcf"))
+            )
+            merged = (
+                merged.join(dead, "term", "left")
+                .select(
+                    "term",
+                    (F.col("df") - F.coalesce(F.col("ddf"), F.lit(0))).alias("df"),
+                    (F.col("cf") - F.coalesce(F.col("dcf"), F.lit(0))).alias("cf"),
+                )
+                .filter(F.col("df") > 0)
+            )
         return merged.withColumn(
             "idf",
             F.log(
@@ -269,3 +514,87 @@ class SegmentedIndex:
                 / (F.col("df") + F.lit(0.5))
             ),
         )
+
+
+def compact(
+    spark: SparkSession, index_dir: str, cfg: IndexConfig, out_dir: str
+) -> InvertedIndex:
+    """Fold base + segments + tombstones into a fresh monolithic index
+    at ``out_dir`` — the analog of Lucene's background segment merge
+    (which is where deleted docs and their stats actually disappear in
+    the reference's engine). The result is byte-identical to a
+    from-scratch batch build over the updated corpus: live_flat()
+    reproduces the rebuild's flat rows exactly, and stage 3/4 encoding
+    is deterministic given (flat, cfg, avgdl)."""
+    import pyarrow.parquet as pq
+
+    seg = SegmentedIndex.load(spark, index_dir, cfg)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # stage 1 analog: one compacted flat run, manifest-recorded
+    run_name = "run-compact"
+    flat_path = os.path.join(out_dir, "flat", run_name)
+    live = seg.live_flat().withColumn(
+        "build_part",
+        F.pmod(F.xxhash64("doc_id"), F.lit(cfg.build_partitions)).cast("int"),
+    )
+    live.write.mode("overwrite").parquet(flat_path)
+    manifest = {
+        "completed_parts": list(range(cfg.build_partitions)),
+        "part_lineage": {
+            str(i): {"run_dir": run_name} for i in range(cfg.build_partitions)
+        },
+        "n_parts": cfg.build_partitions,
+        "finalized": True,
+    }
+    _write_manifest(out_dir, manifest)
+    flat = spark.read.parquet(flat_path).select(*FLAT_COLS).persist()
+
+    # docmap + docmeta from the live view (sha256 preserved — content
+    # is not needed for compaction)
+    dm = seg.docmeta.select(
+        "doc_id", "repo", "path", "commit", "lang", "sha256", "doc_len"
+    ).persist()
+    dm.select("repo", "path", "commit", "doc_id").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "docmap.parquet")
+    )
+    dm.write.mode("overwrite").parquet(os.path.join(out_dir, "docmeta.parquet"))
+    dm.unpersist()
+
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(
+            {
+                "n_docs": seg.n_docs,
+                "total_dl": seg.total_dl,
+                "avgdl": seg.avgdl,
+                "max_doc_id": seg.max_doc_id,
+                "codec": cfg.codec,
+            },
+            f,
+        )
+
+    # stage 3: lexicon (same expression as the batch build)
+    lexicon_path = os.path.join(out_dir, "lexicon.parquet")
+    lex = flat.groupBy("term").agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    lex = lex.withColumn(
+        "idf",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(seg.n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+    )
+    lex.write.mode("overwrite").parquet(lexicon_path)
+
+    # stage 4: postings (identical hot/cold policy as the batch build)
+    hot_tbl = pq.read_table(
+        lexicon_path, columns=["term"], filters=[("df", ">=", cfg.hot_term_df)]
+    )
+    hot_terms = hot_tbl.column("term").to_pylist()
+    blocks = encode_postings(flat, cfg, seg.avgdl, seg.max_doc_id, hot_terms)
+    blocks.write.mode("overwrite").parquet(os.path.join(out_dir, "postings.parquet"))
+    flat.unpersist()
+    return InvertedIndex(
+        spark, out_dir, seg.n_docs, seg.avgdl, cfg,
+        total_dl=seg.total_dl, max_doc_id=seg.max_doc_id, codec=cfg.codec,
+    )

@@ -77,7 +77,9 @@ def main() -> None:
         idx = InvertedIndex.load(spark, args.index_dir)
         queries = []
         for spec in args.queries.split(";"):
-            qid, text, k = spec.split(":")
+            # id : text : k — text may itself contain ':'
+            qid, rest = spec.split(":", 1)
+            text, k = rest.rsplit(":", 1)
             queries.append((int(qid), text, int(k)))
         fn = search_wand if args.engine == "wand" else search
         t0 = time.time()

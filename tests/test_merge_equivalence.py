@@ -59,6 +59,38 @@ def test_checkpoint_resume_byte_identical(spark, tiny_corpus, tmp_path):
     _assert_identical(full, resumed)
 
 
+def test_orphan_committed_run_not_double_counted(spark, tiny_corpus, tmp_path):
+    """The resume-duplication hazard: a flat run that COMMITTED
+    (_SUCCESS written) right before a crash that lost the manifest
+    update must be discarded on resume — its parts are still 'todo',
+    get rebuilt into a new run, and reading both would double-count
+    postings. Simulated by rolling the manifest back after a partial
+    build, then resuming with a DIFFERENT only_parts grouping."""
+    import json
+    import os
+
+    from org_rdkit_lucene_spark.operators.build import _manifest_path, _read_manifest
+
+    cfg = IndexConfig(build_partitions=8, hot_term_df=60, n_salts=4)
+    full = build_index(spark, tiny_corpus, cfg, str(tmp_path / "full2"))
+
+    d = str(tmp_path / "orphan")
+    build_index(spark, tiny_corpus, cfg, d, only_parts=[0, 1, 2])
+    # crash window: the run dir committed but the manifest update was lost
+    m = _read_manifest(d)
+    assert m["completed_parts"] == [0, 1, 2]
+    with open(_manifest_path(d), "w") as f:
+        json.dump({"completed_parts": [], "part_lineage": {}, "finalized": False}, f)
+    run_dirs = os.listdir(os.path.join(d, "flat"))
+    assert len(run_dirs) == 1  # the orphan, with _SUCCESS present
+    assert os.path.exists(os.path.join(d, "flat", run_dirs[0], "_SUCCESS"))
+    # resume with a different grouping, then finalize
+    build_index(spark, tiny_corpus, cfg, d, only_parts=[0, 1])
+    resumed = build_index(spark, tiny_corpus, cfg, d)
+    assert resumed is not None
+    _assert_identical(full, resumed)
+
+
 def test_resume_skips_completed_parts(spark, tiny_corpus, tmp_path):
     from org_rdkit_lucene_spark.operators.build import _read_manifest
 

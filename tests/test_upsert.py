@@ -1,0 +1,207 @@
+"""B1 upsert parity (delete-then-add, ChemicalIndex.java:801): a
+streamed segment that UPDATES existing docs and a pure-delete segment
+must leave the segmented view rank- AND score-identical to a
+from-scratch rebuild over the updated corpus, on both query paths;
+compaction must fold segments + tombstones into an index byte-identical
+to that rebuild."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from org_rdkit_lucene_spark.config import IndexConfig
+from org_rdkit_lucene_spark.operators.build import build_index
+from org_rdkit_lucene_spark.operators.query import hit_counts, search
+from org_rdkit_lucene_spark.operators.wand import search_wand
+from org_rdkit_lucene_spark.sources.fixtures import make_corpus_pdf
+from org_rdkit_lucene_spark.streaming.incremental import (
+    SegmentedIndex,
+    build_segment,
+    compact,
+    delete_docs,
+    segments_root,
+)
+
+QUERIES = [
+    (1, "getIndexValue merg scorer", 10),
+    (2, "token pars hash", 10),
+    (3, "upsertmarker probe", 10),
+    (4, "main data", 7),
+]
+
+UPDATED_IDS = list(range(0, 200, 10))  # 20 of the 200 base docs
+NEW_IDS = list(range(400, 420))
+DELETED_IDS = [5, 17, 400]  # two base docs + one streamed-in doc
+
+
+@pytest.fixture(scope="module")
+def upsert_setup(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("upsert")
+    pdf = make_corpus_pdf(n_docs=200, seed=11)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+
+    cfg = IndexConfig(build_partitions=4, hot_term_df=60, n_salts=4)
+    base_dir = str(tmp / "base")
+    base = build_index(spark, spark.createDataFrame(pdf), cfg, base_dir, id_col="ext_id")
+    assert base is not None
+
+    # batch 0: update 20 existing docs (same ids, new content) + add 20 new
+    upd = pdf[pdf.ext_id.isin(UPDATED_IDS)].copy()
+    upd["content"] = upd["content"] + " upsertmarker probe"
+    new = pdf.iloc[:20].copy()
+    new["ext_id"] = NEW_IDS
+    new["path"] = new["path"] + ".new"
+    new["content"] = new["content"] + " upsertmarker fresh"
+    batch = pd.concat([upd, new], ignore_index=True)
+    seg0 = os.path.join(segments_root(base_dir), "seg-00000000")
+    build_segment(spark, spark.createDataFrame(batch), seg0, cfg, id_col="ext_id")
+
+    # pure delete on top
+    delete_docs(spark, base_dir, DELETED_IDS, cfg)
+
+    seg = SegmentedIndex.load(spark, base_dir, cfg)
+
+    # the truth: rebuild from scratch over the updated corpus
+    final = pd.concat(
+        [pdf[~pdf.ext_id.isin(UPDATED_IDS)], upd, new], ignore_index=True
+    )
+    final = final[~final.ext_id.isin(DELETED_IDS)]
+    full = build_index(
+        spark, spark.createDataFrame(final), cfg, str(tmp / "full"), id_col="ext_id"
+    )
+    return {"seg": seg, "full": full, "base_dir": base_dir, "cfg": cfg,
+            "tmp": tmp, "spark": spark, "final_pdf": final}
+
+
+def _sorted(df) -> pd.DataFrame:
+    p = df.toPandas()
+    return p.sort_values(list(p.columns)).reset_index(drop=True)
+
+
+def test_merged_stats_exact(upsert_setup):
+    seg, full = upsert_setup["seg"], upsert_setup["full"]
+    assert seg.has_deletes
+    assert seg.n_docs == full.n_docs
+    assert seg.total_dl == full.total_dl
+    assert seg.avgdl == full.avgdl  # bit-exact: both are total_dl / n
+
+
+def test_docmeta_live_view(upsert_setup):
+    seg, full = upsert_setup["seg"], upsert_setup["full"]
+    a = _sorted(seg.docmeta.select("doc_id", "sha256", "doc_len"))
+    b = _sorted(full.docmeta.select("doc_id", "sha256", "doc_len"))
+    pd.testing.assert_frame_equal(a, b)
+    # deleted ids gone; updated ids carry the NEW content hash
+    live_ids = set(a["doc_id"])
+    assert not live_ids & set(DELETED_IDS)
+    assert set(NEW_IDS) - set(DELETED_IDS) <= live_ids
+
+
+def test_lexicon_tombstone_correction(upsert_setup):
+    """df/cf must subtract the dead versions' contributions — unlike
+    Lucene's stale-until-merge docFreq, the merged stats are exact."""
+    seg, full = upsert_setup["seg"], upsert_setup["full"]
+    a = _sorted(seg.lexicon.select("term", "df", "cf", "idf"))
+    b = _sorted(full.lexicon.select("term", "df", "cf", "idf"))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_search_rank_identical_to_rebuild(upsert_setup):
+    seg, full = upsert_setup["seg"], upsert_setup["full"]
+    a = _sorted(search(seg, QUERIES, mode="disjunctive"))
+    b = _sorted(search(full, QUERIES, mode="disjunctive"))
+    pd.testing.assert_frame_equal(a, b)
+    ac = _sorted(search(seg, QUERIES[:3], mode="conjunctive"))
+    bc = _sorted(search(full, QUERIES[:3], mode="conjunctive"))
+    pd.testing.assert_frame_equal(ac, bc)
+
+
+def test_wand_rank_identical_to_rebuild(upsert_setup):
+    seg, full = upsert_setup["seg"], upsert_setup["full"]
+    a = _sorted(search_wand(seg, QUERIES, mode="disjunctive"))
+    b = _sorted(search_wand(full, QUERIES, mode="disjunctive"))
+    pd.testing.assert_frame_equal(a, b)
+    c = _sorted(search(seg, QUERIES, mode="disjunctive"))
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_hit_counts_exclude_dead_versions(upsert_setup):
+    seg, full = upsert_setup["seg"], upsert_setup["full"]
+    pd.testing.assert_frame_equal(
+        _sorted(hit_counts(seg, QUERIES)), _sorted(hit_counts(full, QUERIES))
+    )
+
+
+def test_updated_doc_found_under_new_content_only(upsert_setup):
+    """The requery contract: after the upsert, the marker query returns
+    the updated docs; a doc's OLD version never surfaces twice."""
+    seg = upsert_setup["seg"]
+    res = search(seg, [(9, "upsertmarker", 100)]).toPandas()
+    expect = (set(UPDATED_IDS) | set(NEW_IDS)) - set(DELETED_IDS)
+    assert set(res["doc_id"]) == expect
+    assert res["doc_id"].is_unique
+
+
+def test_segment_replay_idempotent(upsert_setup):
+    """Re-running build_segment for the same seg dir (crash-replay of a
+    foreachBatch) must not change the live view."""
+    spark, cfg = upsert_setup["spark"], upsert_setup["cfg"]
+    seg = upsert_setup["seg"]
+    before = _sorted(search(seg, QUERIES, mode="disjunctive"))
+    pdf = make_corpus_pdf(n_docs=200, seed=11)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    upd = pdf[pdf.ext_id.isin(UPDATED_IDS)].copy()
+    upd["content"] = upd["content"] + " upsertmarker probe"
+    new = pdf.iloc[:20].copy()
+    new["ext_id"] = NEW_IDS
+    new["path"] = new["path"] + ".new"
+    new["content"] = new["content"] + " upsertmarker fresh"
+    batch = pd.concat([upd, new], ignore_index=True)
+    seg0 = os.path.join(segments_root(upsert_setup["base_dir"]), "seg-00000000")
+    build_segment(spark, spark.createDataFrame(batch), seg0, cfg, id_col="ext_id")
+    seg2 = SegmentedIndex.load(spark, upsert_setup["base_dir"], cfg)
+    after = _sorted(search(seg2, QUERIES, mode="disjunctive"))
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_duplicate_ids_within_batch_rejected(upsert_setup):
+    spark, cfg = upsert_setup["spark"], upsert_setup["cfg"]
+    pdf = make_corpus_pdf(n_docs=4, seed=3)
+    pdf.insert(0, "ext_id", [900, 900, 901, 902])
+    with pytest.raises(ValueError, match="not unique"):
+        build_segment(
+            spark,
+            spark.createDataFrame(pdf),
+            str(upsert_setup["tmp"] / "segdup"),
+            cfg,
+            id_col="ext_id",
+            base_index_dir=upsert_setup["base_dir"],
+        )
+
+
+def test_compaction_byte_identical_to_rebuild(upsert_setup):
+    """compact() folds segments + tombstones into a monolithic index
+    whose postings/lexicon/docmeta are BYTE-identical to the
+    from-scratch rebuild (live_flat reproduces the rebuild's flat rows;
+    stage 3/4 encoding is deterministic)."""
+    spark, cfg = upsert_setup["spark"], upsert_setup["cfg"]
+    full = upsert_setup["full"]
+    out = str(upsert_setup["tmp"] / "compacted")
+    comp = compact(spark, upsert_setup["base_dir"], cfg, out)
+    assert (comp.n_docs, comp.total_dl, comp.max_doc_id) == (
+        full.n_docs, full.total_dl, full.max_doc_id
+    )
+    a = comp.postings.toPandas().sort_values(["term", "block_id"]).reset_index(drop=True)
+    b = full.postings.toPandas().sort_values(["term", "block_id"]).reset_index(drop=True)
+    for c in ("doc_bytes", "tf_bytes", "dl_bytes"):
+        a[c] = a[c].map(bytes)
+        b[c] = b[c].map(bytes)
+    pd.testing.assert_frame_equal(a, b)
+    la = _sorted(comp.lexicon.select("term", "df", "cf", "idf"))
+    lb = _sorted(full.lexicon.select("term", "df", "cf", "idf"))
+    pd.testing.assert_frame_equal(la, lb)
+    ra = _sorted(search(comp, QUERIES, mode="disjunctive"))
+    rb = _sorted(search(full, QUERIES, mode="disjunctive"))
+    pd.testing.assert_frame_equal(ra, rb)
