@@ -162,12 +162,23 @@ def cosine_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (approximate: within-LSH-
-    bucket exact cosine ≥ threshold). Returns (vec1, vec2, cos_q)."""
+    bucket exact cosine ≥ threshold). Returns (vec1, vec2, cos_q).
+
+    Buckets larger than ``max_bucket_size`` are dropped (None disables)
+    — an M-member bucket yields M²/2 pairs on one join key, the LSH
+    skew blowup on near-constant embedding clusters; the size agg
+    shuffles on the same key as the self-join, so the guard adds no new
+    shuffle pattern. Monitor drops with dedup.oversized_buckets."""
+    from org_rdkit_lucene_spark.operators.dedup import _cap_buckets
+
     first = emb.select(vec_col).first()
     dim = len(first[0])
     buckets = lsh_bucket_ids(emb, dim, n_planes, seed, id_col, vec_col)
+    if max_bucket_size is not None:
+        buckets = _cap_buckets(buckets, ["bucket"], max_bucket_size)
     withb = emb.select(id_col, vec_col).join(buckets, id_col)
     a, b = withb.alias("a"), withb.alias("b")
     cand = a.join(

@@ -77,16 +77,43 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def _cap_buckets(stacked: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """Drop OVERSIZED buckets before a bucket self-join. A bucket of M
+    members yields M²/2 candidate pairs on a single join key — the
+    classic LSH skew blowup on boilerplate-heavy corpora (license
+    headers, generated code). Dropping is deterministic and mirrors the
+    rare-shingle guard ``max_shingle_df``: members of a mega-bucket are
+    near-certain duplicates of each other anyway and are better handled
+    by exact dedup. Monitor the drop with :func:`oversized_buckets`.
+    The size aggregation shuffles on the same key as the self-join, so
+    the guard adds no new shuffle pattern."""
+    ok = (
+        stacked.groupBy(*keys)
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .select(*keys)
+    )
+    return stacked.join(ok, keys, "left_semi")
+
+
+def oversized_buckets(stacked: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """The buckets a cap would drop, with their sizes — the operational
+    'logged drop count' companion of :func:`_cap_buckets`."""
+    return (
+        stacked.groupBy(*keys)
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def minhash_band_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
     content_col: str = "text",
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band (band = concat of
-    rows-per-band consecutive minhashes). Self-join happens per band
-    key — the classic shingle→minhash→band→bucket-join, never O(n²)."""
+    """(doc_id, band, band_val) — each doc's LSH bucket memberships."""
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(df, id_col, content_col, n_hashes)
     bands = []
@@ -102,6 +129,25 @@ def minhash_lsh_pairs(
     stacked = bands[0]
     for b in bands[1:]:
         stacked = stacked.unionByName(b)
+    return stacked
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band (band = concat of
+    rows-per-band consecutive minhashes). Self-join happens per band
+    key — the classic shingle→minhash→band→bucket-join, never O(n²).
+    Buckets larger than ``max_bucket_size`` are dropped (None disables;
+    see :func:`_cap_buckets` for why this is the 100 TB guard)."""
+    stacked = minhash_band_buckets(df, id_col, content_col, n_hashes, n_bands)
+    if max_bucket_size is not None:
+        stacked = _cap_buckets(stacked, ["band", "band_val"], max_bucket_size)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -168,24 +214,61 @@ def ngram_jaccard_pairs(
 
 
 def _simhash_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized SimHash: one md5 per UNIQUE term per Arrow batch (not
+    per doc×term), then all doc signatures via a single scatter-add of
+    the tf-weighted ±1 bit matrix. Byte-identical to the scalar
+    definition (md5(term)[:8] MSB-first bits, acc>0, offset by 2^63
+    into signed int64; token-less docs → all-zero fingerprint)."""
     import hashlib
 
     for pdf in it:
         if len(pdf) == 0:
             continue
-        out_ids, out_hashes = [], []
-        for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
-            acc = np.zeros(64, dtype=np.float64)
-            if toks is not None and len(toks):
-                terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-                for term, tf in zip(terms, counts):
-                    digest = hashlib.md5(str(term).encode("utf-8")).digest()[:8]
-                    bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
-                    acc += tf * (bits.astype(np.float64) * 2.0 - 1.0)
-            bits = (acc > 0).astype(np.uint8)
-            out_ids.append(doc_id)
-            out_hashes.append(int.from_bytes(np.packbits(bits).tobytes(), "big", signed=False) - (1 << 63))
-        yield pd.DataFrame({"doc_id": out_ids, "simhash": np.array(out_hashes, dtype=np.int64)})
+        n = len(pdf)
+        toks = pdf["toks"]
+        lens = toks.map(lambda x: 0 if x is None else len(x)).to_numpy(np.int64)
+        acc = np.zeros((n, 64), dtype=np.float64)
+        if lens.sum() > 0:
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if t is not None and len(t)]
+            )
+            codes, uniques = pd.factorize(flat)
+            u = np.int64(len(uniques))
+            # md5 each unique term ONCE → (U, 64) ±1 bit matrix
+            digs = np.frombuffer(
+                b"".join(hashlib.md5(str(t).encode("utf-8")).digest()[:8] for t in uniques),
+                dtype=np.uint8,
+            ).reshape(-1, 8)
+            bits_pm1 = np.unpackbits(digs, axis=1).astype(np.float64) * 2.0 - 1.0
+            # all accumulations are exact integer sums in float64, so
+            # both branches produce bit-identical fingerprints
+            if n * u <= (1 << 25):
+                # small vocabulary: dense doc×term count matrix + one
+                # BLAS matmul — no per-pair scatter at all
+                counts = np.bincount(doc_idx * u + codes, minlength=int(n * u))
+                acc = counts.astype(np.float64).reshape(n, int(u)) @ bits_pm1
+            else:
+                # large vocabulary: tf per (doc, term) pair, then one
+                # segmented reduction over doc-major-sorted weighted
+                # rows (np.add.reduceat ≫ np.add.at)
+                key = doc_idx * u + codes
+                uk, tf = np.unique(key, return_counts=True)
+                g_doc = (uk // u).astype(np.int64)
+                g_code = (uk % u).astype(np.int64)
+                w = tf[:, None].astype(np.float64) * bits_pm1[g_code]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], g_doc[1:] != g_doc[:-1]))
+                )
+                acc[g_doc[starts]] = np.add.reduceat(w, starts, axis=0)
+        outbits = (acc > 0).astype(np.uint8)
+        packed = np.packbits(outbits, axis=1)  # (n, 8) big-endian bytes
+        u = packed.copy().view(">u8").ravel().astype(np.uint64)
+        # unsigned - 2^63 → signed int64 (== flip the top bit, reinterpret)
+        signed = (u ^ np.uint64(1 << 63)).view(np.int64)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].to_numpy(np.int64), "simhash": signed}
+        )
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", content_col: str = "text") -> DataFrame:

@@ -184,3 +184,83 @@ def test_frame_sample_plan(spark, docs_df):
     for r in vids.itertuples():
         want = r.duration_ms // 50_000 + 1
         assert (plan.doc_id == r.doc_id).sum() == want
+
+
+# ---------------------------------------------------------------------------
+# SimHash vectorized-kernel parity + LSH bucket caps
+
+
+def _simhash_scalar(text: str) -> int:
+    """The scalar SimHash definition (per-term md5 loop) the vectorized
+    Arrow kernel must reproduce byte-for-byte."""
+    import hashlib
+
+    from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
+
+    toks = tokenize_text(text)
+    acc = np.zeros(64, dtype=np.float64)
+    if toks:
+        terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        for term, tf in zip(terms, counts):
+            digest = hashlib.md5(str(term).encode("utf-8")).digest()[:8]
+            bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+            acc += tf * (bits.astype(np.float64) * 2.0 - 1.0)
+    bits = (acc > 0).astype(np.uint8)
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=False) - (1 << 63)
+
+
+def test_simhash_vectorized_matches_scalar(spark):
+    import random
+
+    rng = random.Random(99)
+    words = ["merge", "join", "spark", "hash", "TaBle", "scan_x", "q9", "ünïcode", ""]
+    rows = [(i, " ".join(rng.choices(words, k=rng.randint(0, 30)))) for i in range(80)]
+    rows.append((80, ""))  # token-less → all-zero fingerprint
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = simhash_fingerprints(df).toPandas().set_index("doc_id")["simhash"]
+    for i, text in rows:
+        assert int(got.loc[i]) == _simhash_scalar(text), (i, text)
+
+
+def test_lsh_bucket_cap_bounds_pairs(spark):
+    """Engineered mega-bucket (40 identical boilerplate docs): the cap
+    must drop the oversized buckets — bounding the pair count — and the
+    drop must be observable via oversized_buckets."""
+    from org_rdkit_lucene_spark.operators.dedup import (
+        minhash_band_buckets,
+        oversized_buckets,
+    )
+
+    boiler = [(i, "apache license version two point zero all rights reserved") for i in range(40)]
+    distinct = [(100 + i, f"unique content number {i} about topic {i * 7}") for i in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(boiler + distinct, columns=["doc_id", "text"]))
+
+    uncapped = minhash_lsh_pairs(df, max_bucket_size=None).toPandas()
+    assert len(uncapped) >= 40 * 39 // 2  # the blowup the cap prevents
+
+    capped = minhash_lsh_pairs(df, max_bucket_size=10).toPandas()
+    boiler_ids = set(range(40))
+    assert not any(d1 in boiler_ids for d1 in capped["doc1"])  # mega-bucket gone
+
+    stacked = minhash_band_buckets(df)
+    over = oversized_buckets(stacked, ["band", "band_val"], 10).toPandas()
+    assert len(over) == 4  # the boilerplate bucket in each of the 4 bands
+    assert (over["bucket_size"] == 40).all()
+
+
+def test_cosine_pairs_bucket_cap(spark):
+    from pyspark.sql import types as T
+
+    vecs = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]  # one mega-bucket
+    # exactly collinear → same sign-LSH bucket guaranteed
+    vecs += [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 2.0, 0.0, 0.0])]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    emb = spark.createDataFrame(vecs, schema)
+    uncapped = cosine_pairs(emb, threshold=0.9, max_bucket_size=None).toPandas()
+    assert len(uncapped) >= 30 * 29 // 2
+    capped = cosine_pairs(emb, threshold=0.9, max_bucket_size=10).toPandas()
+    assert not any(v in set(range(30)) for v in capped["vec1"])
+    assert {(100, 101)} <= set(map(tuple, capped[["vec1", "vec2"]].to_numpy()))
