@@ -192,6 +192,21 @@ def _q_wand_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_wand(_index_for(spark, sf_dir), CONJ_QUERIES, mode="conjunctive")
 
 
+# Large-k hardening (the reference benchmarks at k=10^6 / 5*10^4,
+# LuceneBenchmark.java:358-364): reference-scale k through the WAND
+# kernel — exercises the amortized shard-local truncation and the
+# global merge at k far beyond the usual 10.
+LARGE_K = 50_000
+LARGE_K_QUERIES = [
+    (51, "merge join spark", LARGE_K),
+    (52, "hash table scan", LARGE_K),
+]
+
+
+def _q_wand_large_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_wand(_index_for(spark, sf_dir), LARGE_K_QUERIES, mode="disjunctive")
+
+
 NAME_QUERY = ("src3", 10)
 
 # Q1 query-syntax workload (+required, -excluded, "phrase", bare OR)
@@ -206,6 +221,23 @@ SYNTAX_QUERIES = [
 def _q_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index_for(spark, sf_dir)
     return search_syntax(idx, _corpus_for(spark, sf_dir), SYNTAX_QUERIES)
+
+
+# Multi-field qualifiers over the discovered metadata fields
+# (MultiFieldQueryParser analog, ChemicalIndex.java:477-485): content
+# terms BM25-scored, field:value clauses add FIELD_BOOST per match;
+# 74 is a pure-field query (candidates come from metadata alone).
+FIELD_QUERIES = [
+    (71, "merge join lang:de", 10),
+    (72, "path:src3 hash", 10),
+    (73, "repo:src1 +table", 5),
+    (74, "lang:zh", 5),
+]
+
+
+def _q_field_qualified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return search_syntax(idx, _corpus_for(spark, sf_dir), FIELD_QUERIES)
 
 
 def _q_max_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_media_embed_topk": _td_media_embed_topk,
         "b1_upsert_requery": _q_upsert_requery,
         "b1_upsert_wand": _q_upsert_wand,
+        "k7_wand_topk_large": _q_wand_large_k,
+        "q1_field_qualified": _q_field_qualified,
     }
 
 
@@ -534,4 +568,6 @@ def oracle_sql() -> dict[str, str]:
             table="upsert_documents",
             extra_cte=sqlgen.upsert_docs_cte(UPSERT_MOD, UPSERT_MARKER, UPSERT_DELETED),
         ),
+        "k7_wand_topk_large": sqlgen.bm25_topk_sql(LARGE_K_QUERIES, "disjunctive"),
+        "q1_field_qualified": sqlgen.query_syntax_sql(FIELD_QUERIES),
     }

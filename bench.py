@@ -38,6 +38,7 @@ sys.path.insert(0, REPO)
 from org_rdkit_lucene_spark.config import IndexConfig
 from org_rdkit_lucene_spark.operators.build import build_index
 from org_rdkit_lucene_spark.operators.query import hit_counts, search, search_two_phase
+from org_rdkit_lucene_spark.operators.wand import search_wand
 from org_rdkit_lucene_spark.session import get_spark
 from org_rdkit_lucene_spark.sources.fixtures import make_corpus_pdf, make_query_set
 
@@ -111,6 +112,10 @@ def run_level(cores: int, corpus_path: str, repeats: int, pilot_path: str | None
         # warm-up, excluded from timing (LuceneBenchmark.java:645-664)
         search(idx, batches["disj"][:WARMUP_N]).collect()
 
+        # reference-scale k through the WAND kernel (the reference
+        # benchmarks at k=10^6 / 5*10^4, LuceneBenchmark.java:358-364)
+        large_k = [(9000 + i, t, 50_000) for i, (_, t, _) in enumerate(batches["disj"][:2])]
+
         qtimes: dict[str, float] = {}
         samples_all: list[float] = []
         for name, fn in [
@@ -118,6 +123,7 @@ def run_level(cores: int, corpus_path: str, repeats: int, pilot_path: str | None
             ("q_conjunctive", lambda: search(idx, batches["conj"], "conjunctive")),
             ("q_two_phase", lambda: search_two_phase(idx, corpus_ids, batches["phrase"])),
             ("q_hit_counts", lambda: hit_counts(idx, batches["disj"][:10])),
+            ("q_topk_large_wand", lambda: search_wand(idx, large_k, "disjunctive")),
         ]:
             samples = []
             for _ in range(repeats):

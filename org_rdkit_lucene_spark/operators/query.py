@@ -348,25 +348,41 @@ def max_scores(
 
 # ---------------------------------------------------------------------------
 # Q1 query-syntax surface (MultiFieldQueryParser analog,
-# ChemicalIndex.java:482-485): +term = required (MUST), -term = excluded
+# ChemicalIndex.java:477-491): +term = required (MUST), -term = excluded
 # (MUST_NOT), "a b" = phrase (verified against the stored body), bare
-# terms = optional (SHOULD). BM25 scores sum over the required+optional
-# terms; exclusion and phrase verification only filter.
+# terms = optional (SHOULD), field:value = metadata-field clause over
+# the discovered fields {repo, path, lang} (the reference searches the
+# union of all discovered fields via MultiFieldQueryParser:477-485;
+# here content is BM25-scored and the metadata fields contribute
+# SHOULD clauses). BM25 scores sum over the required+optional terms;
+# each matched field clause adds a fixed FIELD_BOOST (the Lucene coord
+# analog, same law as Q3's clause-count scoring); exclusion and phrase
+# verification only filter.
 
 import re as _re
 
+QUERY_FIELDS = ("repo", "path", "lang")
+FIELD_BOOST = 1.0
+
 _SYNTAX_RE = _re.compile(r'"([^"]*)"|(\+|-)?(\S+)')
+_FIELD_RE = _re.compile(r"^(repo|path|lang):(.+)$")
 
 
 def parse_query(text: str) -> dict:
-    """Parse the minimal query syntax into
-    {required, optional, excluded, phrases} term/text lists."""
-    out = {"required": [], "optional": [], "excluded": [], "phrases": []}
+    """Parse the minimal query syntax into {required, optional,
+    excluded, phrases, fields} lists; fields = [(field, value)] with
+    values lowercased (field clauses are SHOULD-only — a +/- prefix on
+    one is ignored)."""
+    out = {"required": [], "optional": [], "excluded": [], "phrases": [], "fields": []}
     for m in _SYNTAX_RE.finditer(text):
         phrase, op, word = m.group(1), m.group(2), m.group(3)
         if phrase is not None:
             if phrase.strip():
                 out["phrases"].append(phrase.strip())
+            continue
+        fm = _FIELD_RE.match(word)
+        if fm:
+            out["fields"].append((fm.group(1), fm.group(2).lower()))
         elif op == "+":
             out["required"].append(word)
         elif op == "-":
@@ -374,6 +390,28 @@ def parse_query(text: str) -> dict:
         else:
             out["optional"].append(word)
     return out
+
+
+def _field_hits(index: InvertedIndex, field_rows: list[tuple[int, str, str]]) -> DataFrame:
+    """(query_id, doc_id, n_field) — matched field clauses per doc.
+    path/repo match on their identifier tokens, lang exactly; the tiny
+    clause table broadcasts against the metadata-scale docmeta scan."""
+    spark = index.spark
+    fdf = F.broadcast(
+        spark.createDataFrame(field_rows, "query_id int, fld string, val string")
+    )
+    dm = index.docmeta.select("doc_id", "repo", "path", "lang")
+    tok = lambda c: F.split(F.lower(F.col(c)), r"[^a-z0-9]+")  # noqa: E731
+    cond = (
+        ((F.col("fld") == "path") & F.array_contains(tok("path"), F.col("val")))
+        | ((F.col("fld") == "repo") & F.array_contains(tok("repo"), F.col("val")))
+        | ((F.col("fld") == "lang") & (F.lower(F.col("lang")) == F.col("val")))
+    )
+    return (
+        dm.join(fdf, cond)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_field"))
+    )
 
 
 def search_syntax(
@@ -387,14 +425,20 @@ def search_syntax(
     filters). A doc must match every required term and every phrase
     term, match no excluded term, and contain each phrase verbatim.
     ``corpus_with_ids`` (doc_id, content) is only needed when phrases
-    are present."""
+    are present. ``field:value`` clauses over {repo, path, lang} are
+    SHOULD clauses: each match adds FIELD_BOOST to the score, and a doc
+    matching only field clauses is still a candidate (subject to the
+    MUST/exclusion/phrase filters)."""
     spark = index.spark
     prof = index.cfg.tokenizer
     parsed = {qid: parse_query(text) for qid, text, _ in queries}
 
     scoring, must_counts, excluded_rows, phrase_rows = [], [], [], []
+    field_rows: list[tuple[int, str, str]] = []
     for qid, text, k in queries:
         p = parsed[qid]
+        for fld, val in p["fields"]:
+            field_rows.append((qid, fld, val))
         must_terms: set[str] = set()
         for w in p["required"]:
             must_terms.update(tokenize_text(w, prof))
@@ -418,10 +462,26 @@ def search_syntax(
         for ph in p["phrases"]:
             phrase_rows.append((qid, ph))
 
-    if not scoring:
+    if not scoring and not field_rows:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    qterms = pd.DataFrame(scoring, columns=["query_id", "term", "qtf", "n_terms", "k"])
-    scored = _bm25_scored(index, qterms)
+    if scoring:
+        qterms = pd.DataFrame(scoring, columns=["query_id", "term", "qtf", "n_terms", "k"])
+        scored = _bm25_scored(index, qterms).select("query_id", "doc_id", "score_raw")
+    else:
+        scored = spark.createDataFrame([], "query_id int, doc_id long, score_raw double")
+    if field_rows:
+        # SHOULD union: field-only matches enter the candidate set; a
+        # doc matching both sides sums BM25 + clause boosts
+        fhits = _field_hits(index, field_rows)
+        scored = (
+            scored.join(fhits, ["query_id", "doc_id"], "full")
+            .withColumn(
+                "score_raw",
+                F.coalesce(F.col("score_raw"), F.lit(0.0))
+                + F.coalesce(F.col("n_field"), F.lit(0)) * F.lit(FIELD_BOOST),
+            )
+            .drop("n_field")
+        )
 
     # required-coverage: count matched MUST terms per doc
     must_map = {qid: n for qid, n, _ in must_counts}

@@ -183,12 +183,21 @@ ORDER BY query_id, rank"""
 def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "documents") -> str:
     """Twin of operators/query.search_syntax (Q1 MultiFieldQueryParser
     analog): +term required, -term excluded, "a b" phrase (substring-
-    verified, score unchanged), bare terms optional."""
-    from org_rdkit_lucene_spark.operators.query import parse_query
+    verified, score unchanged), bare terms optional, field:value over
+    {repo, path, lang} as SHOULD clauses adding FIELD_BOOST per match
+    (the documents-derived corpus maps repo → source, path →
+    source || '/doc/' || doc_id, lang → lang)."""
+    from org_rdkit_lucene_spark.operators.query import FIELD_BOOST, parse_query
 
     q_rows, must_rows, mreq_rows, ex_rows, ph_rows, phn_rows = [], [], [], [], [], []
+    fld_rows, k_rows = [], []
     for qid, text, k in queries:
         p = parse_query(text)
+        k_rows.append(f"({qid}, {k})")
+        for fld, val in p["fields"]:
+            fld_rows.append(
+                "({}, '{}', '{}')".format(qid, fld, val.replace("'", "''"))
+            )
         must_terms: set[str] = set()
         for w in p["required"]:
             must_terms.update(tokenize_text(w))
@@ -236,11 +245,30 @@ scored AS (
          sum(q.qtf * ln(1.0 + ((SELECT n FROM nstat) - dfs.df + 0.5) / (dfs.df + 0.5))
              * tf.tf * {P.k1 + 1.0}
              / (tf.tf + {P.k1} * (1.0 - {P.b} + {P.b} * dl.dl / (SELECT avgdl FROM dlstat)))
-         ) AS score_raw,
-         max(q.k) AS k
+         ) AS score_raw
   FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
   WHERE q.query_id IS NOT NULL
   GROUP BY 1, 2
+),
+kq(query_id, k) AS (VALUES
+    {vals(k_rows, 2)}),
+fieldc(query_id, fld, val) AS (VALUES
+    {vals(fld_rows, 3)}),
+fhit AS (
+  SELECT f.query_id, d.doc_id, count(*) AS nf
+  FROM fieldc f JOIN {table} d ON f.query_id IS NOT NULL AND (
+       (f.fld = 'path' AND list_contains(
+          regexp_split_to_array(lower(d.source || '/doc/' || d.doc_id), '[^a-z0-9]+'), f.val))
+    OR (f.fld = 'repo' AND list_contains(
+          regexp_split_to_array(lower(d.source), '[^a-z0-9]+'), f.val))
+    OR (f.fld = 'lang' AND lower(d.lang) = f.val))
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT coalesce(s.query_id, f.query_id) AS query_id,
+         coalesce(s.doc_id, f.doc_id) AS doc_id,
+         coalesce(s.score_raw, 0) + coalesce(f.nf, 0) * {FIELD_BOOST} AS score_raw
+  FROM scored s FULL JOIN fhit f ON s.query_id = f.query_id AND s.doc_id = f.doc_id
 ),
 must(query_id, term) AS (VALUES
     {vals(must_rows, 2)}),
@@ -267,8 +295,9 @@ phok AS (
   WHERE p.query_id IS NOT NULL GROUP BY 1, 2
 ),
 filtered AS (
-  SELECT s.query_id, s.doc_id, s.score_raw, s.k
-  FROM scored s
+  SELECT s.query_id, s.doc_id, s.score_raw, kq.k
+  FROM cand s
+  JOIN kq ON kq.query_id = s.query_id
   JOIN mreq ON mreq.query_id = s.query_id
   LEFT JOIN mhit ON mhit.query_id = s.query_id AND mhit.doc_id = s.doc_id
   LEFT JOIN exdocs x ON x.query_id = s.query_id AND x.doc_id = s.doc_id

@@ -20,9 +20,18 @@ def test_parse_query():
         "optional": ["scan", "merge"],
         "excluded": ["deprecated"],
         "phrases": ["hash table"],
+        "fields": [],
     }
-    assert parse_query("") == {"required": [], "optional": [], "excluded": [], "phrases": []}
+    empty = parse_query("")
+    assert all(empty[k] == [] for k in ("required", "optional", "excluded", "phrases", "fields"))
     assert parse_query('""')["phrases"] == []
+
+
+def test_parse_query_fields():
+    p = parse_query("lang:PY path:src3 repo:r1 merge commit:abc")
+    assert p["fields"] == [("lang", "py"), ("path", "src3"), ("repo", "r1")]
+    # unknown field prefix stays an ordinary term
+    assert p["optional"] == ["merge", "commit:abc"]
 
 
 @pytest.fixture(scope="module")
