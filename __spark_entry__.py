@@ -249,6 +249,51 @@ def _q_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T3 analyzer registry (FingerprintType.java:44-434 analog): the same
+# corpus indexed under non-default named profiles, oracle-verified —
+# proving the registry is pluggable END-TO-END (build + query + SQL
+# twin), not just a config enum.
+
+TRIGRAM_QUERIES = [(81, "merge join", 10), (82, "windowed batch", 10)]
+LEX_TOP_N = 30
+
+_PROFILE_INDEX_CACHE: dict[tuple[str, str], InvertedIndex] = {}
+
+
+def _profile_index(spark: SparkSession, sf_dir: str, analyzer: str) -> InvertedIndex:
+    from org_rdkit_lucene_spark.config import get_analyzer
+
+    key = (os.path.abspath(sf_dir), analyzer)
+    if key not in _PROFILE_INDEX_CACHE:
+        corpus = documents_as_corpus(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix=f"orls_{analyzer}_")
+        cfg = IndexConfig(
+            build_partitions=8, hot_term_df=4096, n_salts=4,
+            tokenizer=get_analyzer(analyzer),
+        )
+        idx = build_index(spark, corpus, cfg, d, id_col="ext_id")
+        assert idx is not None
+        _PROFILE_INDEX_CACHE[key] = idx
+    return _PROFILE_INDEX_CACHE[key]
+
+
+def _q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a trigram-analyzed index; the query side tokenizes
+    with the same profile via index.cfg.tokenizer."""
+    idx = _profile_index(spark, sf_dir, "trigram")
+    return search(idx, TRIGRAM_QUERIES, mode="disjunctive")
+
+
+def _q_identifiers_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _profile_index(spark, sf_dir, "identifiers_only")
+    return (
+        idx.lexicon.select("term", "df", "cf")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(LEX_TOP_N)
+    )
+
+
+# ---------------------------------------------------------------------------
 # B1 upsert parity (delete-then-add, ChemicalIndex.java:801): build the
 # base index, stream a segment that UPDATES every doc_id % UPSERT_MOD == 0
 # (same id, new content) plus a pure-delete tombstone, then requery the
@@ -502,7 +547,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_upsert_wand": _q_upsert_wand,
         "k7_wand_topk_large": _q_wand_large_k,
         "q1_field_qualified": _q_field_qualified,
+        "t3_trigram_search": _q_trigram_search,
+        "t3_identifiers_lexicon": _q_identifiers_lexicon,
     }
+
+
+def _t3_oracle_trigram() -> str:
+    from org_rdkit_lucene_spark.config import get_analyzer
+
+    return sqlgen.bm25_topk_sql(
+        TRIGRAM_QUERIES, "disjunctive", profile=get_analyzer("trigram")
+    )
+
+
+def _t3_oracle_identifiers() -> str:
+    from org_rdkit_lucene_spark.config import get_analyzer
+
+    return sqlgen.lexicon_sql(LEX_TOP_N, profile=get_analyzer("identifiers_only"))
 
 
 def _page2_sql() -> str:
@@ -570,4 +631,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "k7_wand_topk_large": sqlgen.bm25_topk_sql(LARGE_K_QUERIES, "disjunctive"),
         "q1_field_qualified": sqlgen.query_syntax_sql(FIELD_QUERIES),
+        "t3_trigram_search": _t3_oracle_trigram(),
+        "t3_identifiers_lexicon": _t3_oracle_identifiers(),
     }

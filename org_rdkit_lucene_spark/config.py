@@ -52,6 +52,13 @@ class TokenizerProfile:
     max_token_len: int = 64
     # identifier n-grams (0 = off). Only the pandas path supports >0.
     ngram: int = 0
+    # drop pure-numeric tokens (identifiers_only profile) — supported
+    # on all three parity paths (pandas / Catalyst / DuckDB SQL)
+    drop_numeric: bool = False
+    # replace each token with its character n-grams (0 = off; tokens
+    # shorter than n pass through whole) — the trigram profile;
+    # supported on all three parity paths
+    char_ngram: int = 0
 
     def __post_init__(self) -> None:
         if self.min_token_len < 1:
@@ -62,6 +69,17 @@ class TokenizerProfile:
             )
         if self.ngram < 0:
             raise ValueError(f"ngram must be >= 0, got {self.ngram}")
+        if self.char_ngram < 0:
+            raise ValueError(f"char_ngram must be >= 0, got {self.char_ngram}")
+        if self.char_ngram > 0 and self.ngram > 0:
+            raise ValueError("char_ngram and ngram are mutually exclusive")
+
+    @property
+    def arrow_fast_path_ok(self) -> bool:
+        """Whether the ASCII Arrow-native build fast path implements
+        this profile (it covers only the default token pipeline; other
+        profiles take the canonical pandas path)."""
+        return self.ngram == 0 and self.char_ngram == 0 and not self.drop_numeric
 
 
 @dataclass(frozen=True)
@@ -114,6 +132,37 @@ class IndexConfig:
             raise ValueError(
                 f"max_consecutive_errors must be >= 1, got {self.max_consecutive_errors}"
             )
+
+
+# ---------------------------------------------------------------------------
+# Analyzer registry (T3) — named, pluggable term-extractor profiles,
+# the analog of the reference's FingerprintType registry
+# (fingerprint/FingerprintType.java:44-434: one enum constant per
+# fingerprint algorithm, each with validated settings). Every profile
+# here is implemented on all three parity paths (pandas canonical /
+# Catalyst / DuckDB SQL — tests/test_tokenizer.py).
+
+ANALYZERS: dict[str, TokenizerProfile] = {
+    "code_default": TokenizerProfile(),
+    # identifiers only: pure-numeric tokens dropped, single chars too
+    "identifiers_only": TokenizerProfile(
+        name="identifiers_only", min_token_len=2, drop_numeric=True
+    ),
+    # character trigrams of each identifier sub-word — the substring-
+    # search-friendly profile (short tokens pass through whole)
+    "trigram": TokenizerProfile(name="trigram", char_ngram=3),
+}
+
+
+def get_analyzer(name: str) -> TokenizerProfile:
+    """Look up a named analyzer profile; unknown names fail eagerly
+    (InvalidFingerprintSettingsException analog)."""
+    try:
+        return ANALYZERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown analyzer {name!r}; available: {sorted(ANALYZERS)}"
+        ) from None
 
 
 # Candidate-cap policy for two-phase search: min(k*10, 100000)

@@ -53,6 +53,14 @@ _SEP_RE = re.compile(_SEP)
 DEFAULT_PROFILE = TokenizerProfile()
 
 
+_NUMERIC_RE = re.compile(r"^[0-9]+$")
+
+
+def _char_ngrams(tok: str, n: int) -> list[str]:
+    """Character n-grams of one token; shorter tokens pass through."""
+    return [tok[i : i + n] for i in range(max(1, len(tok) - n + 1))]
+
+
 def tokenize_text(text: str | None, profile: TokenizerProfile = DEFAULT_PROFILE) -> list[str]:
     """Tokenize one string (canonical scalar definition)."""
     if text is None:
@@ -64,6 +72,10 @@ def tokenize_text(text: str | None, profile: TokenizerProfile = DEFAULT_PROFILE)
     if profile.lowercase:
         s = s.lower()
     toks = [t for t in _SEP_RE.split(s) if profile.min_token_len <= len(t) <= profile.max_token_len]
+    if profile.drop_numeric:
+        toks = [t for t in toks if not _NUMERIC_RE.match(t)]
+    if profile.char_ngram > 0:
+        toks = [g for t in toks for g in _char_ngrams(t, profile.char_ngram)]
     if profile.ngram > 1:
         n = profile.ngram
         toks = toks + ["␟".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
@@ -82,6 +94,11 @@ def tokenize_texts(
         s = s.str.lower()
     lo, hi = profile.min_token_len, profile.max_token_len
     out = s.str.split(_SEP_RE).map(lambda xs: [t for t in xs if lo <= len(t) <= hi])
+    if profile.drop_numeric:
+        out = out.map(lambda ts: [t for t in ts if not _NUMERIC_RE.match(t)])
+    if profile.char_ngram > 0:
+        cn = profile.char_ngram
+        out = out.map(lambda ts: [g for t in ts for g in _char_ngrams(t, cn)])
     if profile.ngram > 1:
         n = profile.ngram
         out = out.map(
@@ -118,7 +135,23 @@ def tokens_column(col: Column | str, profile: TokenizerProfile = DEFAULT_PROFILE
         c = F.lower(c)
     arr = F.split(c, _SEP)
     lo, hi = profile.min_token_len, profile.max_token_len
-    return F.filter(arr, lambda t: (F.length(t) >= lo) & (F.length(t) <= hi))
+    arr = F.filter(arr, lambda t: (F.length(t) >= lo) & (F.length(t) <= hi))
+    if profile.drop_numeric:
+        arr = F.filter(arr, lambda t: ~t.rlike("^[0-9]+$"))
+    if profile.char_ngram > 0:
+        n = profile.char_ngram
+        arr = F.flatten(
+            F.transform(
+                arr,
+                lambda t: F.when(F.length(t) <= n, F.array(t)).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                        lambda i: t.substr(i, F.lit(n)),
+                    )
+                ),
+            )
+        )
+    return arr
 
 
 def duckdb_tokens_sql(col_sql: str, profile: TokenizerProfile = DEFAULT_PROFILE) -> str:
@@ -136,10 +169,20 @@ def duckdb_tokens_sql(col_sql: str, profile: TokenizerProfile = DEFAULT_PROFILE)
     if profile.lowercase:
         c = f"lower({c})"
     lo, hi = profile.min_token_len, profile.max_token_len
-    return (
+    arr = (
         f"list_filter(regexp_split_to_array({c}, '{_SEP}'), "
         f"t -> len(t) >= {lo} AND len(t) <= {hi})"
     )
+    if profile.drop_numeric:
+        arr = f"list_filter({arr}, t -> NOT regexp_matches(t, '^[0-9]+$'))"
+    if profile.char_ngram > 0:
+        n = profile.char_ngram
+        arr = (
+            f"flatten(list_transform({arr}, t -> "
+            f"CASE WHEN len(t) <= {n} THEN [t] "
+            f"ELSE list_transform(range(1, len(t) - {n - 2}), i -> substr(t, i, {n})) END))"
+        )
+    return arr
 
 
 def tokenize_flat_arrow_ascii(
@@ -164,8 +207,8 @@ def tokenize_flat_arrow_ascii(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    if profile.ngram > 1:
-        raise ValueError("ngram profiles use the pandas path")
+    if not profile.arrow_fast_path_ok:
+        raise ValueError("profile not supported by the Arrow fast path")
     arr = pa.array(texts.fillna(""), type=pa.large_string())
     s = arr
     if profile.split_camel_case:

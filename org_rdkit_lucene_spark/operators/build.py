@@ -115,9 +115,9 @@ def _make_spimi_fn(cfg: IndexConfig):
             # kernels (no per-token Python objects — the allocation
             # churn that throttles multi-worker scaling); byte-identical
             # to the canonical pipeline for ASCII input (tested).
-            # Non-ASCII batches and the n-gram profile take the
-            # canonical pandas path.
-            if profile.ngram == 0:
+            # Non-ASCII batches and non-default analyzer profiles take
+            # the canonical pandas path.
+            if profile.arrow_fast_path_ok:
                 try:
                     if batch_is_ascii(pdf["content"]):
                         out = _flat_arrow(pdf, profile)

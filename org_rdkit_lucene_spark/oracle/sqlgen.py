@@ -11,20 +11,26 @@ tie-break (score_q DESC, doc_id ASC — SubstructureHitQueue.java:113-118).
 
 from __future__ import annotations
 
-from org_rdkit_lucene_spark.config import BM25Params, candidate_cap
-from org_rdkit_lucene_spark.functions.tokenizer import duckdb_tokens_sql, tokenize_text
+from org_rdkit_lucene_spark.config import BM25Params, TokenizerProfile, candidate_cap
+from org_rdkit_lucene_spark.functions.tokenizer import (
+    DEFAULT_PROFILE,
+    duckdb_tokens_sql,
+    tokenize_text,
+)
 
 P = BM25Params()
 _QUANT = 10**P.score_decimals
 
 
-def _values_qterms(queries: list[tuple[int, str, int]]) -> str:
+def _values_qterms(
+    queries: list[tuple[int, str, int]], profile: TokenizerProfile = DEFAULT_PROFILE
+) -> str:
     """(query_id, term, qtf, n_terms, k) VALUES rows from the canonical
     tokenizer — the oracle consumes pre-tokenized queries exactly like
     the engine's driver-side query tokenization."""
     rows = []
     for qid, text, k in queries:
-        toks = tokenize_text(text)
+        toks = tokenize_text(text, profile)
         if not toks:
             continue
         counts: dict[str, int] = {}
@@ -39,9 +45,12 @@ def _values_qterms(queries: list[tuple[int, str, int]]) -> str:
 
 
 def _bm25_ctes(
-    queries: list[tuple[int, str, int]], table: str = "documents", extra_cte: str = ""
+    queries: list[tuple[int, str, int]],
+    table: str = "documents",
+    extra_cte: str = "",
+    profile: TokenizerProfile = DEFAULT_PROFILE,
 ) -> str:
-    toks = duckdb_tokens_sql("text")
+    toks = duckdb_tokens_sql("text", profile)
     pre = f"{extra_cte},\n" if extra_cte else ""
     return f"""
 WITH {pre}tok AS (
@@ -57,7 +66,7 @@ dlstat AS (
 dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 q(query_id, term, qtf, n_terms, k) AS (
   VALUES
-    {_values_qterms(queries)}
+    {_values_qterms(queries, profile)}
 ),
 scored AS (
   SELECT q.query_id, tf.doc_id,
@@ -111,10 +120,11 @@ def bm25_topk_sql(
     mode: str = "disjunctive",
     table: str = "documents",
     extra_cte: str = "",
+    profile: TokenizerProfile = DEFAULT_PROFILE,
 ) -> str:
     conj = mode == "conjunctive"
     return (
-        _bm25_ctes(queries, table=table, extra_cte=extra_cte)
+        _bm25_ctes(queries, table=table, extra_cte=extra_cte, profile=profile)
         + _ranked(conj)
         + """
 SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
@@ -322,10 +332,10 @@ FROM ranked WHERE rnk <= k
 ORDER BY query_id, rank"""
 
 
-def lexicon_sql(limit: int = 30) -> str:
+def lexicon_sql(limit: int = 30, profile: TokenizerProfile = DEFAULT_PROFILE) -> str:
     """Top terms by document frequency — checks the whole SPIMI+merge
     +lexicon pipeline against a direct SQL tokenization."""
-    toks = duckdb_tokens_sql("text")
+    toks = duckdb_tokens_sql("text", profile)
     return f"""
 WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)

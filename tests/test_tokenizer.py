@@ -106,3 +106,65 @@ def test_profile_validation():
         TokenizerProfile(min_token_len=5, max_token_len=2)
     with pytest.raises(ValueError):
         tokens_column("x", TokenizerProfile(ngram=2))
+
+
+# ---------------------------------------------------------------------------
+# Analyzer registry (T3): every named profile must hold three-way
+# parity (pandas canonical / Catalyst / DuckDB SQL)
+
+
+def test_analyzer_registry():
+    from org_rdkit_lucene_spark.config import ANALYZERS, get_analyzer
+
+    assert set(ANALYZERS) == {"code_default", "identifiers_only", "trigram"}
+    assert get_analyzer("trigram").char_ngram == 3
+    with pytest.raises(ValueError, match="unknown analyzer"):
+        get_analyzer("nope")
+
+
+def test_identifiers_only_golden():
+    from org_rdkit_lucene_spark.config import get_analyzer
+
+    p = get_analyzer("identifiers_only")
+    assert tokenize_text("x99 foo 1234 a UPPER_CASE_99", p) == ["x99", "foo", "upper", "case"]
+
+
+def test_trigram_golden():
+    from org_rdkit_lucene_spark.config import get_analyzer
+
+    p = get_analyzer("trigram")
+    assert tokenize_text("getURL ab", p) == ["get", "url", "ab"]
+    assert tokenize_text("parse", p) == ["par", "ars", "rse"]
+
+
+@pytest.mark.parametrize("profile_name", ["identifiers_only", "trigram"])
+def test_profile_three_way_parity(spark, profile_name):
+    from org_rdkit_lucene_spark.config import get_analyzer
+
+    p = get_analyzer(profile_name)
+    texts = _random_code_strings(seed=23)
+    texts += [t for t, _ in GOLDEN if t is not None]
+    want = list(tokenize_texts(pd.Series(texts), p))
+    # scalar canonical
+    assert [tokenize_text(t, p) for t in texts] == want
+    # Catalyst
+    df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+    got_spark = [r["toks"] for r in df.select(tokens_column("t", p).alias("toks")).collect()]
+    assert got_spark == want
+    # DuckDB
+    expr = duckdb_tokens_sql("t", p)
+    got_duck = [r[0] for r in duckdb.sql(
+        f"select {expr} from (select unnest($1) as t)", params=[texts]
+    ).fetchall()]
+    assert got_duck == want
+
+
+def test_arrow_fast_path_rejects_non_default_profiles():
+    from org_rdkit_lucene_spark.config import get_analyzer
+    from org_rdkit_lucene_spark.functions.tokenizer import tokenize_flat_arrow_ascii
+
+    for name in ("identifiers_only", "trigram"):
+        p = get_analyzer(name)
+        assert not p.arrow_fast_path_ok
+        with pytest.raises(ValueError):
+            tokenize_flat_arrow_ascii(pd.Series(["abc"]), p)
