@@ -80,6 +80,22 @@ def _query_batches(qset) -> dict[str, tuple]:
     return {"disj": disj, "conj": conj, "phrase": phrase}
 
 
+RESULTS_CSV_HEADER = "level_cores,query,type,repeat,wall_ms,hits"
+
+
+def write_results_csv(rows: list[tuple], path: str) -> None:
+    """Per-query-batch result rows, one line per (batch, repeat) —
+    the reference benchmark's CSV output analog
+    (LuceneBenchmark.java:79-84,435-500: query, type, repeat, wall,
+    hit count per row). Columns: level_cores, query, type, repeat,
+    wall_ms, hits."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(RESULTS_CSV_HEADER + "\n")
+        for level_cores, query, qtype, rep, wall_ms, hits in rows:
+            f.write(f"{level_cores},{query},{qtype},{rep},{wall_ms},{hits}\n")
+
+
 def run_level(cores: int, corpus_path: str, repeats: int, pilot_path: str | None = None) -> dict:
     spark = get_spark(f"bench_l{cores}", cores=cores, shuffle_partitions=max(cores, 8))
     out: dict = {"cores": cores}
@@ -118,22 +134,31 @@ def run_level(cores: int, corpus_path: str, repeats: int, pilot_path: str | None
 
         qtimes: dict[str, float] = {}
         samples_all: list[float] = []
-        for name, fn in [
-            ("q_disjunctive", lambda: search(idx, batches["disj"], "disjunctive")),
-            ("q_conjunctive", lambda: search(idx, batches["conj"], "conjunctive")),
-            ("q_two_phase", lambda: search_two_phase(idx, corpus_ids, batches["phrase"])),
-            ("q_hit_counts", lambda: hit_counts(idx, batches["disj"][:10])),
-            ("q_topk_large_wand", lambda: search_wand(idx, large_k, "disjunctive")),
+        csv_rows: list[tuple] = []
+        for name, qtype, fn in [
+            ("q_disjunctive", "disjunctive",
+             lambda: search(idx, batches["disj"], "disjunctive")),
+            ("q_conjunctive", "conjunctive",
+             lambda: search(idx, batches["conj"], "conjunctive")),
+            ("q_two_phase", "two_phase",
+             lambda: search_two_phase(idx, corpus_ids, batches["phrase"])),
+            ("q_hit_counts", "hit_counts",
+             lambda: hit_counts(idx, batches["disj"][:10])),
+            ("q_topk_large_wand", "wand_large_k",
+             lambda: search_wand(idx, large_k, "disjunctive")),
         ]:
             samples = []
-            for _ in range(repeats):
+            for rep in range(repeats):
                 t = time.time()
-                fn().collect()
-                samples.append(time.time() - t)
+                hits = len(fn().collect())
+                wall = time.time() - t
+                samples.append(wall)
+                csv_rows.append((cores, name, qtype, rep, round(wall * 1000, 1), hits))
             qtimes[name] = round(min(samples), 3)  # best-of-repeats
             samples_all.extend(samples)
         samples_all.sort()
         out["queries"] = qtimes
+        out["csv_rows"] = csv_rows
         out["query_total_sec"] = round(sum(qtimes.values()), 3)
         out["query_p95_sec"] = round(samples_all[max(0, int(len(samples_all) * 0.95) - 1)], 3)
         shutil.rmtree(idx_dir, ignore_errors=True)
@@ -199,6 +224,10 @@ def main() -> None:
 
     bench_dir = os.path.join(REPO, "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
+    write_results_csv(
+        high.get("csv_rows", []) + low.get("csv_rows", []),
+        os.path.join(bench_dir, "results.csv"),
+    )
     with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write(
             f"""# BENCH baseline — two-parallelism scaling evidence

@@ -87,3 +87,26 @@ def test_no_rowwise_python_anywhere(small_index, docs_df):
         minhash_signatures(docs_df, "doc_id", "text"),
     ):
         audit.assert_no_rowwise_python(df)
+
+
+def test_hot_term_split_broadcasts_past_threshold(spark, small_index):
+    """Past hot_broadcast_threshold the hot/cold split must be a
+    broadcast (semi/anti) join, not a multi-thousand-literal In that
+    bloats analysis/codegen at 100x corpus scale."""
+    from org_rdkit_lucene_spark.config import IndexConfig
+    from org_rdkit_lucene_spark.operators.build import encode_postings
+    from org_rdkit_lucene_spark.plans import audit
+
+    flat = small_index.flat
+    hot_terms = [r["term"] for r in
+                 small_index.lexicon.orderBy(F.desc("df")).limit(30).collect()]
+    # threshold 0 → always broadcast-join the hot set
+    cfg = IndexConfig(build_partitions=4, hot_broadcast_threshold=0)
+    blocks = encode_postings(flat, cfg, small_index.avgdl, small_index.max_doc_id, hot_terms)
+    plan = blocks._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert " IN (" not in plan and "isin" not in plan.lower()
+    # above-threshold literal list path still used for small hot sets
+    cfg2 = IndexConfig(build_partitions=4, hot_broadcast_threshold=10_000)
+    blocks2 = encode_postings(flat, cfg2, small_index.avgdl, small_index.max_doc_id, hot_terms)
+    audit.assert_no_rowwise_python(blocks2)

@@ -60,10 +60,18 @@ def submitted(tmp_path_factory):
     assert r1.returncode == 0, r1.stderr[-3000:]
     build_out = json.loads(r1.stdout.strip().splitlines()[-1])
 
+    # S8 config-file source: same search driven by a JSON config with
+    # ${var} placeholder substitution instead of CLI flags
+    cfg_path = str(tmp / "job.json")
+    with open(cfg_path, "w") as f:
+        json.dump({
+            "vars": {"idx": idx_dir},
+            "search": {"index_dir": "${idx}",
+                       "queries": "1:getIndexValue merg scorer:5;2:token hash:3",
+                       "engine": "wand"},
+        }, f)
     r2 = subprocess.run(
-        common + [job, "search", "--index-dir", idx_dir,
-                  "--queries", "1:getIndexValue merg scorer:5;2:token hash:3",
-                  "--engine", "wand"],
+        common + [job, "search", "--config", cfg_path],
         capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp),
     )
     assert r2.returncode == 0, r2.stderr[-3000:]
