@@ -361,13 +361,25 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+_HALF_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _half_count(df: DataFrame, sf_dir: str, table: str) -> int:
+    """Driver-side N//2 for the engineered-duplicate views, computed
+    once per (sf_dir, table) instead of one extra job per entry."""
+    key = (os.path.abspath(sf_dir), table)
+    if key not in _HALF_CACHE:
+        _HALF_CACHE[key] = df.count() // 2
+    return _HALF_CACHE[key]
+
+
 def _dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived view with engineered exact duplicates (upper half of the
     id space re-uses the lower half's text) — mirrors
     sqlgen.dup_docs_cte exactly so pair-producing dedup ops have a
     non-empty deterministic answer."""
     docs = _documents(spark, sf_dir)
-    half = docs.count() // 2
+    half = _half_count(docs, sf_dir, "documents")
     base = docs.select(F.col("doc_id").alias("bid"), F.col("text").alias("text"))
     return (
         docs.select("doc_id", (F.col("doc_id") % F.lit(half)).alias("bid"))
@@ -448,7 +460,7 @@ def _td_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _td_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
-    half = emb.count() // 2
+    half = _half_count(emb, sf_dir, "embeddings")
     base = emb.select(F.col("vec_id").alias("bid"), "embedding")
     dup = (
         emb.select("vec_id", (F.col("vec_id") % F.lit(half)).alias("bid"))

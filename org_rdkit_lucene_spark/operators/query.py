@@ -155,13 +155,47 @@ def _quantize(col, decimals: int):
     return F.floor(col * F.lit(float(10**decimals)) + F.lit(0.5)).cast("long")
 
 
+def _make_local_topk(k_col: str = "k"):
+    """Partition-local bounded top-k (K1 per-shard heap analog): emits
+    at most k rows per (query, partition) under the K2 law. Runs on the
+    post-aggregation partitions with NO extra shuffle; the global
+    window then ranks parts×k rows per query instead of every
+    candidate — the property that keeps the DataFrame rank path from
+    funneling a hot query's full candidate set through one task."""
+
+    def local_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            parts = []
+            for _, g in pdf.groupby("query_id", sort=False):
+                k = int(g[k_col].iloc[0])
+                sel = np.lexsort(
+                    (g["doc_id"].to_numpy(np.int64), -g["score_q"].to_numpy(np.int64))
+                )[:k]
+                parts.append(g.iloc[sel])
+            yield pd.concat(parts, ignore_index=True)[
+                ["query_id", "doc_id", "score_q", k_col]
+            ]
+
+    return local_topk
+
+
 def rank_topk(scored: DataFrame, decimals: int, k_col: str = "k") -> DataFrame:
     """Tie-break law K2 (SubstructureHitQueue.java:113-118):
-    score DESC, doc_id ASC; bounded by per-query k."""
+    score DESC, doc_id ASC; bounded by per-query k.
+
+    Two-stage: partition-local top-k (exact — a global top-k row is a
+    fortiori in its partition's top-k) prunes the window input to
+    parts×k rows per query, then one window ranks the survivors."""
+    quant = scored.withColumn("score_q", _quantize(F.col("score_raw"), decimals))
+    local = quant.select("query_id", "doc_id", "score_q", k_col).mapInPandas(
+        _make_local_topk(k_col),
+        schema=f"query_id long, doc_id long, score_q long, {k_col} long",
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
     return (
-        scored.withColumn("score_q", _quantize(F.col("score_raw"), decimals))
-        .withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col(k_col))
         .select(_result_cols())
     )
