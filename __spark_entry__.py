@@ -26,6 +26,7 @@ from org_rdkit_lucene_spark.functions.text import (
 from org_rdkit_lucene_spark.operators.ann import (
     cosine_pairs,
     cosine_topk,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from org_rdkit_lucene_spark.operators.build import InvertedIndex, build_index
@@ -458,6 +459,13 @@ def _td_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _td_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    return ivf_cosine_topk(
+        emb, _ann_query_vecs(spark, sf_dir), k=ANN_K, n_centroids=16, nprobe=4
+    ).orderBy("query_id", "rank")
+
+
 def _td_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     half = _half_count(emb, sf_dir, "embeddings")
@@ -547,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_doc_fingerprints": _td_doc_fingerprints,
         "td_ann_cosine_topk": _td_ann_cosine_topk,
         "td_ann_lsh_topk": _td_ann_lsh_topk,
+        "td_ann_ivf_topk": _td_ann_ivf_topk,
         "td_cosine_dup_pairs": _td_cosine_dup_pairs,
         "td_media_features": _td_media_features,
         "td_frame_sample": _td_frame_sample,
@@ -621,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
         "td_doc_fingerprints": sqlgen.doc_fingerprints_sql(),
         "td_ann_cosine_topk": sqlgen.ann_cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
         "td_ann_lsh_topk": sqlgen.ann_lsh_topk_sql(ANN_QUERY_IDS, ANN_K, n_planes=6),
+        "td_ann_ivf_topk": sqlgen.ann_ivf_topk_sql(ANN_QUERY_IDS, ANN_K, 16, 4),
         "td_cosine_dup_pairs": sqlgen.cosine_dup_pairs_sql(threshold=0.999),
         "td_media_features": sqlgen.media_features_sql(),
         "td_frame_sample": sqlgen.frame_sample_sql(every_ms=50_000),

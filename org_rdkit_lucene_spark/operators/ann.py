@@ -155,6 +155,103 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_assignments(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (quantized cosine, ties → lowest centroid id). The
+    centroid matrix is broadcast in the kernel closure; one
+    partition-local matmul pass, no shuffle. Returns (vec_id, cid)."""
+    cmat = _normalize(np.asarray(centroids, dtype=np.float64))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            cos_q = np.floor(mat @ cmat.T * QUANT + 0.5).astype(np.int64)
+            # argmax returns the FIRST max → lowest cid wins ties
+            cid = np.argmax(cos_q, axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(np.int64), "cid": cid}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(kernel, schema="vec_id long, cid long")
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k — the inverted-file scale path next to the
+    sign-LSH variant: coarse-quantize the corpus once, probe only the
+    query's ``nprobe`` nearest centroid cells, exact cosine re-rank
+    within candidates.
+
+    Centroids are the vectors with ``vec_id < n_centroids`` —
+    deterministic and oracle-reproducible (a seeded k-means would
+    converge machine-dependently; a fixed-subset codebook keeps the
+    cross-engine hash contract while exercising the identical probe/
+    re-rank plan shape). At cluster scale the assignment table is
+    written bucketed by cid so a probe prunes the scan to matching
+    cells. Returns (query_id, rank, vec_id, cos_q)."""
+    spark = emb.sparkSession
+    crows = sorted(
+        (int(r[0]), list(r[1]))
+        for r in emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cmat = _normalize(np.array([v for _, v in crows], dtype=np.float64))
+    asg = ivf_assignments(emb, cmat, id_col, vec_col)
+
+    # driver-side probe: nprobe nearest centroids per query
+    probe_rows = []
+    for qid, v in query_vecs:
+        qn = _normalize(np.array([v], dtype=np.float64))[0]
+        cos_q = np.floor(cmat @ qn * QUANT + 0.5).astype(np.int64)
+        order = np.lexsort((np.arange(len(cos_q)), -cos_q))[:nprobe]
+        probe_rows.extend((int(qid), int(c)) for c in order)
+    pb = F.broadcast(spark.createDataFrame(probe_rows, "query_id long, cid long"))
+
+    cand_ids = asg.join(pb, "cid").select("query_id", F.col("vec_id").alias("cid2"))
+    vecs = emb.select(F.col(id_col).alias("cid2"), vec_col)
+    cand = cand_ids.join(vecs, "cid2").select("query_id", "cid2", vec_col)
+
+    qmap = {qid: _normalize(np.array([v], dtype=np.float64))[0] for qid, v in query_vecs}
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            qarr = np.array([qmap[q] for q in pdf["query_id"]])
+            sims = (mat * qarr).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(np.int64),
+                    "vec_id": pdf["cid2"].to_numpy(np.int64),
+                    "cos_q": np.floor(sims * QUANT + 0.5).astype(np.int64),
+                }
+            )
+
+    scored = cand.mapInPandas(score, schema="query_id long, vec_id long, cos_q long")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_q")
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -243,9 +243,11 @@ def _simhash_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             bits_pm1 = np.unpackbits(digs, axis=1).astype(np.float64) * 2.0 - 1.0
             # all accumulations are exact integer sums in float64, so
             # both branches produce bit-identical fingerprints
-            if n * u <= (1 << 25):
+            if n * u <= (1 << 23):
                 # small vocabulary: dense doc×term count matrix + one
-                # BLAS matmul — no per-pair scatter at all
+                # BLAS matmul — no per-pair scatter at all. The 2^23
+                # cap bounds the transient matrix to ~64 MB/task so
+                # standard 4-8 GB executors never spill on this path.
                 counts = np.bincount(doc_idx * u + codes, minlength=int(n * u))
                 acc = counts.astype(np.float64).reshape(n, int(u)) @ bits_pm1
             else:

@@ -695,6 +695,68 @@ SELECT query_id::BIGINT AS query_id, CAST(rnk AS INTEGER) AS rank,
 FROM ranked WHERE rnk <= {k} ORDER BY query_id, rank"""
 
 
+_NCOS = (
+    "list_dot_product(list_transform({a}, x -> x / sqrt(list_dot_product({a}, {a}))), "
+    "list_transform({b}, x -> x / sqrt(list_dot_product({b}, {b}))))"
+)
+
+
+def _cos_q_sql(a: str, b: str) -> str:
+    return f"CAST(floor({_NCOS.format(a=a, b=b)} * 1000000 + 0.5) AS BIGINT)"
+
+
+def ann_ivf_topk_sql(
+    query_vec_ids: list[int], k: int = 10, n_centroids: int = 16, nprobe: int = 4
+) -> str:
+    """Twin of operators/ann.ivf_cosine_topk: fixed-subset codebook
+    (vec_id < n_centroids), nearest-centroid assignment (quantized
+    cosine, ties → lowest cid), nprobe-cell probe, exact re-rank."""
+    ids = ", ".join(str(i) for i in query_vec_ids)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, ev AS cv FROM e WHERE vec_id < {n_centroids}),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_q_sql("e.ev", "c.cv")} DESC, c.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id IN ({ids})),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_cos_q_sql("q.qv", "c.cv")} DESC, c.cid ASC
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {_cos_q_sql("qq.qv", "ee.ev")} AS cos_q
+  FROM probe p
+  JOIN asg a USING (cid)
+  JOIN q qq ON qq.query_id = p.query_id
+  JOIN e ee ON ee.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, CAST(rnk AS INTEGER) AS rank,
+       vec_id::BIGINT AS vec_id, cos_q
+FROM ranked WHERE rnk <= {k} ORDER BY query_id, rank"""
+
+
 def cosine_dup_pairs_sql(threshold: float = 0.999, dim: int = 64, n_planes: int = 8,
                          seed: int = 42) -> str:
     """Twin of operators/ann.cosine_pairs over a derived embeddings view

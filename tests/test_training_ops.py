@@ -264,3 +264,38 @@ def test_cosine_pairs_bucket_cap(spark):
     capped = cosine_pairs(emb, threshold=0.9, max_bucket_size=10).toPandas()
     assert not any(v in set(range(30)) for v in capped["vec1"])
     assert {(100, 101)} <= set(map(tuple, capped[["vec1", "vec2"]].to_numpy()))
+
+
+def test_ivf_topk_recall_and_probe_monotone(spark):
+    """IVF probe path: full probe (nprobe = n_centroids) must equal the
+    exact brute force; recall grows (weakly) with nprobe."""
+    from pyspark.sql import types as T
+
+    from org_rdkit_lucene_spark.operators.ann import ivf_cosine_topk
+
+    rng = np.random.default_rng(4)
+    vecs = [(i, rng.standard_normal(16).tolist()) for i in range(400)]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    emb = spark.createDataFrame(vecs, schema)
+    queries = [(i, vecs[i][1]) for i in (3, 77, 200)]
+    exact = cosine_topk(emb, queries, k=10).toPandas()
+
+    full = ivf_cosine_topk(emb, queries, k=10, n_centroids=8, nprobe=8).toPandas()
+    pd.testing.assert_frame_equal(
+        full.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        exact.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    def recall(n):
+        approx = ivf_cosine_topk(emb, queries, k=10, n_centroids=8, nprobe=n).toPandas()
+        got = set(map(tuple, approx[["query_id", "vec_id"]].to_numpy()))
+        want = set(map(tuple, exact[["query_id", "vec_id"]].to_numpy()))
+        return len(got & want) / len(want)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.5  # a 50% floor at nprobe=4 of 8 cells
