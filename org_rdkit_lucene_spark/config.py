@@ -99,7 +99,14 @@ class IndexConfig:
     codec: str = "varbyte"
     # Salted term-merge: hot terms (df >= hot_term_df) are built in
     # `n_salts` doc_id-range buckets, then concatenated (SURVEY §7.3).
-    hot_term_df: int = 4096
+    # The threshold is a MEMORY bound, not a frequency taste: a term's
+    # postings are materialized per-task at ~14 B/row, so 65536 rows is
+    # ~1 MB — far under any executor budget — while routing medium
+    # terms through the two-pass salted merge costs two extra shuffle
+    # stages for nothing (measured: df>=4096 salted 698 terms and was
+    # ~16% slower in stage 4 than df>=65536's 114; salting fully OFF is
+    # slower still because giant terms skew the cold sort).
+    hot_term_df: int = 65536
     n_salts: int = 8
     # Above this many hot terms, the hot/cold split uses a broadcast
     # join instead of inlining an `isin` literal list into the plan

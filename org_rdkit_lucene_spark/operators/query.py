@@ -359,6 +359,18 @@ def search_two_phase(
     )
 
 
+def hits_to_keys(index: InvertedIndex, results: DataFrame) -> DataFrame:
+    """P5 analog (``ChemicalIndex.java:739-760``,
+    ``getPrimaryKeysForSearchHits``): project search hits back to their
+    stored primary keys via the docmeta broadcast-able metadata join —
+    the reference walks the collector's ScoreDocs and reads the stored
+    ``pk`` field per hit. Preserves ranking columns."""
+    keys = index.docmeta.select("doc_id", "repo", "path", "commit")
+    return results.join(keys, "doc_id").select(
+        "query_id", "rank", "doc_id", "repo", "path", "commit", "score_q"
+    )
+
+
 def max_scores(
     index: InvertedIndex, queries: list[tuple[int, str, int]], mode: str = "disjunctive"
 ) -> DataFrame:

@@ -106,3 +106,19 @@ def test_search_after_pagination(small_index, oracle, queries_pdf):
     want2 = full.iloc[10:20].reset_index(drop=True)
     assert list(page2["doc_id"]) == list(want2["doc_id"])
     assert list(page2["score_q"]) == list(want2["score_q"])
+
+
+def test_hits_to_keys_projection(small_index):
+    """P5 (getPrimaryKeysForSearchHits, ChemicalIndex.java:739-760):
+    every hit maps to exactly one stored primary key, ranks preserved."""
+    from org_rdkit_lucene_spark.operators.query import hits_to_keys, search
+
+    res = search(small_index, [(1, "merg scorer", 5)])
+    keys = hits_to_keys(small_index, res).toPandas().sort_values("rank")
+    assert len(keys) == 5
+    assert keys["rank"].tolist() == [1, 2, 3, 4, 5]
+    assert keys[["repo", "path", "commit"]].notna().all().all()
+    # round-trip: the key identifies the same doc_id in docmeta
+    dm = small_index.docmeta.toPandas().set_index(["repo", "path", "commit"])["doc_id"]
+    for r in keys.itertuples():
+        assert dm.loc[(r.repo, r.path, r.commit)] == r.doc_id

@@ -205,3 +205,58 @@ def test_compaction_byte_identical_to_rebuild(upsert_setup):
     ra = _sorted(search(comp, QUERIES, mode="disjunctive"))
     rb = _sorted(search(full, QUERIES, mode="disjunctive"))
     pd.testing.assert_frame_equal(ra, rb)
+
+
+def test_stream_upsert_end_to_end(spark, tmp_path_factory):
+    """Updates flowing through a REAL readStream → index_stream:
+    batch 1 adds docs, batch 2 RE-SENDS three of them with changed
+    content; the live view must equal a rebuild over the final corpus."""
+    from pyspark.sql import types as T
+
+    from org_rdkit_lucene_spark.streaming.incremental import index_stream
+
+    tmp = tmp_path_factory.mktemp("stream_upsert")
+    pdf = make_corpus_pdf(n_docs=150, seed=13)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    cfg = IndexConfig(build_partitions=4, hot_term_df=60, n_salts=4)
+    base_dir = str(tmp / "base")
+    base = build_index(
+        spark, spark.createDataFrame(pdf.iloc[:100]), cfg, base_dir, id_col="ext_id"
+    )
+    assert base is not None
+
+    src = tmp / "incoming"
+    src.mkdir()
+    adds = pdf.iloc[100:].copy()
+    adds.to_parquet(src / "b1.parquet", index=False)
+    upd = pdf[pdf.ext_id.isin([10, 50, 120])].copy()
+    upd["content"] = upd["content"] + " streamed upsertmarker"
+    upd.to_parquet(src / "b2.parquet", index=False)
+
+    schema = T.StructType([
+        T.StructField("ext_id", T.LongType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = index_stream(stream, base_dir, cfg, str(tmp / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    seg = SegmentedIndex.load(spark, base_dir, cfg)
+    final = pd.concat([pdf[~pdf.ext_id.isin([10, 50, 120])], upd], ignore_index=True)
+    full = build_index(
+        spark, spark.createDataFrame(final), cfg, str(tmp / "full"), id_col="ext_id"
+    )
+    assert seg.n_docs == full.n_docs and seg.avgdl == full.avgdl
+    qs = [(1, "streamed upsertmarker", 20), (2, "token pars hash", 10)]
+    pd.testing.assert_frame_equal(
+        _sorted(search(seg, qs, mode="disjunctive")),
+        _sorted(search(full, qs, mode="disjunctive")),
+    )
+    hits = search(seg, [(3, "upsertmarker", 50)]).toPandas()
+    assert set(hits["doc_id"]) == {10, 50, 120}
