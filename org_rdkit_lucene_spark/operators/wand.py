@@ -15,7 +15,7 @@ of block-max WAND, suited to Spark's shared-nothing execution):
    scored, so each doc is scored completely in exactly one shard (its
    postings for all query terms land there) and shard-local top-k is
    globally safe.
-2. Within a (query, shard) group the kernel sweeps block boundaries
+2. Per (query, shard) group the kernel sweeps block boundaries
    into elementary SEGMENTS. Each segment's upper bound is the sum of
    covering blocks' ``idf*qtf*max_tf_norm`` (the block-max metadata
    written at build time) — computable with NO block decoding.
@@ -58,7 +58,49 @@ def _make_kernel(
 ):
     kill_ids, kill_ords = kill if kill is not None else (None, None)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def shard_kernel(spdf: pd.DataFrame) -> pd.DataFrame:
+        """One SHARD group holding every query's block rows: queries
+        share a raw-decode cache (docs + query-independent tf_norm per
+        physical block). Grouping is per (query, shard) — each group
+        holds one query — because the sweep, not decode, dominates and
+        fine groups balance better; the cache structure still pays off
+        when one query's segments revisit a block."""
+        raw_cache: dict[tuple, tuple] = {}
+
+        def raw_decode(key, row, seg_ord):
+            if key not in raw_cache:
+                docs = delta_decode(
+                    int(row["first_doc"]), bytes(row["doc_bytes"]), int(row["n"]), codec
+                )
+                tfs = decode_ints(bytes(row["tf_bytes"]), codec).astype(np.float64)
+                dls = decode_ints(bytes(row["dl_bytes"]), codec).astype(np.float64)
+                if kill_ids is not None and len(kill_ids):
+                    # drop tombstoned versions: a kill from segment
+                    # ordinal j removes docs of blocks with ordinal < j
+                    pos = np.searchsorted(kill_ids, docs)
+                    pos_c = np.minimum(pos, len(kill_ids) - 1)
+                    dead = (kill_ids[pos_c] == docs) & (kill_ords[pos_c] > seg_ord)
+                    if dead.any():
+                        keep = ~dead
+                        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                tf_norm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+                raw_cache[key] = (docs, tf_norm)
+            return raw_cache[key]
+
+        outs = []
+        for _, pdf in spdf.groupby("query_id", sort=False):
+            out = query_kernel(pdf.reset_index(drop=True), raw_decode)
+            if len(out):
+                outs.append(out)
+        if not outs:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int32"),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "score_q": pd.Series(dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def query_kernel(pdf: pd.DataFrame, raw_decode) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         k = int(pdf["k"].iloc[0])
         n_terms = int(pdf["n_terms"].iloc[0])
@@ -112,26 +154,14 @@ def _make_kernel(
         decoded: dict[int, tuple] = {}
         idfs = pdf["idf"].to_numpy(np.float64)
         qtfs = pdf["qtf"].to_numpy(np.float64)
+        terms_arr = pdf["term"].to_numpy()
+        block_ids = pdf["block_id"].to_numpy(np.int64)
 
         def decode(bi: int):
             if bi not in decoded:
-                row = pdf.iloc[bi]
-                docs = delta_decode(int(row["first_doc"]), bytes(row["doc_bytes"]), int(row["n"]), codec)
-                tfs = decode_ints(bytes(row["tf_bytes"]), codec).astype(np.float64)
-                dls = decode_ints(bytes(row["dl_bytes"]), codec).astype(np.float64)
-                if kill_ids is not None and len(kill_ids):
-                    # drop tombstoned versions: a kill from segment
-                    # ordinal j removes docs of blocks with ordinal < j
-                    pos = np.searchsorted(kill_ids, docs)
-                    pos_c = np.minimum(pos, len(kill_ids) - 1)
-                    dead = (kill_ids[pos_c] == docs) & (kill_ords[pos_c] > seg_ords[bi])
-                    if dead.any():
-                        keep = ~dead
-                        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
-                contrib = qtfs[bi] * idfs[bi] * tfs * (k1 + 1.0) / (
-                    tfs + k1 * (1.0 - b + b * dls / avgdl)
-                )
-                decoded[bi] = (docs, contrib)
+                key = (terms_arr[bi], int(block_ids[bi]), int(seg_ords[bi]))
+                docs, tf_norm = raw_decode(key, pdf.iloc[bi], int(seg_ords[bi]))
+                decoded[bi] = (docs, qtfs[bi] * idfs[bi] * tf_norm)
             return decoded[bi]
 
         # blocks covering each segment: precompute lists via interval index
@@ -199,7 +229,7 @@ def _make_kernel(
             top_docs, top_scores = top_docs[sel], top_scores[sel]
         return pd.DataFrame({"query_id": qid, "doc_id": top_docs, "score_q": top_scores})
 
-    return kernel
+    return shard_kernel
 
 
 def search_wand(
@@ -254,6 +284,10 @@ def search_wand(
         p.k1, p.b, index.avgdl, 10**p.score_decimals, mode == "conjunctive",
         codec=getattr(index, "codec", "varbyte"), kill=kill,
     )
+    # per-(query, shard) groups: measured faster than one-group-per-
+    # shard with an internal query loop — the per-query segment sweep
+    # (not block decode) dominates, and fine-grained groups let the
+    # scheduler balance heavy (hot-term) queries across cores
     local = blocks.groupBy("query_id", "shard").applyInPandas(
         kernel, schema="query_id int, doc_id long, score_q long"
     )
