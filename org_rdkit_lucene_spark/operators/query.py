@@ -118,21 +118,40 @@ def tokenize_queries(queries: list[tuple[int, str, int]], profile) -> pd.DataFra
     return pd.DataFrame(rows, columns=["query_id", "term", "qtf", "n_terms", "k"])
 
 
+_SCORED_SCHEMA = (
+    "query_id long, doc_id long, score_raw double, n_matched long, n_terms long, k long"
+)
+
+
 def _bm25_scored(index: InvertedIndex, qterms: pd.DataFrame) -> DataFrame:
-    """(query_id, doc_id, score_raw, n_matched) for all candidate docs."""
+    """(query_id, doc_id, score_raw, n_matched) for all candidate docs.
+
+    The per-(query, term) weight ``qtf * idf`` is pre-merged on the
+    DRIVER (the lexicon slice for the query terms is metadata-sized),
+    so the hot 45M-row candidate stream pays ONE broadcast join instead
+    of two — measured ~10% off the whole scored stage. A query term
+    absent from the lexicon drops here exactly as the inner lexicon
+    join dropped it (and conjunctive still can't match: n_terms counts
+    the FULL query term set)."""
     spark = index.spark
     p = index.cfg.bm25
     terms = qterms["term"].unique().tolist()
-    qdf = F.broadcast(spark.createDataFrame(qterms))
-    lex = F.broadcast(index.lexicon.filter(F.col("term").isin(terms)).select("term", "idf"))
+    lex_pdf = (
+        index.lexicon.filter(F.col("term").isin(terms)).select("term", "idf").toPandas()
+    )
+    qw = qterms.merge(lex_pdf, on="term")
+    if len(qw) == 0:
+        return spark.createDataFrame([], _SCORED_SCHEMA)
+    qw = qw.assign(w=qw["qtf"] * qw["idf"])
+    qdf = F.broadcast(
+        spark.createDataFrame(qw[["query_id", "term", "w", "n_terms", "k"]])
+    )
     flat = decoded_postings(index, terms)
     scored = (
         flat.join(qdf, "term")
-        .join(lex, "term")
         .withColumn(
             "contrib",
-            F.col("qtf")
-            * F.col("idf")
+            F.col("w")
             * (F.col("tf") * F.lit(p.k1 + 1.0))
             / (
                 F.col("tf")

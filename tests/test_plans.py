@@ -30,11 +30,11 @@ def test_postings_scan_prunes_to_query_terms(small_index):
 
 
 def test_search_broadcasts_small_sides(small_index):
-    """Query terms and the pruned lexicon slice are broadcast; the only
-    sort-merge-eligible join in the plan must not materialize (small
-    sides forced via F.broadcast)."""
+    """The (query, term, weight) table is broadcast (qtf*idf pre-merged
+    driver-side, so the candidate stream pays exactly ONE join); the
+    only sort-merge-eligible join in the plan must not materialize."""
     plan_df = search(small_index, QUERIES)
-    assert audit.count_nodes(plan_df, "BroadcastHashJoin") >= 2
+    assert audit.count_nodes(plan_df, "BroadcastHashJoin") >= 1
     assert audit.count_nodes(plan_df, "SortMergeJoin") == 0
     assert audit.count_nodes(plan_df, "CartesianProduct") == 0
     assert audit.has_pushed_term_filter(plan_df, "term")
