@@ -22,6 +22,7 @@ from org_rdkit_lucene_spark.functions.text import (
     lang_id,
     quality_scores,
     token_counts,
+    winnow_fingerprints,
 )
 from org_rdkit_lucene_spark.operators.ann import (
     cosine_pairs,
@@ -433,6 +434,10 @@ def _td_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(_documents(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
 
 
+def _td_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(_documents(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
+
+
 ANN_QUERY_IDS = [3, 17, 42, 99, 123]
 ANN_K = 10
 
@@ -521,6 +526,19 @@ def _ev_windowed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def _ev_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup with engineered at-least-once
+    redelivery (every event emitted twice): result == original set."""
+    from org_rdkit_lucene_spark.streaming.events import stream_dedup_events
+
+    _EV_COUNTER[0] += 1
+    return stream_dedup_events(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        query_name=f"evd_{_EV_COUNTER[0]}",
+    ).orderBy("event_id")
+
+
 def _ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from org_rdkit_lucene_spark.streaming.events import sessionize
 
@@ -553,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_token_counts": _td_token_counts,
         "td_quality_scores": _td_quality_scores,
         "td_doc_fingerprints": _td_doc_fingerprints,
+        "td_winnow_fingerprints": _td_winnow_fingerprints,
         "td_ann_cosine_topk": _td_ann_cosine_topk,
         "td_ann_lsh_topk": _td_ann_lsh_topk,
         "td_ann_ivf_topk": _td_ann_ivf_topk,
@@ -561,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_frame_sample": _td_frame_sample,
         "ev_windowed_stream": _ev_windowed_stream,
         "ev_sessionize": _ev_sessionize,
+        "ev_dedup_stream": _ev_dedup_stream,
         "q1_query_syntax": _q_syntax,
         "k6_max_scores": _q_max_scores,
         "td_media_embed_topk": _td_media_embed_topk,
@@ -628,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "td_token_counts": sqlgen.token_counts_sql(),
         "td_quality_scores": sqlgen.quality_scores_sql(),
         "td_doc_fingerprints": sqlgen.doc_fingerprints_sql(),
+        "td_winnow_fingerprints": sqlgen.winnow_fingerprints_sql(),
         "td_ann_cosine_topk": sqlgen.ann_cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
         "td_ann_lsh_topk": sqlgen.ann_lsh_topk_sql(ANN_QUERY_IDS, ANN_K, n_planes=6),
         "td_ann_ivf_topk": sqlgen.ann_ivf_topk_sql(ANN_QUERY_IDS, ANN_K, 16, 4),
@@ -636,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         "td_frame_sample": sqlgen.frame_sample_sql(every_ms=50_000),
         "ev_windowed_stream": sqlgen.windowed_events_sql("1 hour"),
         "ev_sessionize": sqlgen.sessionize_sql(30),
+        "ev_dedup_stream": sqlgen.dedup_events_sql(),
         "q1_query_syntax": sqlgen.query_syntax_sql(SYNTAX_QUERIES),
         "k6_max_scores": sqlgen.max_scores_sql(DISJ_QUERIES),
         "td_media_embed_topk": sqlgen.media_embed_topk_sql(MEDIA_ANCHOR_IDS, ANN_K),

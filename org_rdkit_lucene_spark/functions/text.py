@@ -116,3 +116,47 @@ def doc_fingerprints(df: DataFrame, id_col: str = "doc_id", content_col: str = "
         F.col(id_col).alias("doc_id"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the rolling-hash fingerprint scheme): per-token 60-bit hashes from
+    md5, then the minimum hash of every length-``window`` rolling
+    window; the distinct selected hashes are the document's
+    fingerprint set. Winnowing guarantees any shared token run of
+    length >= window produces at least one shared fingerprint between
+    two documents — the local, position-independent dedup signal.
+
+    Pure Catalyst (no Python): per doc emits the set SIZE, the minimum
+    member, and the xor-fold of the set — scalar digests that are
+    engine-portable (the driver's value-hash comparison needs scalar
+    columns) while pinning the exact set contents. Docs with fewer
+    than ``window`` tokens fingerprint their full token list (one
+    window over everything they have); token-less docs emit (0, 0, 0).
+    """
+    toks = tokens_column(content_col)
+    # 60-bit signed-safe token hash: first 15 hex chars of md5
+    hs = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    n = F.size(hs)
+    w = F.least(F.lit(window), n)
+    mins = F.when(n <= 0, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - w + 1),
+            lambda i: F.array_min(F.slice(hs, i, window)),
+        )
+    )
+    fps = F.array_distinct(mins)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.coalesce(F.array_min(fps), F.lit(0)).cast("long").alias("fp_min"),
+        F.coalesce(
+            F.aggregate(fps, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)),
+            F.lit(0),
+        ).alias("fp_xor"),
+    )

@@ -556,6 +556,35 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM documents ORDER BY doc_id"""
 
 
+def winnow_fingerprints_sql(window: int = 4) -> str:
+    """Twin of functions/text.winnow_fingerprints: 60-bit md5 token
+    hashes, rolling-window minima, distinct set digested as
+    (size, min, xor-fold)."""
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_transform({toks}, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+  FROM documents
+),
+mins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) <= 0 THEN CAST([] AS BIGINT[])
+              ELSE list_transform(
+                     range(1, len(hs) - least({window}, len(hs)) + 2),
+                     i -> list_min(hs[i:i+{window - 1}]))
+         END AS mins
+  FROM hs
+),
+fps AS (SELECT doc_id, list_distinct(mins) AS fps FROM mins)
+SELECT doc_id::BIGINT AS doc_id,
+       len(fps)::BIGINT AS n_fingerprints,
+       coalesce(list_min(fps), 0)::BIGINT AS fp_min,
+       CASE WHEN len(fps) = 0 THEN 0
+            ELSE list_reduce(fps, (a, b) -> xor(a, b)) END::BIGINT AS fp_xor
+FROM fps ORDER BY doc_id"""
+
+
 def ann_cosine_topk_sql(query_vec_ids: list[int], k: int = 10) -> str:
     ids = ", ".join(str(i) for i in query_vec_ids)
     return f"""
@@ -867,6 +896,16 @@ SELECT time_bucket(INTERVAL '{window}', ts) AS window_start, event_type,
        count(*)::BIGINT AS n_events,
        CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_q
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def dedup_events_sql() -> str:
+    """Twin of streaming/events.stream_dedup_events: deduping the
+    duplicated stream by event_id recovers exactly the original event
+    set (event_id is the table's key)."""
+    return """
+SELECT event_id::BIGINT AS event_id, ts, user_id::BIGINT AS user_id, event_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_q
+FROM events ORDER BY event_id"""
 
 
 def sessionize_sql(gap_minutes: int = 30) -> str:

@@ -133,3 +133,29 @@ def test_watermark_drops_late_events(spark, events_pdf, tmp_path):
     assert "late" not in set(out.event_type)
     # finalized windows (hour 0, hour 1) were emitted by the advancing watermark
     assert (out.window_start == T0).any()
+
+
+def test_stream_dedup_removes_redelivered_events(spark, tmp_path):
+    """Engineered at-least-once redelivery (x3): the stateful streaming
+    dedup must recover exactly the original event set."""
+    import pandas as pd
+
+    from org_rdkit_lucene_spark.streaming.events import stream_dedup_events
+
+    pdf = pd.DataFrame({
+        "event_id": range(40),
+        "ts": pd.date_range("2024-01-01", periods=40, freq="min").astype("datetime64[us]"),
+        "user_id": [i % 5 for i in range(40)],
+        "event_type": ["click" if i % 2 else "view" for i in range(40)],
+        "value": [round(i * 0.25, 2) for i in range(40)],
+        "props": ["{}"] * 40,
+    })
+    src = tmp_path / "ev"
+    src.mkdir()
+    pdf.to_parquet(src / "events.parquet", index=False)
+    out = stream_dedup_events(
+        spark, str(src / "events.parquet"), query_name="evd_test", dup_factor=3
+    ).toPandas().sort_values("event_id").reset_index(drop=True)
+    assert len(out) == 40
+    assert out["event_id"].tolist() == list(range(40))
+    assert out["value_q"].tolist() == [int(i * 25) for i in range(40)]

@@ -299,3 +299,49 @@ def test_ivf_topk_recall_and_probe_monotone(spark):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1
     assert r4 >= 0.5  # a 50% floor at nprobe=4 of 8 cells
+
+
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing guarantee: documents sharing a token run of length >=
+    window share at least one fingerprint; identical docs share the
+    whole digest; the scalar digest is deterministic."""
+    from org_rdkit_lucene_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, f"prefix one {shared} suffix one"),
+        (1, f"other start {shared} different tail here"),
+        (2, f"prefix one {shared} suffix one"),  # identical to 0
+        (3, "completely unrelated words nothing matches at all"),
+        (4, ""),  # token-less
+        (5, "ab"),  # shorter than the window
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = winnow_fingerprints(df, window=4).toPandas().set_index("doc_id")
+    assert tuple(out.loc[0]) == tuple(out.loc[2])  # identical docs
+    assert out.loc[4, "n_fingerprints"] == 0 and out.loc[4, "fp_xor"] == 0
+    assert out.loc[5, "n_fingerprints"] == 1  # one window over what exists
+
+    # shared-run guarantee checked on the raw sets via a pandas replica
+    import hashlib
+
+    from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
+
+    def fps(text, w=4):
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+              for t in tokenize_text(text)]
+        if not hs:
+            return set()
+        ww = min(w, len(hs))
+        return {min(hs[i:i + w]) for i in range(len(hs) - ww + 1)}
+
+    assert fps(rows[0][1]) & fps(rows[1][1])  # shared run -> shared fp
+    assert not (fps(rows[0][1]) & fps(rows[3][1]))
+    # the Spark digest matches the replica's digest
+    s0 = fps(rows[0][1])
+    assert out.loc[0, "n_fingerprints"] == len(s0)
+    assert out.loc[0, "fp_min"] == min(s0)
+    x = 0
+    for v in s0:
+        x ^= v
+    assert out.loc[0, "fp_xor"] == x
