@@ -351,6 +351,20 @@ def _q_upsert_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_wand(_upsert_index(spark, sf_dir), UPSERT_QUERIES, mode="disjunctive")
 
 
+def _q_compacted_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction through the driver gate: fold the tombstoned segments
+    into a fresh monolithic base (the Lucene background-merge analog)
+    and requery — must hash-match the same updated-corpus oracle."""
+    from org_rdkit_lucene_spark.streaming.incremental import compact
+
+    seg = _upsert_index(spark, sf_dir)
+    key = ("compact", os.path.abspath(sf_dir))
+    if key not in _UPSERT_CACHE:
+        out = tempfile.mkdtemp(prefix="orls_compact_")
+        _UPSERT_CACHE[key] = compact(spark, seg.index_dir, seg.cfg, out)
+    return search(_UPSERT_CACHE[key], UPSERT_QUERIES, mode="disjunctive")
+
+
 # ---------------------------------------------------------------------------
 # training-data ops over the documents / embeddings tables
 
@@ -586,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_media_embed_topk": _td_media_embed_topk,
         "b1_upsert_requery": _q_upsert_requery,
         "b1_upsert_wand": _q_upsert_wand,
+        "b1_compacted_requery": _q_compacted_requery,
         "k7_wand_topk_large": _q_wand_large_k,
         "q1_field_qualified": _q_field_qualified,
         "t3_trigram_search": _q_trigram_search,
@@ -674,6 +689,12 @@ def oracle_sql() -> dict[str, str]:
             extra_cte=sqlgen.upsert_docs_cte(UPSERT_MOD, UPSERT_MARKER, UPSERT_DELETED),
         ),
         "k7_wand_topk_large": sqlgen.bm25_topk_sql(LARGE_K_QUERIES, "disjunctive"),
+        "b1_compacted_requery": sqlgen.bm25_topk_sql(
+            UPSERT_QUERIES,
+            "disjunctive",
+            table="upsert_documents",
+            extra_cte=sqlgen.upsert_docs_cte(UPSERT_MOD, UPSERT_MARKER, UPSERT_DELETED),
+        ),
         "q1_field_qualified": sqlgen.query_syntax_sql(FIELD_QUERIES),
         "t3_trigram_search": _t3_oracle_trigram(),
         "t3_identifiers_lexicon": _t3_oracle_identifiers(),

@@ -200,14 +200,11 @@ def _make_local_topk(k_col: str = "k"):
     return local_topk
 
 
-def rank_topk(scored: DataFrame, decimals: int, k_col: str = "k") -> DataFrame:
-    """Tie-break law K2 (SubstructureHitQueue.java:113-118):
-    score DESC, doc_id ASC; bounded by per-query k.
-
-    Two-stage: partition-local top-k (exact — a global top-k row is a
-    fortiori in its partition's top-k) prunes the window input to
-    parts×k rows per query, then one window ranks the survivors."""
-    quant = scored.withColumn("score_q", _quantize(F.col("score_raw"), decimals))
+def _two_stage_rank(quant: DataFrame, k_col: str) -> DataFrame:
+    """Shared tail of every ranked query path: partition-local bounded
+    top-k (exact — a global top-k row is a fortiori in its partition's
+    top-k), then one window over the parts×k survivors. Emits
+    RESULT_SCHEMA."""
     local = quant.select("query_id", "doc_id", "score_q", k_col).mapInPandas(
         _make_local_topk(k_col),
         schema=f"query_id long, doc_id long, score_q long, {k_col} long",
@@ -218,6 +215,16 @@ def rank_topk(scored: DataFrame, decimals: int, k_col: str = "k") -> DataFrame:
         .filter(F.col("rank") <= F.col(k_col))
         .select(_result_cols())
     )
+
+
+def rank_topk(scored: DataFrame, decimals: int, k_col: str = "k") -> DataFrame:
+    """Tie-break law K2 (SubstructureHitQueue.java:113-118):
+    score DESC, doc_id ASC; bounded by per-query k.
+
+    Two-stage: partition-local top-k prunes the window input to
+    parts×k rows per query, then one window ranks the survivors."""
+    quant = scored.withColumn("score_q", _quantize(F.col("score_raw"), decimals))
+    return _two_stage_rank(quant, k_col)
 
 
 def _result_cols() -> list:
@@ -283,12 +290,7 @@ def search_after(
         | (F.col("score_q") < F.col("after_score_q"))
         | ((F.col("score_q") == F.col("after_score_q")) & (F.col("doc_id") > F.col("after_doc_id")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= F.col("k"))
-        .select(_result_cols())
-    )
+    return _two_stage_rank(scored, "k")
 
 
 def search_by_key(index: InvertedIndex, repo: str, path: str, commit: str) -> DataFrame:
@@ -623,13 +625,8 @@ def search_syntax(
         )
 
     dec = index.cfg.bm25.score_decimals
-    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
-    return (
-        scored.withColumn("score_q", _quantize(F.col("score_raw"), dec))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= F.col("k_final"))
-        .select(_result_cols())
-    )
+    quant = scored.withColumn("score_q", _quantize(F.col("score_raw"), dec))
+    return _two_stage_rank(quant, "k_final")
 
 
 def hit_counts(index: InvertedIndex, queries: list[tuple[int, str, int]], mode: str = "disjunctive") -> DataFrame:
