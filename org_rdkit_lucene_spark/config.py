@@ -50,7 +50,9 @@ class TokenizerProfile:
     lowercase: bool = True
     min_token_len: int = 1
     max_token_len: int = 64
-    # identifier n-grams (0 = off). Only the pandas path supports >0.
+    # token n-grams appended to the base tokens (0 = off) — supported
+    # on all three parity paths; only the Arrow build fast path is
+    # gated to the default profile
     ngram: int = 0
     # drop pure-numeric tokens (identifiers_only profile) — supported
     # on all three parity paths (pandas / Catalyst / DuckDB SQL)

@@ -120,12 +120,8 @@ def make_tokenize_udf(profile: TokenizerProfile = DEFAULT_PROFILE):
 def tokens_column(col: Column | str, profile: TokenizerProfile = DEFAULT_PROFILE) -> Column:
     """Same pipeline as built-in Catalyst expressions (JVM, codegen'd).
 
-    Used on the hot build path — faster than the Arrow round-trip. The
-    n-gram augmentation (profile.ngram>1) is pandas-only; callers needing
-    it must use :func:`make_tokenize_udf`.
+    Used on the hot build path — faster than the Arrow round-trip.
     """
-    if profile.ngram > 1:
-        raise ValueError("ngram profiles require the pandas UDF path (make_tokenize_udf)")
     c = F.col(col) if isinstance(col, str) else col
     c = F.coalesce(c, F.lit(""))
     if profile.split_camel_case:
@@ -151,6 +147,15 @@ def tokens_column(col: Column | str, profile: TokenizerProfile = DEFAULT_PROFILE
                 ),
             )
         )
+    if profile.ngram > 1:
+        n = profile.ngram
+        grams = F.when(F.size(arr) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+                lambda i: F.array_join(F.slice(arr, i, n), "␟"),
+            )
+        )
+        arr = F.concat(arr, grams)
     return arr
 
 
@@ -160,8 +165,6 @@ def duckdb_tokens_sql(col_sql: str, profile: TokenizerProfile = DEFAULT_PROFILE)
     Lets ``oracle_sql()`` run the same tokenization so the driver's
     DuckDB-vs-Spark comparison checks semantics, not tokenizer drift.
     """
-    if profile.ngram > 1:
-        raise ValueError("ngram profiles are not SQL-emitted")
     c = f"coalesce({col_sql}, '')"
     if profile.split_camel_case:
         c = f"regexp_replace({c}, '{_CAMEL1}', '\\1 \\2', 'g')"
@@ -181,6 +184,14 @@ def duckdb_tokens_sql(col_sql: str, profile: TokenizerProfile = DEFAULT_PROFILE)
             f"flatten(list_transform({arr}, t -> "
             f"CASE WHEN len(t) <= {n} THEN [t] "
             f"ELSE list_transform(range(1, len(t) - {n - 2}), i -> substr(t, i, {n})) END))"
+        )
+    if profile.ngram > 1:
+        n = profile.ngram
+        arr = (
+            f"list_concat({arr}, "
+            f"CASE WHEN len({arr}) < {n} THEN CAST([] AS VARCHAR[]) "
+            f"ELSE list_transform(range(1, len({arr}) - {n - 2}), "
+            f"i -> array_to_string(({arr})[i:i+{n - 1}], '␟')) END)"
         )
     return arr
 

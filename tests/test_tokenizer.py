@@ -105,7 +105,7 @@ def test_profile_validation():
     with pytest.raises(ValueError):
         TokenizerProfile(min_token_len=5, max_token_len=2)
     with pytest.raises(ValueError):
-        tokens_column("x", TokenizerProfile(ngram=2))
+        TokenizerProfile(ngram=2, char_ngram=3)  # mutually exclusive
 
 
 # ---------------------------------------------------------------------------
@@ -137,11 +137,12 @@ def test_trigram_golden():
     assert tokenize_text("parse", p) == ["par", "ars", "rse"]
 
 
-@pytest.mark.parametrize("profile_name", ["identifiers_only", "trigram"])
+@pytest.mark.parametrize("profile_name", ["identifiers_only", "trigram", "ngram2"])
 def test_profile_three_way_parity(spark, profile_name):
     from org_rdkit_lucene_spark.config import get_analyzer
 
-    p = get_analyzer(profile_name)
+    p = (TokenizerProfile(name="ngram2", ngram=2) if profile_name == "ngram2"
+         else get_analyzer(profile_name))
     texts = _random_code_strings(seed=23)
     texts += [t for t, _ in GOLDEN if t is not None]
     want = list(tokenize_texts(pd.Series(texts), p))
