@@ -553,6 +553,30 @@ def _ev_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _ev_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals over a real stream; the LAST emission per user must
+    equal a plain groupBy over the bounded input (batch-equivalence
+    law for monotone stateful operators)."""
+    from pyspark.sql import Window
+
+    from org_rdkit_lucene_spark.streaming.events import stream_running_user_totals
+
+    _EV_COUNTER[0] += 1
+    out = stream_running_user_totals(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        query_name=f"evr_{_EV_COUNTER[0]}",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("emit_seq"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value_q")
+        .orderBy("user_id")
+    )
+
+
 def _ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from org_rdkit_lucene_spark.streaming.events import sessionize
 
@@ -595,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_windowed_stream": _ev_windowed_stream,
         "ev_sessionize": _ev_sessionize,
         "ev_dedup_stream": _ev_dedup_stream,
+        "ev_running_totals": _ev_running_totals,
         "q1_query_syntax": _q_syntax,
         "k6_max_scores": _q_max_scores,
         "td_media_embed_topk": _td_media_embed_topk,
@@ -673,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_windowed_stream": sqlgen.windowed_events_sql("1 hour"),
         "ev_sessionize": sqlgen.sessionize_sql(30),
         "ev_dedup_stream": sqlgen.dedup_events_sql(),
+        "ev_running_totals": sqlgen.running_totals_sql(),
         "q1_query_syntax": sqlgen.query_syntax_sql(SYNTAX_QUERIES),
         "k6_max_scores": sqlgen.max_scores_sql(DISJ_QUERIES),
         "td_media_embed_topk": sqlgen.media_embed_topk_sql(MEDIA_ANCHOR_IDS, ANN_K),

@@ -908,6 +908,16 @@ SELECT event_id::BIGINT AS event_id, ts, user_id::BIGINT AS user_id, event_type,
 FROM events ORDER BY event_id"""
 
 
+def running_totals_sql() -> str:
+    """Twin of streaming/events.stream_running_user_totals' final
+    emissions: a monotone running total's last value per key over
+    bounded input equals the plain aggregate."""
+    return """
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_events,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_q
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
 def sessionize_sql(gap_minutes: int = 30) -> str:
     """Twin of streaming/events.sessionize (native session_window):
     a session breaks when consecutive events are >= gap apart —

@@ -154,3 +154,92 @@ def stream_dedup_events(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def running_user_totals(
+    events: DataFrame,
+) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``
+    (the escape hatch for semantics the built-in stateful operators
+    can't express): per-user RUNNING totals — each micro-batch emits
+    every seen user's cumulative (n_events, sum_value, batch ordinal),
+    carrying (n, sum, emit_count) in group state across batches.
+
+    The built-ins cover windowed aggs (F.window), sessions
+    (session_window) and dedup (dropDuplicates); a monotone running
+    total re-emitted per batch is none of those — state must survive
+    and accumulate across triggers, which is exactly what the pandas
+    state API provides. Batch-equivalence law (driver-verified): the
+    LAST emission per user equals a plain groupBy over the bounded
+    input."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value_q", T.LongType()),
+            T.StructField("emit_seq", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("sum", T.DoubleType()),
+            T.StructField("emits", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        import math
+
+        import pandas as pd
+
+        n, total, emits = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        emits += 1
+        state.update((n, total, emits))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value_q": [math.floor(total * 100 + 0.5)],
+                "emit_seq": [emits],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_running_user_totals(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "ev_running",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Run :func:`running_user_totals` as a REAL stream (file source →
+    availableNow → memory sink). With ``max_files_per_trigger`` set the
+    input splits into several micro-batches, so users spanning batches
+    emit MULTIPLE monotone rows — the cross-batch state is observable,
+    not just the final answer."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if os.path.isfile(events_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        events_path = os.path.dirname(events_path)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_path)
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -159,3 +159,37 @@ def test_stream_dedup_removes_redelivered_events(spark, tmp_path):
     assert len(out) == 40
     assert out["event_id"].tolist() == list(range(40))
     assert out["value_q"].tolist() == [int(i * 25) for i in range(40)]
+
+
+def test_running_totals_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must survive micro-batch
+    boundaries — a user spanning 3 batches emits 3 monotone rows and
+    the final one equals the plain groupBy."""
+    import pandas as pd
+
+    from org_rdkit_lucene_spark.streaming.events import stream_running_user_totals
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    for b in range(3):
+        pdf = pd.DataFrame({
+            "event_id": range(b * 20, b * 20 + 20),
+            "ts": pd.date_range(f"2024-01-0{b + 1}", periods=20, freq="min").astype("datetime64[us]"),
+            "user_id": [i % 4 for i in range(20)],
+            "event_type": ["view"] * 20,
+            "value": [1.5] * 20,
+            "props": ["{}"] * 20,
+        })
+        pdf.to_parquet(src / f"b{b}.parquet", index=False)
+
+    out = stream_running_user_totals(
+        spark, str(src), query_name="evr_test", max_files_per_trigger=1
+    ).toPandas()
+    u0 = out[out.user_id == 0].sort_values("emit_seq")
+    assert u0["emit_seq"].tolist() == [1, 2, 3]  # one emission per batch
+    assert u0["n_events"].tolist() == [5, 10, 15]  # cumulative, monotone
+    assert u0["sum_value_q"].tolist() == [750, 1500, 2250]
+    final = (
+        out.sort_values("emit_seq").groupby("user_id").last().reset_index()
+    )
+    assert final["n_events"].tolist() == [15, 15, 15, 15]
