@@ -282,9 +282,18 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", content_col: str
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", content_col: str = "text",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket_size: int | None = 10_000) -> DataFrame:
     """Near-dup candidates: banded SimHash (4×16-bit chunks; hamming ≤ 3
-    guarantees at least one identical chunk), verified by exact popcount."""
+    guarantees at least one identical chunk), verified by exact popcount.
+
+    Chunk buckets larger than ``max_bucket_size`` are dropped before the
+    self-join (None disables) — the same skew guard as
+    :func:`minhash_lsh_pairs`: a boilerplate-heavy corpus collapses many
+    docs onto one 16-bit chunk value, and an uncapped bucket of M
+    members yields M²/2 join pairs. Mega-bucket members are near-certain
+    duplicates and belong to exact dedup; monitor drops with
+    :func:`oversized_buckets` on ``["chunk", "cv"]``."""
     fp = simhash_fingerprints(df, id_col, content_col)
     chunks = [
         fp.select(
@@ -297,6 +306,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", content_col: str =
     stacked = chunks[0]
     for c in chunks[1:]:
         stacked = stacked.unionByName(c)
+    if max_bucket_size is not None:
+        stacked = _cap_buckets(stacked, ["chunk", "cv"], max_bucket_size)
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(

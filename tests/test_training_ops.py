@@ -248,6 +248,40 @@ def test_lsh_bucket_cap_bounds_pairs(spark):
     assert (over["bucket_size"] == 40).all()
 
 
+def test_simhash_chunk_bucket_cap_bounds_pairs(spark):
+    """Engineered SimHash mega-bucket (identical boilerplate docs share
+    every 16-bit chunk): the chunk-join cap must drop the oversized
+    buckets — bounding the pair count — exactly like the MinHash band
+    cap, and the drop must be observable via oversized_buckets."""
+    from org_rdkit_lucene_spark.operators.dedup import oversized_buckets
+
+    boiler = [(i, "apache license version two point zero all rights reserved") for i in range(40)]
+    # two near-identical docs that survive the cap (small bucket)
+    near = [(200, "completely different unique payload alpha beta gamma"),
+            (201, "completely different unique payload alpha beta gamma")]
+    df = spark.createDataFrame(pd.DataFrame(boiler + near, columns=["doc_id", "text"]))
+
+    uncapped = simhash_near_pairs(df, max_bucket_size=None).toPandas()
+    assert len(uncapped) >= 40 * 39 // 2  # the blowup the cap prevents
+
+    capped = simhash_near_pairs(df, max_bucket_size=10).toPandas()
+    boiler_ids = set(range(40))
+    assert not any(d1 in boiler_ids for d1 in capped["doc1"])  # mega-bucket gone
+    assert {(200, 201)} <= set(map(tuple, capped[["doc1", "doc2"]].to_numpy()))
+
+    fp = simhash_fingerprints(df)
+    stacked = None
+    for ci in range(4):
+        c = fp.select(
+            "doc_id", F.lit(ci).alias("chunk"),
+            F.shiftright(F.col("simhash"), ci * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+        )
+        stacked = c if stacked is None else stacked.unionByName(c)
+    over = oversized_buckets(stacked, ["chunk", "cv"], 10).toPandas()
+    assert len(over) == 4  # the boilerplate bucket in each of the 4 chunks
+    assert (over["bucket_size"] == 40).all()
+
+
 def test_cosine_pairs_bucket_cap(spark):
     from pyspark.sql import types as T
 
