@@ -115,12 +115,23 @@ def dedup_events(
     events: DataFrame, key_cols: tuple[str, ...] = ("event_id",), watermark: str | None = None
 ) -> DataFrame:
     """Exactly-once event dedup by key — Structured Streaming's
-    stateful ``dropDuplicates`` (state per key, evicted past the
-    watermark) or the identical batch semantics on a bounded frame.
+    stateful dedup, or the identical batch semantics on a bounded frame.
     The operator every at-least-once ingestion pipeline needs in front
-    of the index/aggregation stages."""
-    s = events.withWatermark("ts", watermark) if watermark else events
-    return s.dropDuplicates(list(key_cols))
+    of the index/aggregation stages.
+
+    With a watermark, uses ``dropDuplicatesWithinWatermark``: plain
+    ``dropDuplicates`` only evicts per-key state when the event-time
+    column is part of the key subset, so ``withWatermark`` +
+    ``dropDuplicates(key)`` keeps state FOREVER on a continuous stream
+    (unbounded growth). The WithinWatermark variant evicts each key's
+    state once the watermark passes its event time — redeliveries of an
+    at-least-once source land inside the watermark delay by definition,
+    so dedup stays exact while state stays bounded."""
+    if watermark:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return events.dropDuplicates(list(key_cols))
 
 
 def stream_dedup_events(

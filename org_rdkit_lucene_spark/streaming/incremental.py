@@ -82,30 +82,52 @@ def segments_root(index_dir: str) -> str:
     return os.path.join(index_dir, "segments")
 
 
+def seg_ordinal(seg_dir: str) -> float:
+    """A segment's LOGICAL version ordinal — the total order the
+    tombstone law runs over. Persisted in ``stats.json`` (authoritative:
+    deriving order from directory-name sort breaks when a delete
+    segment written between stream runs must sort BETWEEN the last
+    flushed batch and the resumed stream's next batch id). Fallback for
+    segments whose stats are not yet written (in-progress) or legacy
+    segments: parse the batch number from the name; a legacy ``-del``
+    suffix sorts just after its number."""
+    stats = os.path.join(seg_dir, "stats.json")
+    if os.path.exists(stats):
+        with open(stats) as f:
+            s = json.load(f)
+        if "ordinal" in s:
+            return float(s["ordinal"])
+    name = os.path.basename(seg_dir)
+    m = re.match(r"seg-(\d+)", name)
+    num = float(m.group(1)) if m else 0.0
+    return num + 0.5 if "-del" in name else num
+
+
 def list_segments(index_dir: str) -> list[str]:
     root = segments_root(index_dir)
     if not os.path.isdir(root):
         return []
     return sorted(
-        os.path.join(root, d)
-        for d in os.listdir(root)
-        if d.startswith("seg-")
-        and os.path.exists(os.path.join(root, d, "stats.json"))
+        (
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("seg-")
+            and os.path.exists(os.path.join(root, d, "stats.json"))
+        ),
+        key=lambda d: (seg_ordinal(d), os.path.basename(d)),
     )
 
 
 def _prior_view(
-    spark: SparkSession, base_dir: str, seg_dir: str, cfg: IndexConfig
+    spark: SparkSession, base_dir: str, ordinal: float, cfg: IndexConfig
 ) -> "SegmentedIndex":
-    """The live view of everything strictly BEFORE ``seg_dir`` — what a
-    replayed batch must diff against (idempotence: a crash between the
-    segment write and the checkpoint commit replays the batch; the
-    prior view excludes the half-written segment by name)."""
+    """The live view of everything strictly BEFORE logical ``ordinal`` —
+    what a replayed batch must diff against (idempotence: a crash
+    between the segment write and the checkpoint commit replays the
+    batch; the prior view excludes the half-written segment, whose
+    ordinal equals the replayed one)."""
     base = InvertedIndex.load(spark, base_dir, cfg)
-    prior = [
-        d for d in list_segments(base_dir)
-        if os.path.basename(d) < os.path.basename(seg_dir)
-    ]
+    prior = [d for d in list_segments(base_dir) if seg_ordinal(d) < ordinal]
     return SegmentedIndex(spark, base, prior)
 
 
@@ -136,6 +158,8 @@ def build_segment(
     """
     n_parts = max(1, min(cfg.build_partitions, 8))
     base_dir = base_index_dir or os.path.dirname(os.path.dirname(seg_dir))
+    m = re.match(r"seg-(\d+)", os.path.basename(seg_dir))
+    ordinal = float(m.group(1)) if m else seg_ordinal(seg_dir)
     ids = batch.select(
         F.col(id_col).cast("long").alias("doc_id"),
         "repo", "path", "commit", "lang", "content",
@@ -174,7 +198,7 @@ def build_segment(
     # tombstoned; their (count, Σ doc_len) is recorded so the merged
     # stats arithmetic stays integer-exact. One metadata-scale semi-
     # join per batch (docmeta, not postings).
-    prior = _prior_view(spark, base_dir, seg_dir, cfg)
+    prior = _prior_view(spark, base_dir, ordinal, cfg)
     deld = (
         prior.docmeta.join(F.broadcast(ids.select("doc_id")), "doc_id", "left_semi")
         .select("doc_id", "doc_len")
@@ -226,6 +250,7 @@ def build_segment(
                 "max_doc_id": int(stats_row["max_id"] if stats_row["max_id"] is not None else -1),
                 "del_n_docs": del_n,
                 "del_total_dl": del_dl,
+                "ordinal": ordinal,
             },
             f,
         )
@@ -241,19 +266,39 @@ def delete_docs(
 ) -> str:
     """Pure delete: write a tombstone-only segment removing ``doc_ids``
     from the live view (no re-add). Returns the segment dir. The
-    reference's standalone ``deleteDocuments`` half of the upsert."""
+    reference's standalone ``deleteDocuments`` half of the upsert.
+
+    Ordering safety with a resumable stream: the delete's persisted
+    ordinal is the MIDPOINT between the current max segment ordinal and
+    the next integer batch id — so a stream that later resumes with
+    batch ``max+1`` (writing ``seg-{max+1:08d}``, ordinal ``max+1``)
+    sorts strictly AFTER this delete, and a doc it legitimately
+    re-adds is NOT killed by the earlier tombstone (the versioning law:
+    a tombstone from ordinal j kills only ordinals < j). Consecutive
+    deletes nest midpoints (j+0.5, j+0.75, ...), always below ``j+1``.
+    Still unsafe while a stream is ACTIVE (a concurrently-committing
+    batch could interleave with the prior-view read)."""
+    import math as _math
+
     existing = list_segments(base_index_dir)
+    ords = [seg_ordinal(d) for d in existing]
+    max_ord = max(ords) if ords else -1.0
+    ordinal = (max_ord + _math.floor(max_ord) + 1.0) / 2.0
     if seg_name is None:
         nums = [
             int(m.group(1))
             for d in existing
-            if (m := re.match(r"seg-(\d+)", os.path.basename(d)))
+            if (m := re.fullmatch(r"seg-(\d+)", os.path.basename(d)))
         ]
-        # numbered after every existing segment; intended between
-        # stream runs (an ACTIVE stream's next batch id is unknown)
-        seg_name = f"seg-{(max(nums) + 1) if nums else 0:08d}-del"
+        base_num = max(nums) if nums else 0
+        n_sib = sum(
+            1
+            for d in existing
+            if os.path.basename(d).startswith(f"seg-{base_num:08d}-del")
+        )
+        seg_name = f"seg-{base_num:08d}-del{n_sib}"
     seg_dir = os.path.join(segments_root(base_index_dir), seg_name)
-    prior = _prior_view(spark, base_index_dir, seg_dir, cfg)
+    prior = _prior_view(spark, base_index_dir, ordinal, cfg)
     ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
     deld = (
         prior.docmeta.join(F.broadcast(ids), "doc_id", "left_semi")
@@ -280,7 +325,7 @@ def delete_docs(
     with open(tmp, "w") as f:
         json.dump(
             {"n_docs": 0, "total_dl": 0, "avgdl": 0.0, "max_doc_id": -1,
-             "del_n_docs": del_n, "del_total_dl": del_dl},
+             "del_n_docs": del_n, "del_total_dl": del_dl, "ordinal": ordinal},
             f,
         )
     os.replace(tmp, os.path.join(seg_dir, "stats.json"))
@@ -561,18 +606,6 @@ def compact(
     dm.write.mode("overwrite").parquet(os.path.join(out_dir, "docmeta.parquet"))
     dm.unpersist()
 
-    with open(os.path.join(out_dir, "stats.json"), "w") as f:
-        json.dump(
-            {
-                "n_docs": seg.n_docs,
-                "total_dl": seg.total_dl,
-                "avgdl": seg.avgdl,
-                "max_doc_id": seg.max_doc_id,
-                "codec": cfg.codec,
-            },
-            f,
-        )
-
     # stage 3: lexicon (same expression as the batch build)
     lexicon_path = os.path.join(out_dir, "lexicon.parquet")
     lex = flat.groupBy("term").agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
@@ -594,6 +627,23 @@ def compact(
     blocks = encode_postings(flat, cfg, seg.avgdl, seg.max_doc_id, hot_terms)
     blocks.write.mode("overwrite").parquet(os.path.join(out_dir, "postings.parquet"))
     flat.unpersist()
+
+    # stats.json is the commit record and is written LAST (same
+    # atomicity convention as build_segment): a crash mid-compaction
+    # must not leave a dir that InvertedIndex.load accepts as complete
+    tmp = os.path.join(out_dir, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "n_docs": seg.n_docs,
+                "total_dl": seg.total_dl,
+                "avgdl": seg.avgdl,
+                "max_doc_id": seg.max_doc_id,
+                "codec": cfg.codec,
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(out_dir, "stats.json"))
     return InvertedIndex(
         spark, out_dir, seg.n_docs, seg.avgdl, cfg,
         total_dl=seg.total_dl, max_doc_id=seg.max_doc_id, codec=cfg.codec,

@@ -207,6 +207,81 @@ def test_compaction_byte_identical_to_rebuild(upsert_setup):
     pd.testing.assert_frame_equal(ra, rb)
 
 
+def test_delete_then_resume_stream_readd(spark, tmp_path_factory):
+    """Ordering law across stream restarts: a delete issued BETWEEN two
+    stream runs must sort BETWEEN the last flushed batch and the resumed
+    stream's next batch id. Regression: the delete segment used to take
+    name seg-{max+1}-del, which sorts AFTER the resumed run's
+    seg-{max+1} — its tombstone then (wrongly) killed docs the later
+    batch legitimately re-added. Ordinals are now persisted in
+    stats.json (delete = midpoint, e.g. 0.5 between batches 0 and 1)."""
+    from pyspark.sql import types as T
+
+    from org_rdkit_lucene_spark.streaming.incremental import (
+        index_stream,
+        list_segments,
+        seg_ordinal,
+    )
+
+    tmp = tmp_path_factory.mktemp("del_resume")
+    pdf = make_corpus_pdf(n_docs=80, seed=17)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    cfg = IndexConfig(build_partitions=4, hot_term_df=60, n_salts=4)
+    base_dir = str(tmp / "base")
+    base = build_index(
+        spark, spark.createDataFrame(pdf.iloc[:60]), cfg, base_dir, id_col="ext_id"
+    )
+    assert base is not None
+
+    schema = T.StructType([
+        T.StructField("ext_id", T.LongType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    src = tmp / "incoming"
+    src.mkdir()
+    pdf.iloc[60:].to_parquet(src / "b1.parquet", index=False)
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    index_stream(stream, base_dir, cfg, str(tmp / "ckpt")).awaitTermination(timeout=300)
+
+    # stream stopped → pure delete of one base doc + one streamed doc
+    delete_docs(spark, base_dir, [5, 70], cfg)
+
+    # resume the SAME stream (same checkpoint → next batch id = 1),
+    # legitimately re-adding doc 5 with new content
+    readd = pdf[pdf.ext_id == 5].copy()
+    readd["content"] = readd["content"] + " readdmarker probe"
+    readd.to_parquet(src / "b2.parquet", index=False)
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    index_stream(stream2, base_dir, cfg, str(tmp / "ckpt")).awaitTermination(timeout=300)
+
+    seg = SegmentedIndex.load(spark, base_dir, cfg)
+    ords = {os.path.basename(d): seg_ordinal(d) for d in list_segments(base_dir)}
+    delete_ord = [v for k, v in ords.items() if "-del" in k][0]
+    assert ords["seg-00000000"] < delete_ord < ords["seg-00000001"]
+
+    live = {r["doc_id"] for r in seg.docmeta.select("doc_id").collect()}
+    assert 5 in live and 70 not in live
+    hits = search(seg, [(1, "readdmarker", 10)]).toPandas()
+    assert set(hits["doc_id"]) == {5}
+
+    # rank identity vs a rebuild over the final corpus
+    final = pd.concat(
+        [pdf[~pdf.ext_id.isin([5, 70])], readd], ignore_index=True
+    )
+    full = build_index(
+        spark, spark.createDataFrame(final), cfg, str(tmp / "full"), id_col="ext_id"
+    )
+    qs = [(1, "readdmarker probe", 10), (2, "token pars hash", 10)]
+    pd.testing.assert_frame_equal(
+        _sorted(search(seg, qs, mode="disjunctive")),
+        _sorted(search(full, qs, mode="disjunctive")),
+    )
+
+
 def test_stream_upsert_end_to_end(spark, tmp_path_factory):
     """Updates flowing through a REAL readStream → index_stream:
     batch 1 adds docs, batch 2 RE-SENDS three of them with changed
