@@ -123,8 +123,17 @@ _SCORED_SCHEMA = (
 )
 
 
-def _bm25_scored(index: InvertedIndex, qterms: pd.DataFrame) -> DataFrame:
-    """(query_id, doc_id, score_raw, n_matched) for all candidate docs.
+def _bm25_scored(
+    index: InvertedIndex, qterms: pd.DataFrame
+) -> tuple[DataFrame, dict[str, int]]:
+    """(query_id, doc_id, score_raw, n_matched) for all candidate docs,
+    plus driver-side CANDIDATE-COUNT upper bounds derived from the same
+    lexicon slice the weights come from (zero extra jobs):
+    ``est["disjunctive"]`` = max over queries of Σ df(term) (a doc must
+    match ≥1 term), ``est["conjunctive"]`` = max over queries of
+    min df(term) (the intersection is bounded by its rarest term).
+    The bounds drive the adaptive two-stage rank (see
+    :func:`_two_stage_rank`).
 
     The per-(query, term) weight ``qtf * idf`` is pre-merged on the
     DRIVER (the lexicon slice for the query terms is metadata-sized),
@@ -137,11 +146,20 @@ def _bm25_scored(index: InvertedIndex, qterms: pd.DataFrame) -> DataFrame:
     p = index.cfg.bm25
     terms = qterms["term"].unique().tolist()
     lex_pdf = (
-        index.lexicon.filter(F.col("term").isin(terms)).select("term", "idf").toPandas()
+        index.lexicon.filter(F.col("term").isin(terms))
+        .select("term", "idf", "df")
+        .toPandas()
     )
     qw = qterms.merge(lex_pdf, on="term")
     if len(qw) == 0:
-        return spark.createDataFrame([], _SCORED_SCHEMA)
+        return spark.createDataFrame([], _SCORED_SCHEMA), {
+            "disjunctive": 0, "conjunctive": 0,
+        }
+    per_q = qw.groupby("query_id")["df"].agg(["sum", "min"])
+    est = {
+        "disjunctive": int(per_q["sum"].max()),
+        "conjunctive": int(per_q["min"].max()),
+    }
     qw = qw.assign(w=qw["qtf"] * qw["idf"])
     qdf = F.broadcast(
         spark.createDataFrame(qw[["query_id", "term", "w", "n_terms", "k"]])
@@ -167,7 +185,7 @@ def _bm25_scored(index: InvertedIndex, qterms: pd.DataFrame) -> DataFrame:
             F.first("k").alias("k"),
         )
     )
-    return scored
+    return scored, est
 
 
 def _quantize(col, decimals: int):
@@ -200,31 +218,76 @@ def _make_local_topk(k_col: str = "k"):
     return local_topk
 
 
-def _two_stage_rank(quant: DataFrame, k_col: str) -> DataFrame:
+# The local-top-k stage is a Python (mapInPandas) round-trip with a
+# fixed per-batch cost; below this many candidates per query, one
+# window task sorts the whole set in tens of ms and the stage is pure
+# overhead (measured at sf0.1: the unconditional stage DOUBLED
+# q_two_phase). Above it, the stage is what keeps a hot query's full
+# candidate set from funneling through a single window task at
+# 100×-scale.
+LOCAL_TOPK_MIN_CANDIDATES = 1 << 18  # 262144
+
+
+def _use_local_topk(est: int | None, n_parts: int, max_k: int | None) -> bool:
+    """Decide whether the partition-local top-k stage can prune: the
+    per-query candidate bound must exceed both the absolute floor and
+    parts×k (the stage's own output size). Unknown bound → True, the
+    safe choice at scale."""
+    if est is None:
+        return True
+    return est > LOCAL_TOPK_MIN_CANDIDATES and (
+        max_k is None or est > n_parts * max_k
+    )
+
+
+def _two_stage_rank(
+    quant: DataFrame,
+    k_col: str,
+    est_candidates: int | None = None,
+    max_k: int | None = None,
+) -> DataFrame:
     """Shared tail of every ranked query path: partition-local bounded
     top-k (exact — a global top-k row is a fortiori in its partition's
     top-k), then one window over the parts×k survivors. Emits
-    RESULT_SCHEMA."""
-    local = quant.select("query_id", "doc_id", "score_q", k_col).mapInPandas(
-        _make_local_topk(k_col),
-        schema=f"query_id long, doc_id long, score_q long, {k_col} long",
-    )
+    RESULT_SCHEMA.
+
+    ADAPTIVE: the local stage runs only when it can actually prune —
+    i.e. the estimated per-query candidate count exceeds both the
+    absolute floor (below which one window task is trivially fast) and
+    parts×k (below which the stage emits as many rows as it reads).
+    ``est_candidates`` is a driver-side upper bound from the lexicon
+    df slice (see :func:`_bm25_scored`); None = unknown → keep the
+    stage, the safe choice at scale."""
+    n_parts = int(quant.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if _use_local_topk(est_candidates, n_parts, max_k):
+        quant = quant.select("query_id", "doc_id", "score_q", k_col).mapInPandas(
+            _make_local_topk(k_col),
+            schema=f"query_id long, doc_id long, score_q long, {k_col} long",
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
     return (
-        local.withColumn("rank", F.row_number().over(w))
+        quant.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col(k_col))
         .select(_result_cols())
     )
 
 
-def rank_topk(scored: DataFrame, decimals: int, k_col: str = "k") -> DataFrame:
+def rank_topk(
+    scored: DataFrame,
+    decimals: int,
+    k_col: str = "k",
+    est_candidates: int | None = None,
+    max_k: int | None = None,
+) -> DataFrame:
     """Tie-break law K2 (SubstructureHitQueue.java:113-118):
     score DESC, doc_id ASC; bounded by per-query k.
 
-    Two-stage: partition-local top-k prunes the window input to
-    parts×k rows per query, then one window ranks the survivors."""
+    Two-stage when worthwhile: partition-local top-k prunes the window
+    input to parts×k rows per query, then one window ranks the
+    survivors (skipped when the candidate bound says there is nothing
+    to prune — see :func:`_two_stage_rank`)."""
     quant = scored.withColumn("score_q", _quantize(F.col("score_raw"), decimals))
-    return _two_stage_rank(quant, k_col)
+    return _two_stage_rank(quant, k_col, est_candidates, max_k)
 
 
 def _result_cols() -> list:
@@ -253,12 +316,17 @@ def search(
     qterms = tokenize_queries(queries, index.cfg.tokenizer)
     if len(qterms) == 0:
         return index.spark.createDataFrame([], RESULT_SCHEMA)
-    scored = _bm25_scored(index, qterms)
+    scored, est = _bm25_scored(index, qterms)
     if mode == "conjunctive":
         scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
     elif mode != "disjunctive":
         raise ValueError(f"unknown mode {mode!r}")
-    return rank_topk(scored, index.cfg.bm25.score_decimals)
+    return rank_topk(
+        scored,
+        index.cfg.bm25.score_decimals,
+        est_candidates=est[mode],
+        max_k=max(k for _, _, k in queries),
+    )
 
 
 def search_after(
@@ -274,7 +342,7 @@ def search_after(
     qterms = tokenize_queries(queries, index.cfg.tokenizer)
     if len(qterms) == 0:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    scored = _bm25_scored(index, qterms)
+    scored, est = _bm25_scored(index, qterms)
     if mode == "conjunctive":
         scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
     dec = index.cfg.bm25.score_decimals
@@ -290,7 +358,12 @@ def search_after(
         | (F.col("score_q") < F.col("after_score_q"))
         | ((F.col("score_q") == F.col("after_score_q")) & (F.col("doc_id") > F.col("after_doc_id")))
     )
-    return _two_stage_rank(scored, "k")
+    return _two_stage_rank(
+        scored,
+        "k",
+        est_candidates=est["conjunctive" if mode == "conjunctive" else "disjunctive"],
+        max_k=max(k for _, _, k in queries),
+    )
 
 
 def search_by_key(index: InvertedIndex, repo: str, path: str, commit: str) -> DataFrame:
@@ -401,7 +474,7 @@ def max_scores(
     qterms = tokenize_queries(queries, index.cfg.tokenizer)
     if len(qterms) == 0:
         return index.spark.createDataFrame([], "query_id int, max_score_q long")
-    scored = _bm25_scored(index, qterms)
+    scored, _ = _bm25_scored(index, qterms)
     if mode == "conjunctive":
         scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
     dec = index.cfg.bm25.score_decimals
@@ -430,6 +503,11 @@ import re as _re
 
 QUERY_FIELDS = ("repo", "path", "lang")
 FIELD_BOOST = 1.0
+# A PrefixQuery rewrites to a bounded disjunction of the highest-df
+# matching terms (Lucene's rewrite also bounds clause count via
+# BooleanQuery.maxClauseCount); 256 keeps the broadcast weight table
+# metadata-sized even for one-letter prefixes over a 100 TB lexicon.
+PREFIX_EXPANSION_LIMIT = 256
 
 _SYNTAX_RE = _re.compile(r'"([^"]*)"|(\+|-)?(\S+)')
 _FIELD_RE = _re.compile(r"^(repo|path|lang):(.+)$")
@@ -437,10 +515,16 @@ _FIELD_RE = _re.compile(r"^(repo|path|lang):(.+)$")
 
 def parse_query(text: str) -> dict:
     """Parse the minimal query syntax into {required, optional,
-    excluded, phrases, fields} lists; fields = [(field, value)] with
-    values lowercased (field clauses are SHOULD-only — a +/- prefix on
-    one is ignored)."""
-    out = {"required": [], "optional": [], "excluded": [], "phrases": [], "fields": []}
+    excluded, phrases, fields, prefixes} lists; fields = [(field,
+    value)] with values lowercased (field clauses are SHOULD-only — a
+    +/- prefix on one is ignored). ``term*`` is a PREFIX clause
+    (MultiFieldQueryParser wildcard surface, ChemicalIndex.java:482-485):
+    the prefix is lowercased, NOT analyzed (Lucene's parser likewise
+    skips analysis for wildcard terms), and SHOULD-only — a leading
+    +/- on it is ignored. Only a single trailing ``*`` is supported;
+    a word with ``*`` elsewhere is not a prefix clause."""
+    out = {"required": [], "optional": [], "excluded": [], "phrases": [],
+           "fields": [], "prefixes": []}
     for m in _SYNTAX_RE.finditer(text):
         phrase, op, word = m.group(1), m.group(2), m.group(3)
         if phrase is not None:
@@ -450,12 +534,36 @@ def parse_query(text: str) -> dict:
         fm = _FIELD_RE.match(word)
         if fm:
             out["fields"].append((fm.group(1), fm.group(2).lower()))
+        elif word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
+            out["prefixes"].append(word[:-1].lower())
         elif op == "+":
             out["required"].append(word)
         elif op == "-":
             out["excluded"].append(word)
         else:
             out["optional"].append(word)
+    return out
+
+
+def expand_prefixes(index: InvertedIndex, prefixes: list[str]) -> dict[str, list[str]]:
+    """Resolve prefix clauses against the lexicon: for each prefix, the
+    top-``PREFIX_EXPANSION_LIMIT`` matching terms by (df DESC, term
+    ASC). One lexicon job for ALL prefixes; each ``startswith`` pushes
+    into the lexicon parquet scan as a StringStartsWith filter (the
+    Spark analog of Lucene seeking a term-dictionary range)."""
+    uniq = sorted({p for p in prefixes if p})
+    if not uniq:
+        return {}
+    cond = F.col("term").startswith(uniq[0])
+    for p in uniq[1:]:
+        cond = cond | F.col("term").startswith(p)
+    lexp = index.lexicon.filter(cond).select("term", "df").toPandas()
+    out: dict[str, list[str]] = {}
+    for p in uniq:
+        m = lexp[lexp["term"].str.startswith(p)].sort_values(
+            ["df", "term"], ascending=[False, True]
+        )
+        out[p] = m["term"].head(PREFIX_EXPANSION_LIMIT).tolist()
     return out
 
 
@@ -499,6 +607,9 @@ def search_syntax(
     spark = index.spark
     prof = index.cfg.tokenizer
     parsed = {qid: parse_query(text) for qid, text, _ in queries}
+    expansions = expand_prefixes(
+        index, [p for q in parsed.values() for p in q["prefixes"]]
+    )
 
     scoring, must_counts, excluded_rows, phrase_rows = [], [], [], []
     field_rows: list[tuple[int, str, str]] = []
@@ -520,6 +631,12 @@ def search_syntax(
         # required terms appear once in scoring regardless of qtf policy
         for t in sorted(must_terms):
             counts[t] = 1
+        # each distinct prefix adds ONE SHOULD occurrence per expanded
+        # term, on top of any literal occurrences (applied after the
+        # must-pinning so the law is order-independent)
+        for pfx in sorted(set(p["prefixes"])):
+            for t in expansions.get(pfx, []):
+                counts[t] = counts.get(t, 0) + 1
         for term, qtf in counts.items():
             scoring.append((qid, term, int(qtf), len(counts), k))
         must_counts.append((qid, len(must_terms), k))
@@ -531,14 +648,21 @@ def search_syntax(
 
     if not scoring and not field_rows:
         return spark.createDataFrame([], RESULT_SCHEMA)
+    est_disj: int | None = None
     if scoring:
         qterms = pd.DataFrame(scoring, columns=["query_id", "term", "qtf", "n_terms", "k"])
-        scored = _bm25_scored(index, qterms).select("query_id", "doc_id", "score_raw")
+        scored, est = _bm25_scored(index, qterms)
+        scored = scored.select("query_id", "doc_id", "score_raw")
+        # the MUST/exclusion/phrase joins only FILTER candidates, so
+        # the disjunctive bound stays a valid upper bound downstream
+        est_disj = est["disjunctive"]
     else:
         scored = spark.createDataFrame([], "query_id int, doc_id long, score_raw double")
     if field_rows:
         # SHOULD union: field-only matches enter the candidate set; a
-        # doc matching both sides sums BM25 + clause boosts
+        # doc matching both sides sums BM25 + clause boosts — the
+        # lexicon-derived candidate bound no longer covers them
+        est_disj = None
         fhits = _field_hits(index, field_rows)
         scored = (
             scored.join(fhits, ["query_id", "doc_id"], "full")
@@ -626,7 +750,10 @@ def search_syntax(
 
     dec = index.cfg.bm25.score_decimals
     quant = scored.withColumn("score_q", _quantize(F.col("score_raw"), dec))
-    return _two_stage_rank(quant, "k_final")
+    return _two_stage_rank(
+        quant, "k_final", est_candidates=est_disj,
+        max_k=max(k for _, _, k in queries),
+    )
 
 
 def hit_counts(index: InvertedIndex, queries: list[tuple[int, str, int]], mode: str = "disjunctive") -> DataFrame:
@@ -635,7 +762,7 @@ def hit_counts(index: InvertedIndex, queries: list[tuple[int, str, int]], mode: 
     qterms = tokenize_queries(queries, index.cfg.tokenizer)
     if len(qterms) == 0:
         return index.spark.createDataFrame([], "query_id int, total_hits long")
-    scored = _bm25_scored(index, qterms)
+    scored, _ = _bm25_scored(index, qterms)
     if mode == "conjunctive":
         scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
     return scored.groupBy("query_id").agg(F.count("*").alias("total_hits")).select(

@@ -196,11 +196,18 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
     verified, score unchanged), bare terms optional, field:value over
     {repo, path, lang} as SHOULD clauses adding FIELD_BOOST per match
     (the documents-derived corpus maps repo → source, path →
-    source || '/doc/' || doc_id, lang → lang)."""
-    from org_rdkit_lucene_spark.operators.query import FIELD_BOOST, parse_query
+    source || '/doc/' || doc_id, lang → lang), and term* prefix
+    clauses expanded IN SQL to the top-PREFIX_EXPANSION_LIMIT matching
+    terms by (df DESC, term ASC) — the same expansion the engine
+    resolves against its lexicon — each adding one SHOULD occurrence."""
+    from org_rdkit_lucene_spark.operators.query import (
+        FIELD_BOOST,
+        PREFIX_EXPANSION_LIMIT,
+        parse_query,
+    )
 
     q_rows, must_rows, mreq_rows, ex_rows, ph_rows, phn_rows = [], [], [], [], [], []
-    fld_rows, k_rows = [], []
+    fld_rows, k_rows, pref_rows = [], [], []
     for qid, text, k in queries:
         p = parse_query(text)
         k_rows.append(f"({qid}, {k})")
@@ -208,6 +215,8 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
             fld_rows.append(
                 "({}, '{}', '{}')".format(qid, fld, val.replace("'", "''"))
             )
+        for pfx in sorted(set(p["prefixes"])):
+            pref_rows.append("({}, '{}')".format(qid, pfx.replace("'", "''")))
         must_terms: set[str] = set()
         for w in p["required"]:
             must_terms.update(tokenize_text(w))
@@ -250,13 +259,29 @@ dlstat AS (
 dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 q(query_id, term, qtf, n_terms, k) AS (VALUES
     {vals(q_rows, 5)}),
+pref(query_id, prefix) AS (VALUES
+    {vals(pref_rows, 2)}),
+pref_exp AS (
+  SELECT p.query_id, d.term,
+         row_number() OVER (PARTITION BY p.query_id, p.prefix
+                            ORDER BY d.df DESC, d.term ASC) AS rn
+  FROM pref p JOIN dfs d ON starts_with(d.term, p.prefix)
+  WHERE p.query_id IS NOT NULL
+),
+qm AS (
+  SELECT query_id, term, sum(qtf)::DOUBLE AS qtf FROM (
+    SELECT query_id, term, qtf FROM q WHERE query_id IS NOT NULL
+    UNION ALL
+    SELECT query_id, term, 1 AS qtf FROM pref_exp WHERE rn <= {PREFIX_EXPANSION_LIMIT}
+  ) GROUP BY 1, 2
+),
 scored AS (
   SELECT q.query_id, tf.doc_id,
          sum(q.qtf * ln(1.0 + ((SELECT n FROM nstat) - dfs.df + 0.5) / (dfs.df + 0.5))
              * tf.tf * {P.k1 + 1.0}
              / (tf.tf + {P.k1} * (1.0 - {P.b} + {P.b} * dl.dl / (SELECT avgdl FROM dlstat)))
          ) AS score_raw
-  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
+  FROM tf JOIN qm q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
   WHERE q.query_id IS NOT NULL
   GROUP BY 1, 2
 ),

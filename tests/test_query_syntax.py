@@ -21,10 +21,24 @@ def test_parse_query():
         "excluded": ["deprecated"],
         "phrases": ["hash table"],
         "fields": [],
+        "prefixes": [],
     }
     empty = parse_query("")
-    assert all(empty[k] == [] for k in ("required", "optional", "excluded", "phrases", "fields"))
+    assert all(
+        empty[k] == []
+        for k in ("required", "optional", "excluded", "phrases", "fields", "prefixes")
+    )
     assert parse_query('""')["phrases"] == []
+
+
+def test_parse_query_prefixes():
+    p = parse_query("Mer* +join sca* -old")
+    assert p["prefixes"] == ["mer", "sca"]  # lowercased, star stripped
+    assert p["required"] == ["join"] and p["excluded"] == ["old"]
+    # only a single TRAILING star makes a prefix clause
+    assert parse_query("a*b")["prefixes"] == []
+    assert parse_query("*")["prefixes"] == []
+    assert parse_query("a**")["prefixes"] == []
 
 
 def test_parse_query_fields():
@@ -92,6 +106,66 @@ def test_mixed_batch_no_cross_query_interference(small_index, syn_corpus):
         solo = search_syntax(small_index, syn_corpus, [(qid, text, k)]).toPandas()
         got = batch[batch.query_id == qid].sort_values("rank").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, solo.sort_values("rank").reset_index(drop=True))
+
+
+def test_prefix_expansion_matches_manual_disjunction(small_index, syn_corpus):
+    """term* must equal a hand-built disjunction of its lexicon
+    expansion (each expanded term one SHOULD occurrence)."""
+    from org_rdkit_lucene_spark.operators.query import (
+        _bm25_scored,
+        expand_prefixes,
+        rank_topk,
+    )
+
+    exp = expand_prefixes(small_index, ["scor"])["scor"]
+    assert exp  # fixture vocabulary contains scor-rooted terms
+    qterms = pd.DataFrame(
+        [(1, t, 1, len(exp), 10) for t in exp],
+        columns=["query_id", "term", "qtf", "n_terms", "k"],
+    )
+    scored, est = _bm25_scored(small_index, qterms)
+    want = (
+        rank_topk(scored, small_index.cfg.bm25.score_decimals,
+                  est_candidates=est["disjunctive"], max_k=10)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    got = (
+        search_syntax(small_index, syn_corpus, [(1, "scor*", 10)])
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_prefix_expansion_bounded_and_df_ordered(small_index, monkeypatch):
+    """The expansion takes the top-N matching terms by (df DESC, term
+    ASC) — the bound that keeps one-letter prefixes metadata-sized."""
+    from org_rdkit_lucene_spark.operators import query as qmod
+
+    full = qmod.expand_prefixes(small_index, ["s"])["s"]
+    assert len(full) > 2
+    lex = (
+        small_index.lexicon.toPandas()
+    )
+    m = lex[lex["term"].str.startswith("s")].sort_values(
+        ["df", "term"], ascending=[False, True]
+    )
+    assert full == m["term"].head(qmod.PREFIX_EXPANSION_LIMIT).tolist()
+
+    monkeypatch.setattr(qmod, "PREFIX_EXPANSION_LIMIT", 2)
+    assert qmod.expand_prefixes(small_index, ["s"])["s"] == full[:2]
+
+
+def test_prefix_zero_expansion_is_inert(small_index, syn_corpus):
+    """A prefix matching nothing adds no clauses; the rest of the query
+    still scores (the missing-term law)."""
+    base = search_syntax(small_index, syn_corpus, [(1, "merg scorer", 10)]).toPandas()
+    with_dead = search_syntax(
+        small_index, syn_corpus, [(1, "merg scorer zzzq*", 10)]
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        base.sort_values("rank").reset_index(drop=True),
+        with_dead.sort_values("rank").reset_index(drop=True),
+    )
 
 
 def test_max_scores_equals_rank1(small_index):

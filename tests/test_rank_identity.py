@@ -50,6 +50,31 @@ def test_disjunctive_rank_identity(small_index, oracle, queries_pdf):
     _check(search(small_index, qs, "disjunctive"), lambda t, k: oracle.search(t, k, "disjunctive"), qs)
 
 
+def test_adaptive_two_stage_rank_branches_identical(small_index, queries_pdf, monkeypatch):
+    """The adaptive rank must produce IDENTICAL results whether the
+    partition-local top-k stage runs (forced via a zero threshold) or
+    is skipped (small candidate bound), and the skipped plan must not
+    contain the extra Python stage (exactly one MapInPandas: the block
+    decode)."""
+    from org_rdkit_lucene_spark.operators import query as qmod
+
+    qs = [
+        (int(r.query_id), r.text, int(r.k))
+        for r in queries_pdf[queries_pdf.query_type == "disjunctive"].itertuples()
+    ]
+    skipped_df = search(small_index, qs, "disjunctive")
+    plan_skipped = skipped_df._jdf.queryExecution().executedPlan().toString()
+    assert plan_skipped.count("MapInPandas") == 1  # decode only
+    skipped = skipped_df.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    monkeypatch.setattr(qmod, "_use_local_topk", lambda est, n_parts, max_k: True)
+    forced_df = search(small_index, qs, "disjunctive")
+    plan_forced = forced_df._jdf.queryExecution().executedPlan().toString()
+    assert plan_forced.count("MapInPandas") == 2  # decode + local top-k
+    forced = forced_df.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(skipped, forced)
+
+
 def test_conjunctive_rank_identity(small_index, oracle, queries_pdf):
     qs = [
         (int(r.query_id), r.text, int(r.k))

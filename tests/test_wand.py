@@ -40,13 +40,13 @@ def test_wand_bad_mode(small_index):
         search_wand(small_index, [(1, "merg", 5)], mode="fuzzy")
 
 
-@pytest.mark.parametrize("k", [50, 200, 50_000])
+@pytest.mark.parametrize("k", [50, 200, 50_000, 1_000_000])
 def test_wand_large_k_identity(small_index, k):
     """Reference-scale k (LuceneBenchmark.java:358-364 benches at
-    5*10^4): the amortized shard-local truncation and the global merge
-    must stay exact when k exceeds (k=50_000) or truncates (k=50/200)
-    the candidate set, including θ-pruning edge cases on a common
-    term."""
+    k=10^6 for MOL/FP and 5*10^4 for SS): the amortized shard-local
+    truncation and the global merge must stay exact when k exceeds
+    (k=5*10^4, 10^6) or truncates (k=50/200) the candidate set,
+    including θ-pruning edge cases on a common term."""
     qs = [(1, "merg data main scorer token", k), (2, "get index hash", k)]
     want = _pdf(search(small_index, qs, "disjunctive"))
     got = _pdf(search_wand(small_index, qs, "disjunctive", n_shards=7))
