@@ -140,30 +140,60 @@ def build_segment(
     batch: DataFrame,
     seg_dir: str,
     cfg: IndexConfig,
-    id_col: str = "ext_id",
+    id_col: str | None = "ext_id",
     base_index_dir: str | None = None,
 ) -> None:
     """Encode one micro-batch of docs as a self-contained delta segment
     with delete-then-add upsert semantics (``ChemicalIndex.java:801``).
 
-    ``batch`` must carry the corpus shape plus an externally-supplied
-    unique integer id (streaming arrival order is not deterministic, so
-    ids must come from the data — the reference's data-supplied
-    ``pkField`` configuration, ``LuceneBenchmark.java:745-755``). An id
-    already live in the prior view is an UPDATE: the old version is
-    tombstoned (recorded in ``deletes.parquet``) and the new content
-    indexed under the same id. Written atomically: parquet outputs
-    first, ``stats.json`` last (a segment without stats is ignored by
-    :func:`list_segments`).
+    ``batch`` carries the corpus shape plus either an externally-
+    supplied unique integer id (``id_col`` — the reference's
+    data-supplied ``pkField`` configuration,
+    ``LuceneBenchmark.java:745-755``) or, with ``id_col=None``, NO id:
+    doc_ids are then resolved from the NATURAL KEY ``(repo, path,
+    commit)`` — the reference's default pkField is likewise a natural
+    record property (``LuceneBenchmark.java:752``). A key already live
+    in the prior view keeps its doc_id (an UPDATE: the old version is
+    tombstoned, the new content indexed under the same id); unseen keys
+    get fresh ids above the prior view's ``max_doc_id``, assigned
+    deterministically in key order (streaming arrival order is not
+    deterministic, so ids must never depend on it). Written atomically:
+    parquet outputs first, ``stats.json`` last (a segment without
+    stats is ignored by :func:`list_segments`).
     """
+    from pyspark.sql import Window
+
     n_parts = max(1, min(cfg.build_partitions, 8))
     base_dir = base_index_dir or os.path.dirname(os.path.dirname(seg_dir))
     m = re.match(r"seg-(\d+)", os.path.basename(seg_dir))
     ordinal = float(m.group(1)) if m else seg_ordinal(seg_dir)
-    ids = batch.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        "repo", "path", "commit", "lang", "content",
-    )
+    prior = _prior_view(spark, base_dir, ordinal, cfg)
+    if id_col is None:
+        # natural-key resolution: one broadcast join of the SMALL batch
+        # against the metadata-scale docmeta; new keys numbered by a
+        # row_number over the (micro-batch-sized) batch in key order —
+        # a single-task window, bounded by micro-batch size by design
+        known = prior.docmeta.select("doc_id", "repo", "path", "commit")
+        joined = batch.select("repo", "path", "commit", "lang", "content").join(
+            known, ["repo", "path", "commit"], "left"
+        )
+        w_new = Window.orderBy("repo", "path", "commit")
+        ids = joined.withColumn(
+            "doc_id",
+            F.coalesce(
+                F.col("doc_id"),
+                F.lit(prior.max_doc_id) + F.row_number().over(w_new),
+            ),
+        ).select("doc_id", "repo", "path", "commit", "lang", "content").persist()
+        # persisted: the id-resolution join + window would otherwise
+        # recompute for every downstream consumer (flat, stats, docmeta)
+        pk_expr = F.concat_ws("\x1f", "repo", "path", "commit")
+    else:
+        ids = batch.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            "repo", "path", "commit", "lang", "content",
+        )
+        pk_expr = F.col("doc_id").cast("string")
     # micro-batches are small: one SPIMI pass, one term-sorted encode
     flat = (
         ids.select("doc_id", "content", F.lit(0).cast("int").alias("build_part"))
@@ -179,18 +209,23 @@ def build_segment(
         flat.groupBy("doc_id").agg(F.first("dl").alias("doc_len")), "doc_id", "left"
     ).agg(
         F.count("*").alias("n"),
-        F.countDistinct("doc_id").alias("n_distinct"),
+        F.least(
+            F.countDistinct("doc_id"), F.countDistinct(pk_expr)
+        ).alias("n_distinct"),
         F.sum(F.coalesce(F.col("doc_len"), F.lit(0))).alias("total_dl"),
         F.max("doc_id").alias("max_id"),
     ).collect()[0]
     n, total_dl = int(stats_row["n"]), int(stats_row["total_dl"] or 0)
-    # a duplicated id within one batch silently inflates df and emits
-    # duplicate doc_ids in results — the streaming analog of the batch
-    # build's validate_pk (ids overlapping EARLIER segments/base are
-    # fine: that's an upsert, handled by the tombstone written below)
+    # a duplicated id/key within one batch silently inflates df and
+    # emits duplicate doc_ids in results — the streaming analog of the
+    # batch build's validate_pk (ids overlapping EARLIER segments/base
+    # are fine: that's an upsert, handled by the tombstone below).
+    # With natural keys, two NEW rows sharing a key would get distinct
+    # fresh doc_ids, so the key column itself is checked too.
     if int(stats_row["n_distinct"]) != n:
         raise ValueError(
-            f"batch ids not unique: {n} rows, {int(stats_row['n_distinct'])} distinct {id_col}"
+            f"batch ids not unique: {n} rows, {int(stats_row['n_distinct'])} "
+            f"distinct {id_col or '(repo, path, commit)'}"
         )
     seg_avgdl = (total_dl / n) if n else 1.0
 
@@ -198,7 +233,6 @@ def build_segment(
     # tombstoned; their (count, Σ doc_len) is recorded so the merged
     # stats arithmetic stays integer-exact. One metadata-scale semi-
     # join per batch (docmeta, not postings).
-    prior = _prior_view(spark, base_dir, ordinal, cfg)
     deld = (
         prior.docmeta.join(F.broadcast(ids.select("doc_id")), "doc_id", "left_semi")
         .select("doc_id", "doc_len")
@@ -255,6 +289,8 @@ def build_segment(
             f,
         )
     os.replace(tmp, os.path.join(seg_dir, "stats.json"))
+    if id_col is None:
+        ids.unpersist()
 
 
 def delete_docs(
@@ -337,13 +373,15 @@ def index_stream(
     base_index_dir: str,
     cfg: IndexConfig,
     checkpoint_dir: str,
-    id_col: str = "ext_id",
+    id_col: str | None = "ext_id",
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Attach a document stream to an index: every micro-batch becomes a
     delta segment (adds + upserts — an id already indexed is tombstoned
-    and re-added). ``foreachBatch`` + per-batch-id directories +
-    last-write-of-stats atomicity make replays idempotent, composing
+    and re-added). ``id_col=None`` upserts on the natural key
+    ``(repo, path, commit)`` with engine-assigned doc_ids (see
+    :func:`build_segment`). ``foreachBatch`` + per-batch-id directories
+    + last-write-of-stats atomicity make replays idempotent, composing
     with the stream checkpoint for effective exactly-once."""
     spark = stream.sparkSession
 
@@ -377,10 +415,12 @@ class SegmentedIndex:
     avgdl: float = field(init=False)
     max_doc_id: int = field(init=False)
     has_deletes: bool = field(init=False)
+    n_tombstones: int = field(init=False)
 
     def __post_init__(self) -> None:
         n, dl, mx = self.base.n_docs, self.base.total_dl, self.base.max_doc_id
         self.has_deletes = False
+        tomb = 0
         for d in self.segment_dirs:
             with open(os.path.join(d, "stats.json")) as f:
                 s = json.load(f)
@@ -389,9 +429,31 @@ class SegmentedIndex:
             mx = max(mx, s["max_doc_id"])
             if s.get("del_n_docs", 0) > 0:
                 self.has_deletes = True
+            tomb += s.get("del_n_docs", 0)
         self.n_docs, self.total_dl, self.max_doc_id = n, dl, mx
+        self.n_tombstones = tomb
         self.avgdl = (dl / n) if n else 0.0
         self._kill_pairs_cache: tuple[np.ndarray, np.ndarray] | None = None
+
+    def tombstone_frac(self) -> float:
+        """Tombstoned versions as a fraction of live docs — the metric
+        the auto-compaction policy watches. Driver-side arithmetic over
+        the per-segment stats (no Spark job)."""
+        return self.n_tombstones / max(self.n_docs, 1)
+
+    def maybe_compact(
+        self, out_dir: str, max_tombstone_frac: float = 0.2
+    ) -> "InvertedIndex | None":
+        """ENFORCE the kill-map bound: the driver-side kill pairs (and
+        every query's broadcast kill map) grow with tombstone volume
+        since the last compaction — Lucene's background merge is what
+        bounds the reference's deleted-doc overhead, and this is its
+        policy hook. Compacts into ``out_dir`` when tombstones exceed
+        ``max_tombstone_frac`` of live docs; returns the fresh
+        monolithic index (caller switches over), else None."""
+        if self.tombstone_frac() <= max_tombstone_frac:
+            return None
+        return compact(self.spark, self.index_dir, self.cfg, out_dir)
 
     @property
     def cfg(self) -> IndexConfig:

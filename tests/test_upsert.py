@@ -207,6 +207,103 @@ def test_compaction_byte_identical_to_rebuild(upsert_setup):
     pd.testing.assert_frame_equal(ra, rb)
 
 
+def test_natural_key_upsert_resolves_ids(spark, tmp_path_factory):
+    """id_col=None: the batch carries NO external id; known
+    (repo, path, commit) keys keep their doc_id (update), unseen keys
+    get fresh deterministic ids above max_doc_id; rank identity with a
+    rebuild over the updated corpus using the engine-assigned ids."""
+    tmp = tmp_path_factory.mktemp("nk_upsert")
+    pdf = make_corpus_pdf(n_docs=100, seed=19)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    cfg = IndexConfig(build_partitions=4, hot_term_df=60, n_salts=4)
+    base_dir = str(tmp / "base")
+    base = build_index(spark, spark.createDataFrame(pdf), cfg, base_dir, id_col="ext_id")
+    assert base is not None
+
+    upd = pdf[pdf.ext_id < 10].copy()
+    upd["content"] = upd["content"] + " nkmarker probe"
+    new = pdf.iloc[:5].copy()
+    new["path"] = new["path"] + ".brandnew"
+    new["content"] = new["content"] + " nkmarker fresh"
+    batch = pd.concat([upd, new], ignore_index=True).drop(columns=["ext_id"])
+    seg0 = os.path.join(segments_root(base_dir), "seg-00000000")
+    build_segment(spark, spark.createDataFrame(batch), seg0, cfg, id_col=None)
+
+    seg = SegmentedIndex.load(spark, base_dir, cfg)
+    dm = seg.docmeta.select("doc_id", "path").toPandas()
+    # updated keys kept their original ids
+    upd_ids = dm[dm["path"].isin(upd["path"])].set_index("path")["doc_id"]
+    for _, r in upd.iterrows():
+        assert int(upd_ids.loc[r["path"]]) == int(r["ext_id"])
+    # new keys got fresh ids above the prior max
+    new_ids = dm[dm["path"].isin(new["path"])]["doc_id"]
+    assert len(new_ids) == 5 and (new_ids > 99).all() and new_ids.is_unique
+
+    # rank identity vs a rebuild over the updated corpus with the
+    # engine-assigned ids
+    assigned = dm.merge(
+        pd.concat([pdf[pdf.ext_id >= 10], upd, new], ignore_index=True).drop(
+            columns=["ext_id"]
+        ),
+        on="path",
+    )
+    assigned = assigned.rename(columns={"doc_id": "ext_id"})[
+        ["ext_id", "repo", "path", "commit", "lang", "content"]
+    ]
+    full = build_index(
+        spark, spark.createDataFrame(assigned), cfg, str(tmp / "full"), id_col="ext_id"
+    )
+    qs = [(1, "nkmarker probe", 20), (2, "token pars hash", 10)]
+    pd.testing.assert_frame_equal(
+        _sorted(search(seg, qs, mode="disjunctive")),
+        _sorted(search(full, qs, mode="disjunctive")),
+    )
+
+    # duplicate natural keys within one batch are rejected
+    dup = pd.concat([batch.iloc[:2], batch.iloc[:2]], ignore_index=True)
+    with pytest.raises(ValueError, match="not unique"):
+        build_segment(
+            spark, spark.createDataFrame(dup), str(tmp / "segdup"), cfg,
+            id_col=None, base_index_dir=base_dir,
+        )
+
+
+def test_maybe_compact_enforces_tombstone_bound(spark, tmp_path_factory):
+    """The auto-compaction policy: update batches accumulate tombstones
+    until tombstone_frac crosses the threshold, maybe_compact folds the
+    view, and rank identity holds across the switch-over."""
+    tmp = tmp_path_factory.mktemp("autocompact")
+    pdf = make_corpus_pdf(n_docs=50, seed=23)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    cfg = IndexConfig(build_partitions=4, hot_term_df=60, n_salts=4)
+    base_dir = str(tmp / "base")
+    build_index(spark, spark.createDataFrame(pdf), cfg, base_dir, id_col="ext_id")
+
+    compacted = None
+    fracs = []
+    for i in range(3):
+        upd = pdf[pdf.ext_id % 5 == i].copy()
+        upd["content"] = upd["content"] + f" compactprobe{i}"
+        seg_dir = os.path.join(segments_root(base_dir), f"seg-{i:08d}")
+        build_segment(spark, spark.createDataFrame(upd), seg_dir, cfg, id_col="ext_id")
+        seg = SegmentedIndex.load(spark, base_dir, cfg)
+        fracs.append(seg.tombstone_frac())
+        compacted = seg.maybe_compact(str(tmp / f"compact{i}"), max_tombstone_frac=0.3)
+        if compacted is not None:
+            break
+    # each batch tombstones 10 of 50 docs: fracs 0.2, 0.4 → triggers on
+    # the second batch
+    assert compacted is not None and len(fracs) == 2
+    assert fracs[0] <= 0.3 < fracs[1]
+    assert compacted.n_docs == seg.n_docs
+
+    qs = [(1, "compactprobe0 compactprobe1", 20), (2, "token pars hash", 10)]
+    pd.testing.assert_frame_equal(
+        _sorted(search(seg, qs, mode="disjunctive")),
+        _sorted(search(compacted, qs, mode="disjunctive")),
+    )
+
+
 def test_delete_then_resume_stream_readd(spark, tmp_path_factory):
     """Ordering law across stream restarts: a delete issued BETWEEN two
     stream runs must sort BETWEEN the last flushed batch and the resumed
