@@ -209,6 +209,20 @@ def _q_wand_large_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_wand(_index_for(spark, sf_dir), LARGE_K_QUERIES, mode="disjunctive")
 
 
+# Full MOL/FP-parity k=10^6 (LuceneBenchmark.java:358-361): a hit-rich
+# disjunction so the candidate pool actually grows; k exceeds the
+# corpus, exercising the k>N branch of the amortized pool truncation
+# and the global merge at reference scale.
+XLARGE_K = 1_000_000
+XLARGE_K_QUERIES = [
+    (56, "merge join spark hash table scan customer window filter batch", XLARGE_K),
+]
+
+
+def _q_wand_xlarge_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search_wand(_index_for(spark, sf_dir), XLARGE_K_QUERIES, mode="disjunctive")
+
+
 NAME_QUERY = ("src3", 10)
 
 # Q1 query-syntax workload (+required, -excluded, "phrase", bare OR)
@@ -240,6 +254,24 @@ FIELD_QUERIES = [
 def _q_field_qualified(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index_for(spark, sf_dir)
     return search_syntax(idx, _corpus_for(spark, sf_dir), FIELD_QUERIES)
+
+
+# term* prefix clauses (the most-used slice of MultiFieldQueryParser's
+# wildcard surface, ChemicalIndex.java:482-485): expanded against the
+# lexicon to the top-256 matching terms by (df DESC, term ASC), each a
+# SHOULD clause; the oracle reproduces the expansion rule in SQL over
+# the same corpus. 94 exercises a zero-expansion prefix.
+PREFIX_QUERIES = [
+    (91, "mer* join", 10),
+    (92, "sca* hash", 10),
+    (93, "+batch win*", 5),
+    (94, "zzzq* batch", 5),
+]
+
+
+def _q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return search_syntax(idx, _corpus_for(spark, sf_dir), PREFIX_QUERIES)
 
 
 def _q_max_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,6 +375,51 @@ def _upsert_index(spark: SparkSession, sf_dir: str):
 
 def _q_upsert_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(_upsert_index(spark, sf_dir), UPSERT_QUERIES, mode="disjunctive")
+
+
+# Natural-key streaming upsert (the reference's pkField is a natural
+# record property, LuceneBenchmark.java:745-755): the update batch
+# carries NO external id — build_segment(id_col=None) resolves doc_ids
+# by joining (repo, path, commit) against the live view's docmeta, so
+# the updated docs keep their ids and the oracle over the updated
+# corpus must hash-match.
+NK_MOD = 40
+NK_MARKER = " naturalkey upsert probe"
+NK_QUERIES = [
+    (65, "naturalkey upsert probe", 10),
+    (66, "hash table scan", 10),
+]
+
+
+def _nk_index(spark: SparkSession, sf_dir: str):
+    from org_rdkit_lucene_spark.streaming.incremental import (
+        SegmentedIndex,
+        build_segment,
+        segments_root,
+    )
+
+    key = ("nk", os.path.abspath(sf_dir))
+    if key not in _UPSERT_CACHE:
+        corpus = documents_as_corpus(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="orls_nk_")
+        cfg = IndexConfig(build_partitions=8, hot_term_df=1024, n_salts=4)
+        idx = build_index(spark, corpus, cfg, d, id_col="ext_id")
+        assert idx is not None
+        batch = (
+            corpus.filter((F.col("ext_id") % NK_MOD) == 0)
+            .withColumn("content", F.concat(F.col("content"), F.lit(NK_MARKER)))
+            .drop("ext_id")
+        )
+        build_segment(
+            spark, batch, os.path.join(segments_root(d), "seg-00000000"),
+            cfg, id_col=None,
+        )
+        _UPSERT_CACHE[key] = SegmentedIndex.load(spark, d, cfg)
+    return _UPSERT_CACHE[key]
+
+
+def _q_natural_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search(_nk_index(spark, sf_dir), NK_QUERIES, mode="disjunctive")
 
 
 def _q_upsert_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,10 +701,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k6_max_scores": _q_max_scores,
         "td_media_embed_topk": _td_media_embed_topk,
         "b1_upsert_requery": _q_upsert_requery,
+        "b1_natural_key_upsert": _q_natural_key_upsert,
         "b1_upsert_wand": _q_upsert_wand,
         "b1_compacted_requery": _q_compacted_requery,
         "k7_wand_topk_large": _q_wand_large_k,
+        "k7_wand_topk_xlarge": _q_wand_xlarge_k,
         "q1_field_qualified": _q_field_qualified,
+        "q1_prefix_search": _q_prefix_search,
         "t3_trigram_search": _q_trigram_search,
         "t3_identifiers_lexicon": _q_identifiers_lexicon,
     }
@@ -708,6 +788,12 @@ def oracle_sql() -> dict[str, str]:
             table="upsert_documents",
             extra_cte=sqlgen.upsert_docs_cte(UPSERT_MOD, UPSERT_MARKER, UPSERT_DELETED),
         ),
+        "b1_natural_key_upsert": sqlgen.bm25_topk_sql(
+            NK_QUERIES,
+            "disjunctive",
+            table="upsert_documents",
+            extra_cte=sqlgen.upsert_docs_cte(NK_MOD, NK_MARKER, []),
+        ),
         "b1_upsert_wand": sqlgen.bm25_topk_sql(
             UPSERT_QUERIES,
             "disjunctive",
@@ -715,6 +801,7 @@ def oracle_sql() -> dict[str, str]:
             extra_cte=sqlgen.upsert_docs_cte(UPSERT_MOD, UPSERT_MARKER, UPSERT_DELETED),
         ),
         "k7_wand_topk_large": sqlgen.bm25_topk_sql(LARGE_K_QUERIES, "disjunctive"),
+        "k7_wand_topk_xlarge": sqlgen.bm25_topk_sql(XLARGE_K_QUERIES, "disjunctive"),
         "b1_compacted_requery": sqlgen.bm25_topk_sql(
             UPSERT_QUERIES,
             "disjunctive",
@@ -722,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
             extra_cte=sqlgen.upsert_docs_cte(UPSERT_MOD, UPSERT_MARKER, UPSERT_DELETED),
         ),
         "q1_field_qualified": sqlgen.query_syntax_sql(FIELD_QUERIES),
+        "q1_prefix_search": sqlgen.query_syntax_sql(PREFIX_QUERIES),
         "t3_trigram_search": _t3_oracle_trigram(),
         "t3_identifiers_lexicon": _t3_oracle_identifiers(),
     }
