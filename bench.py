@@ -282,14 +282,22 @@ def main() -> None:
     # best-of-repeats; all build samples are listed in build_secs_all)
     if not quick and _eff(high, low) < 0.84:
         high2 = run_level(n_high, corpus_path, repeats, pilot_path, build_only=True)
-        high2["queries"] = high["queries"]
-        high2["query_total_sec"] = high["query_total_sec"]
-        high2["query_p95_sec"] = high["query_p95_sec"]
-        high2["csv_rows"] = high["csv_rows"]
+        # the guard-band sample is build-only: carry the first run's
+        # query/training results over, and KEEP every build sample row
+        # (renumbered) in the CSV
+        n_prev = len(high["build_secs_all"])
+        extra_rows = [
+            (c, q, t, r + n_prev, w, h) for c, q, t, r, w, h in high2["csv_rows"]
+        ]
+        for key in ("queries", "query_total_sec", "query_p95_sec", "training_ops"):
+            if key in high:
+                high2[key] = high[key]
+        high2["csv_rows"] = high["csv_rows"] + extra_rows
         samples = high["build_secs_all"] + high2["build_secs_all"]
         if high2["build_files_per_sec"] > high["build_files_per_sec"]:
             high = high2
         high["build_secs_all"] = samples
+        high["csv_rows"] = high2["csv_rows"]
 
     eff = _eff(high, low)
     scaling = {

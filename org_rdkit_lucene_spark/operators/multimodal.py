@@ -14,7 +14,7 @@ oracle-reproducible.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -25,6 +25,55 @@ MEDIA_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, sig string, "
     "width int, height int, duration_ms long, n_frames int"
 )
+
+META_KEYS = ("sig", "width", "height", "duration_ms", "n_frames")
+
+# Pluggable decoder registry: real deployments slot PIL / librosa /
+# pyav in per media_type WITHOUT touching the operators — the
+# registered callable takes (blob, media_type) and returns the
+# META_KEYS dict. The registry is snapshotted into each operator's
+# kernel CLOSURE at plan time (cloudpickle ships it to the Python
+# workers — module state registered on the driver would NOT be visible
+# there otherwise).
+_DECODERS: dict[str, Callable[[bytes, str], dict]] = {}
+
+
+def register_decoder(media_type: str, fn: Callable[[bytes, str], dict]) -> None:
+    """Register a REAL decoder for ``media_type`` ('image' / 'audio' /
+    'video'). The callable must be picklable (top-level function) and
+    return a dict with keys {sig, width, height, duration_ms,
+    n_frames}. Types without a registered decoder keep the stub/fake
+    behavior."""
+    _DECODERS[media_type] = fn
+
+
+def unregister_decoder(media_type: str) -> None:
+    _DECODERS.pop(media_type, None)
+
+
+def _decode(blob: bytes, media_type: str, fake: bool, decoders: dict) -> dict:
+    fn = decoders.get(media_type)
+    if fn is not None:
+        meta = fn(blob, media_type)
+        missing = set(META_KEYS) - set(meta)
+        if missing:
+            raise ValueError(f"decoder for {media_type!r} missing keys {sorted(missing)}")
+        return meta
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires image/audio libs not present in this "
+            "environment; register_decoder() a real one or pass fake=True "
+            "for the deterministic stand-in"
+        )
+    digest = hashlib.md5(blob).hexdigest()
+    h = int(digest[:8], 16)
+    return {
+        "sig": digest[:16],
+        "width": 64 + h % 1024 if media_type == "image" else 0,
+        "height": 64 + (h >> 10) % 1024 if media_type == "image" else 0,
+        "duration_ms": (h % 600_000) if media_type in ("audio", "video") else 0,
+        "n_frames": (h % 3_000) if media_type == "video" else 0,
+    }
 
 
 def attach_fake_media(df: DataFrame, id_col: str = "doc_id", content_col: str = "text") -> DataFrame:
@@ -44,31 +93,22 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id", content_col: str = 
 def decode_media(blob: bytes, media_type: str, fake: bool = False) -> dict:
     """Decode one media blob → metadata dict.
 
-    REAL decode (PIL/librosa/pyav) is unavailable in this container —
-    STUB: raises unless ``fake=True``. The fake is deterministic:
-    metadata derived from md5(blob), so tests and the SQL oracle can
-    reproduce it."""
-    if not fake:
-        raise NotImplementedError(
-            "media decoding requires image/audio libs not present in this "
-            "environment; pass fake=True for the deterministic stand-in"
-        )
-    digest = hashlib.md5(blob).hexdigest()
-    h = int(digest[:8], 16)
-    return {
-        "sig": digest[:16],
-        "width": 64 + h % 1024 if media_type == "image" else 0,
-        "height": 64 + (h >> 10) % 1024 if media_type == "image" else 0,
-        "duration_ms": (h % 600_000) if media_type in ("audio", "video") else 0,
-        "n_frames": (h % 3_000) if media_type == "video" else 0,
-    }
+    A decoder registered via :func:`register_decoder` takes precedence;
+    otherwise REAL decode (PIL/librosa/pyav) is unavailable in this
+    container — STUB: raises unless ``fake=True``. The fake is
+    deterministic: metadata derived from md5(blob), so tests and the
+    SQL oracle can reproduce it."""
+    return _decode(blob, media_type, fake, _DECODERS)
 
 
 def extract_media_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary media columns.
 
     Partition-preserving mapInPandas: no shuffle — at 100 TB the blobs
-    never move, only the small typed metadata comes out."""
+    never move, only the small typed metadata comes out. Registered
+    decoders (snapshotted at plan time) handle their media types; the
+    rest use the stub/fake path."""
+    decoders = dict(_DECODERS)
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -77,7 +117,7 @@ def extract_media_features(media_df: DataFrame, fake: bool = True) -> DataFrame:
             rows = []
             for doc_id, blob, mt in zip(pdf["doc_id"], pdf["media"], pdf["media_type"]):
                 b = bytes(blob)
-                meta = decode_media(b, mt, fake=fake)
+                meta = _decode(b, mt, fake, decoders)
                 rows.append(
                     (int(doc_id), mt, len(b), meta["sig"], meta["width"],
                      meta["height"], meta["duration_ms"], meta["n_frames"])

@@ -176,6 +176,44 @@ def test_multimodal_stub_and_features(spark, docs_df):
     assert s.loc[0] == s.loc[1]
 
 
+def _toy_image_decoder(blob: bytes, media_type: str) -> dict:
+    """Picklable stand-in 'real' decoder: metadata from the blob length
+    instead of md5 — distinguishable from the fake path."""
+    return {"sig": f"toy-{len(blob)}", "width": len(blob), "height": 1,
+            "duration_ms": 0, "n_frames": 0}
+
+
+def test_decoder_registry_plugs_into_operators(spark, docs_df):
+    """register_decoder must reach the EXECUTOR-side kernel (snapshotted
+    into the closure): registered types use the real decoder, others
+    keep the fake; unregistering restores the stub."""
+    from org_rdkit_lucene_spark.operators.multimodal import (
+        register_decoder,
+        unregister_decoder,
+    )
+
+    media = attach_fake_media(docs_df)
+    register_decoder("image", _toy_image_decoder)
+    try:
+        # driver-side single-blob API honors the registry, even with fake=False
+        assert decode_media(b"xyz", "image")["sig"] == "toy-3"
+        feats = extract_media_features(media, fake=True).toPandas()
+        img = feats[feats.media_type == "image"]
+        other = feats[feats.media_type != "image"]
+        assert len(img) and img["sig"].str.startswith("toy-").all()
+        assert (img["width"] == img["n_bytes"]).all()
+        assert len(other) and not other["sig"].str.startswith("toy-").any()
+        # bad decoder contract is rejected eagerly
+        register_decoder("audio", lambda b, mt: {"sig": "x"})
+        with pytest.raises(ValueError, match="missing keys"):
+            decode_media(b"xx", "audio")
+    finally:
+        unregister_decoder("image")
+        unregister_decoder("audio")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image", fake=False)
+
+
 def test_frame_sample_plan(spark, docs_df):
     media = attach_fake_media(docs_df)
     plan = frame_sample_plan(media, every_ms=50_000).toPandas()
