@@ -274,6 +274,22 @@ def _q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_syntax(idx, _corpus_for(spark, sf_dir), PREFIX_QUERIES)
 
 
+# term~ / term~N fuzzy clauses (FuzzyQuery through the same parser
+# surface): expanded against the lexicon via levenshtein <= dist to the
+# top-64 terms by (df DESC, term ASC); identical rule in the SQL twin.
+FUZZY_QUERIES = [
+    (96, "merje~ join", 10),      # 1-edit typo of 'merge'
+    (97, "tablr~ hash", 10),      # 1-edit typo of 'table'
+    (98, "windoq~2 batch", 5),    # 2 edits from 'window'
+    (99, "qqqqqqq~ batch", 5),    # matches nothing; rest still scores
+]
+
+
+def _q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return search_syntax(idx, _corpus_for(spark, sf_dir), FUZZY_QUERIES)
+
+
 def _q_max_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return max_scores(_index_for(spark, sf_dir), DISJ_QUERIES).orderBy("query_id")
 
@@ -708,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k7_wand_topk_xlarge": _q_wand_xlarge_k,
         "q1_field_qualified": _q_field_qualified,
         "q1_prefix_search": _q_prefix_search,
+        "q1_fuzzy_search": _q_fuzzy_search,
         "t3_trigram_search": _q_trigram_search,
         "t3_identifiers_lexicon": _q_identifiers_lexicon,
     }
@@ -810,6 +827,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q1_field_qualified": sqlgen.query_syntax_sql(FIELD_QUERIES),
         "q1_prefix_search": sqlgen.query_syntax_sql(PREFIX_QUERIES),
+        "q1_fuzzy_search": sqlgen.query_syntax_sql(FUZZY_QUERIES),
         "t3_trigram_search": _t3_oracle_trigram(),
         "t3_identifiers_lexicon": _t3_oracle_identifiers(),
     }

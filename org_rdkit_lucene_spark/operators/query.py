@@ -508,9 +508,15 @@ FIELD_BOOST = 1.0
 # BooleanQuery.maxClauseCount); 256 keeps the broadcast weight table
 # metadata-sized even for one-letter prefixes over a 100 TB lexicon.
 PREFIX_EXPANSION_LIMIT = 256
+# FuzzyQuery rewrites likewise (ChemicalIndex's parser surface accepts
+# term~ through MultiFieldQueryParser); a tighter bound than prefixes —
+# edit-distance matches are a correction set, not a vocabulary slice.
+FUZZY_EXPANSION_LIMIT = 64
+FUZZY_MAX_DIST = 2
 
 _SYNTAX_RE = _re.compile(r'"([^"]*)"|(\+|-)?(\S+)')
 _FIELD_RE = _re.compile(r"^(repo|path|lang):(.+)$")
+_FUZZY_RE = _re.compile(r"^(.+?)~([0-9])?$")
 
 
 def parse_query(text: str) -> dict:
@@ -522,9 +528,12 @@ def parse_query(text: str) -> dict:
     the prefix is lowercased, NOT analyzed (Lucene's parser likewise
     skips analysis for wildcard terms), and SHOULD-only — a leading
     +/- on it is ignored. Only a single trailing ``*`` is supported;
-    a word with ``*`` elsewhere is not a prefix clause."""
+    a word with ``*`` elsewhere is not a prefix clause. ``term~`` /
+    ``term~N`` is a FUZZY clause (edit distance N, default 1, clamped
+    to ``FUZZY_MAX_DIST``): lowercased, NOT analyzed, SHOULD-only —
+    fuzzies = [(word, dist)]."""
     out = {"required": [], "optional": [], "excluded": [], "phrases": [],
-           "fields": [], "prefixes": []}
+           "fields": [], "prefixes": [], "fuzzies": []}
     for m in _SYNTAX_RE.finditer(text):
         phrase, op, word = m.group(1), m.group(2), m.group(3)
         if phrase is not None:
@@ -532,10 +541,14 @@ def parse_query(text: str) -> dict:
                 out["phrases"].append(phrase.strip())
             continue
         fm = _FIELD_RE.match(word)
+        zm = _FUZZY_RE.match(word)
         if fm:
             out["fields"].append((fm.group(1), fm.group(2).lower()))
         elif word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
             out["prefixes"].append(word[:-1].lower())
+        elif zm and "~" not in zm.group(1):
+            dist = min(int(zm.group(2)) if zm.group(2) else 1, FUZZY_MAX_DIST)
+            out["fuzzies"].append((zm.group(1).lower(), dist))
         elif op == "+":
             out["required"].append(word)
         elif op == "-":
@@ -565,6 +578,50 @@ def expand_prefixes(index: InvertedIndex, prefixes: list[str]) -> dict[str, list
         )
         out[p] = m["term"].head(PREFIX_EXPANSION_LIMIT).tolist()
     return out
+
+
+def expand_fuzzies(
+    index: InvertedIndex, fuzzies: list[tuple[str, int]]
+) -> dict[tuple[str, int], list[str]]:
+    """Resolve fuzzy clauses against the lexicon: for each (word, dist),
+    the top-``FUZZY_EXPANSION_LIMIT`` terms with edit distance ≤ dist,
+    by (df DESC, term ASC) — FuzzyQuery's bounded rewrite. One lexicon
+    job for ALL clauses; ``F.levenshtein`` runs JVM-side inside
+    whole-stage codegen behind a cheap length pre-filter (|len(term) -
+    len(word)| ≤ dist prunes most of the dictionary before the O(n·m)
+    distance)."""
+    uniq = sorted({(w, d) for w, d in fuzzies if w})
+    if not uniq:
+        return {}
+    cond = None
+    for w, d in uniq:
+        c = (
+            F.abs(F.length("term") - F.lit(len(w))) <= F.lit(d)
+        ) & (F.levenshtein(F.col("term"), F.lit(w)) <= F.lit(d))
+        cond = c if cond is None else cond | c
+    lexp = index.lexicon.filter(cond).select("term", "df").toPandas()
+    out: dict[tuple[str, int], list[str]] = {}
+    for w, d in uniq:
+        dists = lexp["term"].map(lambda t: _levenshtein(t, w))
+        m = lexp[dists <= d].sort_values(["df", "term"], ascending=[False, True])
+        out[(w, d)] = m["term"].head(FUZZY_EXPANSION_LIMIT).tolist()
+    return out
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Classic edit distance (insert/delete/substitute) — must agree
+    with Spark's and DuckDB's ``levenshtein`` so the driver-side
+    re-partition of the fetched candidate slice is consistent with the
+    scan filter."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 
 def _field_hits(index: InvertedIndex, field_rows: list[tuple[int, str, str]]) -> DataFrame:
@@ -610,6 +667,9 @@ def search_syntax(
     expansions = expand_prefixes(
         index, [p for q in parsed.values() for p in q["prefixes"]]
     )
+    fuzzy_exp = expand_fuzzies(
+        index, [f for q in parsed.values() for f in q["fuzzies"]]
+    )
 
     scoring, must_counts, excluded_rows, phrase_rows = [], [], [], []
     field_rows: list[tuple[int, str, str]] = []
@@ -636,6 +696,9 @@ def search_syntax(
         # must-pinning so the law is order-independent)
         for pfx in sorted(set(p["prefixes"])):
             for t in expansions.get(pfx, []):
+                counts[t] = counts.get(t, 0) + 1
+        for fz in sorted(set(p["fuzzies"])):
+            for t in fuzzy_exp.get(fz, []):
                 counts[t] = counts.get(t, 0) + 1
         for term, qtf in counts.items():
             scoring.append((qid, term, int(qtf), len(counts), k))

@@ -199,15 +199,18 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
     source || '/doc/' || doc_id, lang → lang), and term* prefix
     clauses expanded IN SQL to the top-PREFIX_EXPANSION_LIMIT matching
     terms by (df DESC, term ASC) — the same expansion the engine
-    resolves against its lexicon — each adding one SHOULD occurrence."""
+    resolves against its lexicon — each adding one SHOULD occurrence.
+    term~ / term~N fuzzy clauses expand identically via levenshtein
+    (top-FUZZY_EXPANSION_LIMIT)."""
     from org_rdkit_lucene_spark.operators.query import (
         FIELD_BOOST,
+        FUZZY_EXPANSION_LIMIT,
         PREFIX_EXPANSION_LIMIT,
         parse_query,
     )
 
     q_rows, must_rows, mreq_rows, ex_rows, ph_rows, phn_rows = [], [], [], [], [], []
-    fld_rows, k_rows, pref_rows = [], [], []
+    fld_rows, k_rows, pref_rows, fz_rows = [], [], [], []
     for qid, text, k in queries:
         p = parse_query(text)
         k_rows.append(f"({qid}, {k})")
@@ -217,6 +220,8 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
             )
         for pfx in sorted(set(p["prefixes"])):
             pref_rows.append("({}, '{}')".format(qid, pfx.replace("'", "''")))
+        for w, d in sorted(set(p["fuzzies"])):
+            fz_rows.append("({}, '{}', {})".format(qid, w.replace("'", "''"), d))
         must_terms: set[str] = set()
         for w in p["required"]:
             must_terms.update(tokenize_text(w))
@@ -268,11 +273,22 @@ pref_exp AS (
   FROM pref p JOIN dfs d ON starts_with(d.term, p.prefix)
   WHERE p.query_id IS NOT NULL
 ),
+fz(query_id, fterm, dist) AS (VALUES
+    {vals(fz_rows, 3)}),
+fz_exp AS (
+  SELECT f.query_id, d.term,
+         row_number() OVER (PARTITION BY f.query_id, f.fterm, f.dist
+                            ORDER BY d.df DESC, d.term ASC) AS rn
+  FROM fz f JOIN dfs d ON levenshtein(d.term, f.fterm) <= f.dist
+  WHERE f.query_id IS NOT NULL
+),
 qm AS (
   SELECT query_id, term, sum(qtf)::DOUBLE AS qtf FROM (
     SELECT query_id, term, qtf FROM q WHERE query_id IS NOT NULL
     UNION ALL
     SELECT query_id, term, 1 AS qtf FROM pref_exp WHERE rn <= {PREFIX_EXPANSION_LIMIT}
+    UNION ALL
+    SELECT query_id, term, 1 AS qtf FROM fz_exp WHERE rn <= {FUZZY_EXPANSION_LIMIT}
   ) GROUP BY 1, 2
 ),
 scored AS (

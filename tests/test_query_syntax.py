@@ -22,11 +22,13 @@ def test_parse_query():
         "phrases": ["hash table"],
         "fields": [],
         "prefixes": [],
+        "fuzzies": [],
     }
     empty = parse_query("")
     assert all(
         empty[k] == []
-        for k in ("required", "optional", "excluded", "phrases", "fields", "prefixes")
+        for k in ("required", "optional", "excluded", "phrases", "fields",
+                  "prefixes", "fuzzies")
     )
     assert parse_query('""')["phrases"] == []
 
@@ -106,6 +108,46 @@ def test_mixed_batch_no_cross_query_interference(small_index, syn_corpus):
         solo = search_syntax(small_index, syn_corpus, [(qid, text, k)]).toPandas()
         got = batch[batch.query_id == qid].sort_values("rank").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, solo.sort_values("rank").reset_index(drop=True))
+
+
+def test_parse_query_fuzzies():
+    p = parse_query("Merje~ tablr~2 x~9 plain")
+    assert p["fuzzies"] == [("merje", 1), ("tablr", 2), ("x", 2)]  # 9 clamps to 2
+    assert p["optional"] == ["plain"]
+    # malformed fuzzies stay ordinary terms
+    assert parse_query("a~b")["fuzzies"] == []
+    assert parse_query("~")["fuzzies"] == []
+    assert parse_query("a~~")["fuzzies"] == []
+
+
+def test_fuzzy_expansion_matches_manual_disjunction(small_index, syn_corpus):
+    """term~ must equal a hand-built disjunction of its levenshtein
+    expansion, and every expanded term must be within the distance."""
+    from org_rdkit_lucene_spark.operators.query import (
+        _bm25_scored,
+        _levenshtein,
+        expand_fuzzies,
+        rank_topk,
+    )
+
+    exp = expand_fuzzies(small_index, [("merg", 1)])[("merg", 1)]
+    assert "merg" in exp and len(exp) > 1  # merg + merg1..merg9 etc.
+    assert all(_levenshtein(t, "merg") <= 1 for t in exp)
+    qterms = pd.DataFrame(
+        [(1, t, 1, len(exp), 10) for t in exp],
+        columns=["query_id", "term", "qtf", "n_terms", "k"],
+    )
+    scored, est = _bm25_scored(small_index, qterms)
+    want = (
+        rank_topk(scored, small_index.cfg.bm25.score_decimals,
+                  est_candidates=est["disjunctive"], max_k=10)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    got = (
+        search_syntax(small_index, syn_corpus, [(1, "merg~", 10)])
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
 
 
 def test_prefix_expansion_matches_manual_disjunction(small_index, syn_corpus):
