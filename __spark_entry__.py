@@ -290,6 +290,23 @@ def _q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_syntax(idx, _corpus_for(spark, sf_dir), FUZZY_QUERIES)
 
 
+# Grouped boolean queries (AND/OR/parentheses; AND binds tighter,
+# adjacency = implicit OR): the tree FILTERS, BM25 over matched leaf
+# terms scores — one scored pass + a JVM-side CASE per query.
+BOOL_QUERIES = [
+    (101, "(merge OR hash) AND batch", 10),
+    (102, "merge join OR (table AND scan)", 10),
+    (103, "(customer AND window) OR (filter AND batch)", 5),
+    (104, "zzzmissingterm OR batch", 5),
+]
+
+
+def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from org_rdkit_lucene_spark.operators.query import search_boolean
+
+    return search_boolean(_index_for(spark, sf_dir), BOOL_QUERIES)
+
+
 def _q_max_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return max_scores(_index_for(spark, sf_dir), DISJ_QUERIES).orderBy("query_id")
 
@@ -725,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_field_qualified": _q_field_qualified,
         "q1_prefix_search": _q_prefix_search,
         "q1_fuzzy_search": _q_fuzzy_search,
+        "q1_boolean_search": _q_boolean_search,
         "t3_trigram_search": _q_trigram_search,
         "t3_identifiers_lexicon": _q_identifiers_lexicon,
     }
@@ -828,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_field_qualified": sqlgen.query_syntax_sql(FIELD_QUERIES),
         "q1_prefix_search": sqlgen.query_syntax_sql(PREFIX_QUERIES),
         "q1_fuzzy_search": sqlgen.query_syntax_sql(FUZZY_QUERIES),
+        "q1_boolean_search": sqlgen.boolean_search_sql(BOOL_QUERIES),
         "t3_trigram_search": _t3_oracle_trigram(),
         "t3_identifiers_lexicon": _t3_oracle_identifiers(),
     }

@@ -121,10 +121,11 @@ def tokenize_queries(queries: list[tuple[int, str, int]], profile) -> pd.DataFra
 _SCORED_SCHEMA = (
     "query_id long, doc_id long, score_raw double, n_matched long, n_terms long, k long"
 )
+_SCORED_SCHEMA_MT = _SCORED_SCHEMA + ", mt array<string>"
 
 
 def _bm25_scored(
-    index: InvertedIndex, qterms: pd.DataFrame
+    index: InvertedIndex, qterms: pd.DataFrame, with_matched: bool = False
 ) -> tuple[DataFrame, dict[str, int]]:
     """(query_id, doc_id, score_raw, n_matched) for all candidate docs,
     plus driver-side CANDIDATE-COUNT upper bounds derived from the same
@@ -152,7 +153,8 @@ def _bm25_scored(
     )
     qw = qterms.merge(lex_pdf, on="term")
     if len(qw) == 0:
-        return spark.createDataFrame([], _SCORED_SCHEMA), {
+        empty = _SCORED_SCHEMA_MT if with_matched else _SCORED_SCHEMA
+        return spark.createDataFrame([], empty), {
             "disjunctive": 0, "conjunctive": 0,
         }
     per_q = qw.groupby("query_id")["df"].agg(["sum", "min"])
@@ -183,6 +185,7 @@ def _bm25_scored(
             F.count("term").alias("n_matched"),
             F.first("n_terms").alias("n_terms"),
             F.first("k").alias("k"),
+            *([F.collect_set("term").alias("mt")] if with_matched else []),
         )
     )
     return scored, est
@@ -815,6 +818,152 @@ def search_syntax(
     quant = scored.withColumn("score_q", _quantize(F.col("score_raw"), dec))
     return _two_stage_rank(
         quant, "k_final", est_candidates=est_disj,
+        max_k=max(k for _, _, k in queries),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped boolean queries (the AND/OR/parentheses slice of the
+# reference's MultiFieldQueryParser surface, ChemicalIndex.java:482-485).
+# Grammar (documented — Lucene 3.6's operator semantics are famously
+# ambiguous, ours are not):
+#   or   := and ( [OR] and )*        -- adjacency = implicit OR
+#   and  := unit ( AND unit )*       -- AND binds tighter than OR
+#   unit := '(' or ')' | WORD
+# A WORD is analyzed with the index profile; multi-token words become an
+# AND over their tokens, token-less words are dropped (Lucene's parser
+# likewise drops empty clauses; a node whose children all drop is
+# dropped too). Scoring law: BM25 sums over ALL matched leaf terms
+# (each distinct leaf term counts once, qtf=1) — the boolean tree only
+# FILTERS, the same filters-don't-score law as phrases and two-phase
+# verification.
+
+
+def parse_boolean(text: str) -> tuple | None:
+    """Parse to a tree of ('word', w) / ('and', [..]) / ('or', [..]);
+    None for an empty query. Permissive on unbalanced parentheses (a
+    missing ')' closes at end of input; a stray ')' is skipped)."""
+    toks = [t for t in text.replace("(", " ( ").replace(")", " ) ").split() if t]
+
+    def parse_or(i: int) -> tuple:
+        nodes = []
+        node, i = parse_and(i)
+        if node is not None:
+            nodes.append(node)
+        while i < len(toks) and toks[i] != ")":
+            if toks[i] == "OR":
+                i += 1
+                continue
+            node, i = parse_and(i)
+            if node is not None:
+                nodes.append(node)
+        if not nodes:
+            return None, i
+        return (nodes[0] if len(nodes) == 1 else ("or", nodes)), i
+
+    def parse_and(i: int) -> tuple:
+        nodes = []
+        node, i = parse_unit(i)
+        if node is not None:
+            nodes.append(node)
+        while i < len(toks) and toks[i] == "AND":
+            node, i = parse_unit(i + 1)
+            if node is not None:
+                nodes.append(node)
+        if not nodes:
+            return None, i
+        return (nodes[0] if len(nodes) == 1 else ("and", nodes)), i
+
+    def parse_unit(i: int) -> tuple:
+        if i >= len(toks) or toks[i] == ")":
+            return None, i
+        if toks[i] == "(":
+            node, i = parse_or(i + 1)
+            if i < len(toks) and toks[i] == ")":
+                i += 1
+            return node, i
+        return ("word", toks[i]), i + 1
+
+    node, i = parse_or(0)
+    while i < len(toks):  # stray ')' at top level: skip and continue
+        extra, i2 = parse_or(i + 1)
+        i = max(i2, i + 1)
+        if extra is not None:
+            node = extra if node is None else ("or", [node, extra])
+    return node
+
+
+def resolve_boolean(tree: tuple | None, profile) -> tuple | None:
+    """Words → analyzed terms: ('word', w) becomes ('term', t) or an
+    AND over w's tokens; empty leaves/nodes drop."""
+    if tree is None:
+        return None
+    if tree[0] == "word":
+        toks = tokenize_text(tree[1], profile)
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return ("term", toks[0])
+        return ("and", [("term", t) for t in toks])
+    kids = [r for c in tree[1] if (r := resolve_boolean(c, profile)) is not None]
+    if not kids:
+        return None
+    if len(kids) == 1:
+        return kids[0]
+    return (tree[0], kids)
+
+
+def boolean_leaf_terms(tree: tuple | None) -> list[str]:
+    if tree is None:
+        return []
+    if tree[0] == "term":
+        return [tree[1]]
+    out: set[str] = set()
+    for c in tree[1]:
+        out.update(boolean_leaf_terms(c))
+    return sorted(out)
+
+
+def _tree_column(tree: tuple):
+    if tree[0] == "term":
+        return F.array_contains(F.col("mt"), tree[1])
+    cols = [_tree_column(c) for c in tree[1]]
+    out = cols[0]
+    for c in cols[1:]:
+        out = (out & c) if tree[0] == "and" else (out | c)
+    return out
+
+
+def search_boolean(
+    index: InvertedIndex, queries: list[tuple[int, str, int]]
+) -> DataFrame:
+    """Grouped boolean top-k: one scored pass over the union of leaf
+    terms (pushed term-IN scan, one broadcast weight join, one groupBy
+    collecting each doc's matched-term set), then every query's tree
+    evaluates as a JVM-side CASE over that set — no per-query plans, no
+    Python in the loop. Ranked under the K2 law."""
+    spark = index.spark
+    prof = index.cfg.tokenizer
+    trees: dict[int, tuple | None] = {}
+    rows = []
+    for qid, text, k in queries:
+        t = resolve_boolean(parse_boolean(text), prof)
+        trees[qid] = t
+        terms = boolean_leaf_terms(t)
+        rows.extend((qid, term, 1, len(terms), k) for term in terms)
+    if not rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qterms = pd.DataFrame(rows, columns=["query_id", "term", "qtf", "n_terms", "k"])
+    scored, est = _bm25_scored(index, qterms, with_matched=True)
+    cond = F.lit(False)
+    for qid, tree in trees.items():
+        if tree is not None:
+            cond = F.when(F.col("query_id") == qid, _tree_column(tree)).otherwise(cond)
+    filtered = scored.filter(cond).drop("mt")
+    return rank_topk(
+        filtered,
+        index.cfg.bm25.score_decimals,
+        est_candidates=est["disjunctive"],
         max_k=max(k for _, _, k in queries),
     )
 

@@ -373,6 +373,88 @@ FROM ranked WHERE rnk <= k
 ORDER BY query_id, rank"""
 
 
+def boolean_search_sql(
+    queries: list[tuple[int, str, int]], table: str = "documents"
+) -> str:
+    """Twin of operators/query.search_boolean: one scored pass over the
+    union of leaf terms, each doc's matched-term set collected, the
+    boolean tree evaluated per query as a CASE over list_contains —
+    identical scoring law (BM25 over all matched leaf terms, qtf=1,
+    tree only filters)."""
+    from org_rdkit_lucene_spark.operators.query import (
+        boolean_leaf_terms,
+        parse_boolean,
+        resolve_boolean,
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    def tree_sql(tree) -> str:
+        if tree[0] == "term":
+            return f"list_contains(mt, '{esc(tree[1])}')"
+        op = " AND " if tree[0] == "and" else " OR "
+        return "(" + op.join(tree_sql(c) for c in tree[1]) + ")"
+
+    q_rows, whens, k_rows = [], [], []
+    for qid, text, k in queries:
+        tree = resolve_boolean(parse_boolean(text), DEFAULT_PROFILE)
+        k_rows.append(f"({qid}, {k})")
+        if tree is None:
+            continue
+        terms = boolean_leaf_terms(tree)
+        for t in terms:
+            q_rows.append(f"({qid}, '{esc(t)}')")
+        whens.append(f"WHEN {qid} THEN {tree_sql(tree)}")
+    qvals = ",\n    ".join(q_rows) if q_rows else "(NULL, NULL)"
+    kvals = ",\n    ".join(k_rows)
+    case = "CASE query_id " + " ".join(whens) + " ELSE FALSE END" if whens else "FALSE"
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM {table}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+nstat AS (SELECT count(*)::DOUBLE AS n FROM {table}),
+dlstat AS (
+  SELECT sum(coalesce(dl.dl, 0)) / (SELECT n FROM nstat) AS avgdl
+  FROM {table} LEFT JOIN dl USING (doc_id)
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES
+    {qvals}),
+kq(query_id, k) AS (VALUES
+    {kvals}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1.0 + ((SELECT n FROM nstat) - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf * {P.k1 + 1.0}
+             / (tf.tf + {P.k1} * (1.0 - {P.b} + {P.b} * dl.dl / (SELECT avgdl FROM dlstat)))
+         ) AS score_raw,
+         list(DISTINCT tf.term) AS mt
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
+  WHERE q.query_id IS NOT NULL
+  GROUP BY 1, 2
+),
+filtered AS (
+  SELECT s.query_id, s.doc_id, s.score_raw, kq.k
+  FROM scored s JOIN kq USING (query_id)
+  WHERE {case}
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score_raw * {_QUANT} + 0.5) AS BIGINT) AS score_q, k,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(floor(score_raw * {_QUANT} + 0.5) AS BIGINT) DESC, doc_id ASC
+         ) AS rnk
+  FROM filtered
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score_q
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank"""
+
+
 def lexicon_sql(limit: int = 30, profile: TokenizerProfile = DEFAULT_PROFILE) -> str:
     """Top terms by document frequency — checks the whole SPIMI+merge
     +lexicon pipeline against a direct SQL tokenization."""

@@ -210,6 +210,60 @@ def test_prefix_zero_expansion_is_inert(small_index, syn_corpus):
     )
 
 
+def test_parse_boolean_grammar():
+    from org_rdkit_lucene_spark.operators.query import parse_boolean
+
+    # AND binds tighter than OR; adjacency = implicit OR
+    assert parse_boolean("a AND b OR c") == (
+        "or", [("and", [("word", "a"), ("word", "b")]), ("word", "c")]
+    )
+    assert parse_boolean("a b") == ("or", [("word", "a"), ("word", "b")])
+    assert parse_boolean("(a OR b) AND c") == (
+        "and", [("or", [("word", "a"), ("word", "b")]), ("word", "c")]
+    )
+    assert parse_boolean("a") == ("word", "a")
+    assert parse_boolean("") is None
+    # permissive on unbalanced parens
+    assert parse_boolean("(a AND b") == ("and", [("word", "a"), ("word", "b")])
+    assert parse_boolean("a) b") == ("or", [("word", "a"), ("word", "b")])
+
+
+def test_boolean_and_or_match_plain_modes(small_index):
+    """'a AND b' must equal conjunctive search, 'a OR b' disjunctive —
+    same candidates, same scores (the tree only filters)."""
+    from org_rdkit_lucene_spark.operators.query import search_boolean
+
+    qs_and = [(1, "merg AND token", 10)]
+    a = search_boolean(small_index, qs_and).toPandas().sort_values("rank").reset_index(drop=True)
+    b = search(small_index, [(1, "merg token", 10)], "conjunctive").toPandas().sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    qs_or = [(2, "merg OR token", 10)]
+    c = search_boolean(small_index, qs_or).toPandas().sort_values("rank").reset_index(drop=True)
+    d = search(small_index, [(2, "merg token", 10)], "disjunctive").toPandas().sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(c, d)
+
+
+def test_boolean_grouping_filters_correctly(small_index, small_pdf):
+    """(merg AND token) OR get: every hit matches the tree; scores sum
+    over ALL matched leaf terms."""
+    from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
+    from org_rdkit_lucene_spark.operators.query import search_boolean
+
+    out = search_boolean(small_index, [(1, "(scor67 AND token) OR merg", 2000)]).toPandas()
+    assert len(out) > 0
+    docmap = small_index.docmap.toPandas()
+    src = small_pdf.merge(docmap, on=["repo", "path", "commit"]).set_index("doc_id")
+    n_group = n_right_only = 0
+    for d in out["doc_id"]:
+        toks = set(tokenize_text(src.loc[int(d), "content"]))
+        grp = "scor67" in toks and "token" in toks
+        assert grp or "merg" in toks
+        n_group += grp
+        n_right_only += (not grp) and "merg" in toks
+    assert n_group and n_right_only  # both branches exercised
+
+
 def test_max_scores_equals_rank1(small_index):
     qs = [(1, "merg scorer", 10), (2, "token", 5)]
     top = search(small_index, qs).toPandas()
