@@ -119,7 +119,12 @@ def main() -> None:
     s.add_argument("--index-dir", dest="index_dir", default=None)
     s.add_argument("--queries", default=None, help="semicolon-separated id:text:k")
     s.add_argument("--mode", default=None, choices=[None, "disjunctive", "conjunctive"])
-    s.add_argument("--engine", default=None, choices=[None, "dataframe", "wand"])
+    s.add_argument(
+        "--engine", default=None,
+        choices=[None, "dataframe", "wand", "syntax", "boolean"],
+        help="dataframe | wand kernel | syntax (+/-/phrase/field:/term*/term~) "
+             "| boolean (AND/OR/parens)",
+    )
     args = ap.parse_args()
 
     config = load_config(args.config) if args.config else None
@@ -154,11 +159,21 @@ def main() -> None:
             "files_per_sec": round(idx.n_docs / sec, 1) if idx and sec > 0 else None,
         }
     else:
+        from org_rdkit_lucene_spark.operators.query import search_boolean, search_syntax
+
         idx = InvertedIndex.load(spark, opts["index_dir"])
         queries = parse_queries(opts["queries"])
-        fn = search_wand if opts["engine"] == "wand" else search
         t0 = time.time()
-        rows = fn(idx, queries, mode=opts["mode"]).collect()
+        if opts["engine"] == "syntax":
+            # phrase clauses need the stored bodies; plain +/-/field:/
+            # term*/term~ clauses do not
+            res = search_syntax(idx, None, queries)
+        elif opts["engine"] == "boolean":
+            res = search_boolean(idx, queries)
+        else:
+            fn = search_wand if opts["engine"] == "wand" else search
+            res = fn(idx, queries, mode=opts["mode"])
+        rows = res.collect()
         out = {
             "cmd": "search",
             "engine": opts["engine"],

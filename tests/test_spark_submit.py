@@ -76,7 +76,17 @@ def submitted(tmp_path_factory):
     )
     assert r2.returncode == 0, r2.stderr[-3000:]
     search_out = json.loads(r2.stdout.strip().splitlines()[-1])
-    return {"build": build_out, "search": search_out, "corpus": corpus_path}
+
+    # the boolean engine through the same submitted surface
+    r3 = subprocess.run(
+        common + [job, "search", "--index-dir", idx_dir, "--engine", "boolean",
+                  "--queries", "1:(merg AND token) OR get:5"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp),
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    bool_out = json.loads(r3.stdout.strip().splitlines()[-1])
+    return {"build": build_out, "search": search_out, "boolean": bool_out,
+            "corpus": corpus_path}
 
 
 def test_submit_build_finalizes(submitted):
@@ -97,6 +107,22 @@ def test_submit_search_matches_inprocess(spark, submitted, tmp_path):
         idx, [(1, "getIndexValue merg scorer", 5), (2, "token hash", 3)]
     ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     got = submitted["search"]["results"]
+    assert [
+        (r["query_id"], r["rank"], r["doc_id"], r["score_q"]) for r in got
+    ] == list(map(tuple, want[["query_id", "rank", "doc_id", "score_q"]].to_numpy()))
+
+
+def test_submit_boolean_matches_inprocess(spark, submitted, tmp_path):
+    from org_rdkit_lucene_spark.config import IndexConfig
+    from org_rdkit_lucene_spark.operators.build import build_index
+    from org_rdkit_lucene_spark.operators.query import search_boolean
+
+    corpus = spark.read.parquet(submitted["corpus"])
+    idx = build_index(spark, corpus, IndexConfig(build_partitions=4), str(tmp_path / "ib"))
+    want = search_boolean(
+        idx, [(1, "(merg AND token) OR get", 5)]
+    ).toPandas().sort_values("rank").reset_index(drop=True)
+    got = submitted["boolean"]["results"]
     assert [
         (r["query_id"], r["rank"], r["doc_id"], r["score_q"]) for r in got
     ] == list(map(tuple, want[["query_id", "rank", "doc_id", "score_q"]].to_numpy()))
