@@ -307,6 +307,24 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_boolean(_index_for(spark, sf_dir), BOOL_QUERIES)
 
 
+# NOT clauses under Lucene's MUST_NOT law (normalize_boolean): a NOT
+# child excludes on its enclosing node, so "table NOT scan" ==
+# "table AND NOT scan" (QueryParser's reading); a pure-negative query
+# like 109 matches nothing.
+BOOL_NOT_QUERIES = [
+    (106, "merge AND NOT batch", 10),
+    (107, "(merge OR hash) AND NOT (batch OR window)", 10),
+    (108, "table NOT scan", 5),
+    (109, "NOT batch", 5),  # pure-negative: zero hits (Lucene law)
+]
+
+
+def _q_boolean_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from org_rdkit_lucene_spark.operators.query import search_boolean
+
+    return search_boolean(_index_for(spark, sf_dir), BOOL_NOT_QUERIES)
+
+
 def _q_max_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return max_scores(_index_for(spark, sf_dir), DISJ_QUERIES).orderBy("query_id")
 
@@ -743,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_prefix_search": _q_prefix_search,
         "q1_fuzzy_search": _q_fuzzy_search,
         "q1_boolean_search": _q_boolean_search,
+        "q1_boolean_not": _q_boolean_not,
         "t3_trigram_search": _q_trigram_search,
         "t3_identifiers_lexicon": _q_identifiers_lexicon,
     }
@@ -847,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_prefix_search": sqlgen.query_syntax_sql(PREFIX_QUERIES),
         "q1_fuzzy_search": sqlgen.query_syntax_sql(FUZZY_QUERIES),
         "q1_boolean_search": sqlgen.boolean_search_sql(BOOL_QUERIES),
+        "q1_boolean_not": sqlgen.boolean_search_sql(BOOL_NOT_QUERIES),
         "t3_trigram_search": _t3_oracle_trigram(),
         "t3_identifiers_lexicon": _t3_oracle_identifiers(),
     }

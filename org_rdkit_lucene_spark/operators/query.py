@@ -840,9 +840,13 @@ def search_syntax(
 
 
 def parse_boolean(text: str) -> tuple | None:
-    """Parse to a tree of ('word', w) / ('and', [..]) / ('or', [..]);
-    None for an empty query. Permissive on unbalanced parentheses (a
-    missing ')' closes at end of input; a stray ')' is skipped)."""
+    """Parse to a tree of ('word', w) / ('and', [..]) / ('or', [..]) /
+    ('not', child); None for an empty query. ``NOT`` is a prefix
+    operator on the following unit (word or parenthesized group) —
+    semantics are applied by :func:`normalize_boolean` (Lucene's
+    MUST_NOT law). Permissive on unbalanced parentheses (a missing ')'
+    closes at end of input; a stray ')' is skipped) and on a trailing
+    ``NOT`` with nothing after it (dropped)."""
     toks = [t for t in text.replace("(", " ( ").replace(")", " ) ").split() if t]
 
     def parse_or(i: int) -> tuple:
@@ -877,6 +881,9 @@ def parse_boolean(text: str) -> tuple | None:
     def parse_unit(i: int) -> tuple:
         if i >= len(toks) or toks[i] == ")":
             return None, i
+        if toks[i] == "NOT":
+            node, i = parse_unit(i + 1)
+            return (("not", node) if node is not None else None), i
         if toks[i] == "(":
             node, i = parse_or(i + 1)
             if i < len(toks) and toks[i] == ")":
@@ -895,7 +902,8 @@ def parse_boolean(text: str) -> tuple | None:
 
 def resolve_boolean(tree: tuple | None, profile) -> tuple | None:
     """Words → analyzed terms: ('word', w) becomes ('term', t) or an
-    AND over w's tokens; empty leaves/nodes drop."""
+    AND over w's tokens; empty leaves/nodes drop. ('not', c) resolves
+    its child (a NOT whose child analyzes away drops)."""
     if tree is None:
         return None
     if tree[0] == "word":
@@ -905,6 +913,9 @@ def resolve_boolean(tree: tuple | None, profile) -> tuple | None:
         if len(toks) == 1:
             return ("term", toks[0])
         return ("and", [("term", t) for t in toks])
+    if tree[0] == "not":
+        c = resolve_boolean(tree[1], profile)
+        return ("not", c) if c is not None else None
     kids = [r for c in tree[1] if (r := resolve_boolean(c, profile)) is not None]
     if not kids:
         return None
@@ -913,11 +924,58 @@ def resolve_boolean(tree: tuple | None, profile) -> tuple | None:
     return (tree[0], kids)
 
 
+def normalize_boolean(tree: tuple | None) -> tuple | None:
+    """Lucene's MUST_NOT law (BooleanQuery: prohibited clauses only
+    restrict, and a query with no positive clause matches nothing):
+
+    - at each AND/OR node, ('not', c) children apply as exclusions on
+      the node: node = combiner(positive children) AND NOT c₁ AND … —
+      so ``a NOT b`` / ``a OR NOT b`` / ``a AND NOT b`` all mean
+      "matches a, not b", exactly QueryParser's reading;
+    - a node with NO positive child matches nothing (drops to None),
+      as does a bare ``NOT x`` at the root — Lucene returns no hits
+      for pure-negative queries;
+    - ``NOT (pure-negative)`` excludes nothing (the inner query
+      matches nothing) and is dropped as vacuous.
+
+    After normalization every satisfiable branch requires at least one
+    positive leaf term, so evaluating the tree over the candidate set
+    (docs matching ≥1 fetched leaf term, negated leaves included) is
+    EXACT — no doc outside the candidate set can match."""
+    t = _norm_boolean(tree)
+    return None if (t is not None and t[0] == "not") else t
+
+
+def _norm_boolean(tree: tuple | None) -> tuple | None:
+    if tree is None or tree[0] == "term":
+        return tree
+    if tree[0] == "not":
+        inner = _norm_boolean(tree[1])
+        if inner is None or inner[0] == "not":
+            return None  # NOT of match-nothing: vacuous, excludes nothing
+        return ("not", inner)
+    kids = [k for c in tree[1] if (k := _norm_boolean(c)) is not None]
+    pos = [k for k in kids if k[0] != "not"]
+    neg = [k[1] for k in kids if k[0] == "not"]
+    if not pos:
+        return None  # no positive clause: matches nothing
+    base = pos[0] if len(pos) == 1 else (tree[0], pos)
+    if not neg:
+        return base
+    return ("and", [base] + [("not", n) for n in neg])
+
+
 def boolean_leaf_terms(tree: tuple | None) -> list[str]:
+    """All leaf terms, NEGATED LEAVES INCLUDED — exclusions are
+    evaluated against the matched-term set, so their postings must be
+    fetched too (they contribute nothing to a surviving doc's score:
+    by definition it doesn't match them)."""
     if tree is None:
         return []
     if tree[0] == "term":
         return [tree[1]]
+    if tree[0] == "not":
+        return boolean_leaf_terms(tree[1])
     out: set[str] = set()
     for c in tree[1]:
         out.update(boolean_leaf_terms(c))
@@ -927,6 +985,8 @@ def boolean_leaf_terms(tree: tuple | None) -> list[str]:
 def _tree_column(tree: tuple):
     if tree[0] == "term":
         return F.array_contains(F.col("mt"), tree[1])
+    if tree[0] == "not":
+        return ~_tree_column(tree[1])
     cols = [_tree_column(c) for c in tree[1]]
     out = cols[0]
     for c in cols[1:]:
@@ -941,13 +1001,16 @@ def search_boolean(
     terms (pushed term-IN scan, one broadcast weight join, one groupBy
     collecting each doc's matched-term set), then every query's tree
     evaluates as a JVM-side CASE over that set — no per-query plans, no
-    Python in the loop. Ranked under the K2 law."""
+    Python in the loop. Ranked under the K2 law. ``NOT`` follows
+    Lucene's MUST_NOT law (see :func:`normalize_boolean`); candidate-set
+    evaluation stays exact because normalization guarantees every
+    surviving doc matches a positive leaf."""
     spark = index.spark
     prof = index.cfg.tokenizer
     trees: dict[int, tuple | None] = {}
     rows = []
     for qid, text, k in queries:
-        t = resolve_boolean(parse_boolean(text), prof)
+        t = normalize_boolean(resolve_boolean(parse_boolean(text), prof))
         trees[qid] = t
         terms = boolean_leaf_terms(t)
         rows.extend((qid, term, 1, len(terms), k) for term in terms)

@@ -380,9 +380,13 @@ def boolean_search_sql(
     union of leaf terms, each doc's matched-term set collected, the
     boolean tree evaluated per query as a CASE over list_contains —
     identical scoring law (BM25 over all matched leaf terms, qtf=1,
-    tree only filters)."""
+    tree only filters). NOT shares the engine's parse/resolve/normalize
+    (Lucene MUST_NOT law), so the trees are identical by construction;
+    negated leaves are fetched for the mt set but contribute 0 score
+    to survivors."""
     from org_rdkit_lucene_spark.operators.query import (
         boolean_leaf_terms,
+        normalize_boolean,
         parse_boolean,
         resolve_boolean,
     )
@@ -393,12 +397,14 @@ def boolean_search_sql(
     def tree_sql(tree) -> str:
         if tree[0] == "term":
             return f"list_contains(mt, '{esc(tree[1])}')"
+        if tree[0] == "not":
+            return f"(NOT {tree_sql(tree[1])})"
         op = " AND " if tree[0] == "and" else " OR "
         return "(" + op.join(tree_sql(c) for c in tree[1]) + ")"
 
     q_rows, whens, k_rows = [], [], []
     for qid, text, k in queries:
-        tree = resolve_boolean(parse_boolean(text), DEFAULT_PROFILE)
+        tree = normalize_boolean(resolve_boolean(parse_boolean(text), DEFAULT_PROFILE))
         k_rows.append(f"({qid}, {k})")
         if tree is None:
             continue

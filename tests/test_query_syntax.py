@@ -264,6 +264,82 @@ def test_boolean_grouping_filters_correctly(small_index, small_pdf):
     assert n_group and n_right_only  # both branches exercised
 
 
+def test_parse_boolean_not_grammar():
+    from org_rdkit_lucene_spark.operators.query import parse_boolean
+
+    assert parse_boolean("NOT a") == ("not", ("word", "a"))
+    assert parse_boolean("a AND NOT b") == (
+        "and", [("word", "a"), ("not", ("word", "b"))]
+    )
+    assert parse_boolean("a NOT b") == (
+        "or", [("word", "a"), ("not", ("word", "b"))]
+    )
+    assert parse_boolean("a AND NOT (b OR c)") == (
+        "and", [("word", "a"), ("not", ("or", [("word", "b"), ("word", "c")]))]
+    )
+    assert parse_boolean("NOT") is None  # trailing NOT: dropped
+
+
+def test_normalize_boolean_must_not_law():
+    """Lucene BooleanQuery law: NOT children exclude on their node; a
+    node with no positive clause matches nothing; NOT(pure-negative)
+    is vacuous."""
+    from org_rdkit_lucene_spark.operators.query import normalize_boolean
+
+    t = lambda x: ("term", x)  # noqa: E731
+    # NOT in OR position applies as MUST_NOT on the node (a NOT b)
+    assert normalize_boolean(("or", [t("a"), ("not", t("b"))])) == (
+        "and", [t("a"), ("not", t("b"))]
+    )
+    # pure-negative root / node: matches nothing
+    assert normalize_boolean(("not", t("a"))) is None
+    assert normalize_boolean(("and", [("not", t("a")), ("not", t("b"))])) is None
+    # NOT NOT a: inner pure-negative matches nothing, exclusion vacuous
+    assert normalize_boolean(("and", [t("x"), ("not", ("not", t("a")))])) == t("x")
+    # positive branches keep their own exclusions
+    assert normalize_boolean(
+        ("or", [("and", [t("a"), ("not", t("b"))]), t("c")])
+    ) == ("or", [("and", [t("a"), ("not", t("b"))]), t("c")])
+
+
+def test_boolean_not_excludes(small_index, small_pdf):
+    """'merg AND NOT scor67' == the merg result set minus docs containing
+    scor67, scores unchanged (the excluded term never scores a survivor);
+    'merg NOT scor67' and 'merg OR NOT scor67' are the same query under
+    the MUST_NOT law; 'NOT token' alone returns nothing."""
+    from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
+    from org_rdkit_lucene_spark.operators.query import search_boolean
+
+    a = search_boolean(small_index, [(1, "merg AND NOT scor67", 2000)]).toPandas()
+    assert len(a) > 0
+    # brute-force containment check
+    docmap = small_index.docmap.toPandas()
+    src = small_pdf.merge(docmap, on=["repo", "path", "commit"]).set_index("doc_id")
+    for d in a["doc_id"]:
+        toks = set(tokenize_text(src.loc[int(d), "content"]))
+        assert "merg" in toks and "scor67" not in toks
+    # score identity vs the unexcluded single-term result, re-ranked
+    base = search(small_index, [(1, "merg", 2000)], "disjunctive").toPandas()
+    keep = base[~base["doc_id"].isin(
+        {int(d) for d in src.index
+         if "scor67" in tokenize_text(src.loc[int(d), "content"])}
+    )].sort_values(["score_q", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    keep["rank"] = range(1, len(keep) + 1)
+    pd.testing.assert_frame_equal(
+        a.sort_values("rank").reset_index(drop=True)[["query_id", "rank", "doc_id", "score_q"]],
+        keep[["query_id", "rank", "doc_id", "score_q"]].astype(a.dtypes[["query_id", "rank", "doc_id", "score_q"]].to_dict()),
+    )
+    # adjacency / OR forms are the same query
+    for text in ("merg NOT scor67", "merg OR NOT scor67"):
+        b = search_boolean(small_index, [(1, text, 2000)]).toPandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("rank").reset_index(drop=True),
+            b.sort_values("rank").reset_index(drop=True),
+        )
+    # pure-negative: zero hits
+    assert len(search_boolean(small_index, [(1, "NOT token", 10)]).toPandas()) == 0
+
+
 def test_max_scores_equals_rank1(small_index):
     qs = [(1, "merg scorer", 10), (2, "token", 5)]
     top = search(small_index, qs).toPandas()
