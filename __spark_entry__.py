@@ -325,6 +325,22 @@ def _q_boolean_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_boolean(_index_for(spark, sf_dir), BOOL_NOT_QUERIES)
 
 
+# term^N boosts (QueryParser setBoost surface): clause-weight
+# multipliers through the shared syntax_scoring_weights law — optional
+# occurrences SUM their boosts, +required pins at max boost.
+BOOST_QUERIES = [
+    (116, "merge^2 hash", 10),
+    (117, "+table^3 scan batch^0.5", 10),
+    (118, "window^2 window filter", 5),   # occurrence sum: 3.0
+    (119, "merge^1.0 hash", 10),          # explicit 1.0 == unboosted
+]
+
+
+def _q_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return search_syntax(idx, _corpus_for(spark, sf_dir), BOOST_QUERIES)
+
+
 def _q_max_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return max_scores(_index_for(spark, sf_dir), DISJ_QUERIES).orderBy("query_id")
 
@@ -762,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_fuzzy_search": _q_fuzzy_search,
         "q1_boolean_search": _q_boolean_search,
         "q1_boolean_not": _q_boolean_not,
+        "q1_boosted_search": _q_boosted_search,
         "t3_trigram_search": _q_trigram_search,
         "t3_identifiers_lexicon": _q_identifiers_lexicon,
     }
@@ -867,6 +884,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_fuzzy_search": sqlgen.query_syntax_sql(FUZZY_QUERIES),
         "q1_boolean_search": sqlgen.boolean_search_sql(BOOL_QUERIES),
         "q1_boolean_not": sqlgen.boolean_search_sql(BOOL_NOT_QUERIES),
+        "q1_boosted_search": sqlgen.query_syntax_sql(BOOST_QUERIES),
         "t3_trigram_search": _t3_oracle_trigram(),
         "t3_identifiers_lexicon": _t3_oracle_identifiers(),
     }

@@ -520,6 +520,15 @@ FUZZY_MAX_DIST = 2
 _SYNTAX_RE = _re.compile(r'"([^"]*)"|(\+|-)?(\S+)')
 _FIELD_RE = _re.compile(r"^(repo|path|lang):(.+)$")
 _FUZZY_RE = _re.compile(r"^(.+?)~([0-9])?$")
+# term^N boost (QueryParser's setBoost surface): base must be a plain
+# word — no wildcard/fuzzy/field/quote chars — so "pre*^2" never
+# silently degrades to a plain term
+_BOOST_RE = _re.compile(r'^([^\s*~:^"]+)\^(\d+(?:\.\d+)?)$')
+
+
+def _split_boost(word: str) -> tuple[str, float]:
+    m = _BOOST_RE.match(word)
+    return (m.group(1), float(m.group(2))) if m else (word, 1.0)
 
 
 def parse_query(text: str) -> dict:
@@ -534,9 +543,16 @@ def parse_query(text: str) -> dict:
     a word with ``*`` elsewhere is not a prefix clause. ``term~`` /
     ``term~N`` is a FUZZY clause (edit distance N, default 1, clamped
     to ``FUZZY_MAX_DIST``): lowercased, NOT analyzed, SHOULD-only —
-    fuzzies = [(word, dist)]."""
+    fuzzies = [(word, dist)]. ``term^N`` (N a positive int/float) is a
+    BOOST on a plain required/optional term clause — ``req_boosts`` /
+    ``opt_boosts`` run parallel to ``required`` / ``optional`` (1.0
+    unboosted). Boosts on phrase/field/prefix/fuzzy/excluded clauses
+    are not supported: the ``^N`` stays part of the word (QueryParser
+    supports them; this surface, like its prefix-only wildcards, takes
+    the most-used slice)."""
     out = {"required": [], "optional": [], "excluded": [], "phrases": [],
-           "fields": [], "prefixes": [], "fuzzies": []}
+           "fields": [], "prefixes": [], "fuzzies": [],
+           "req_boosts": [], "opt_boosts": []}
     for m in _SYNTAX_RE.finditer(text):
         phrase, op, word = m.group(1), m.group(2), m.group(3)
         if phrase is not None:
@@ -553,12 +569,46 @@ def parse_query(text: str) -> dict:
             dist = min(int(zm.group(2)) if zm.group(2) else 1, FUZZY_MAX_DIST)
             out["fuzzies"].append((zm.group(1).lower(), dist))
         elif op == "+":
-            out["required"].append(word)
+            w, b = _split_boost(word)
+            out["required"].append(w)
+            out["req_boosts"].append(b)
         elif op == "-":
             out["excluded"].append(word)
         else:
-            out["optional"].append(word)
+            w, b = _split_boost(word)
+            out["optional"].append(w)
+            out["opt_boosts"].append(b)
     return out
+
+
+def syntax_scoring_weights(p: dict, profile) -> tuple[dict[str, float], set[str]]:
+    """The boost-aware qtf law, SHARED by the engine and the DuckDB SQL
+    twin so they agree by construction. Returns (weights, must_terms):
+
+    - each optional occurrence adds its clause boost (1.0 unboosted) —
+      the Lucene reading where ``a^2 a^3`` is two SHOULD clauses whose
+      contributions sum (5·idf·tf-part);
+    - required and phrase tokens are PINNED: once each, at the MAX
+      boost of the clauses that pin them (phrases pin at 1.0),
+      regardless of optional occurrences — the round-1 "required terms
+      appear once in scoring" law, now boost-aware;
+    - prefix/fuzzy expansions (+1 per expanded term) are applied by
+      the CALLER on top, after the pinning, so the order-independence
+      of the expansion law is preserved."""
+    must_pin: dict[str, float] = {}
+    for w, b in zip(p["required"], p["req_boosts"]):
+        for t in tokenize_text(w, profile):
+            must_pin[t] = max(must_pin.get(t, 0.0), b)
+    for ph in p["phrases"]:
+        for t in tokenize_text(ph, profile):
+            must_pin[t] = max(must_pin.get(t, 0.0), 1.0)
+    weights: dict[str, float] = {}
+    for w, b in zip(p["optional"], p["opt_boosts"]):
+        for t in tokenize_text(w, profile):
+            weights[t] = weights.get(t, 0.0) + b
+    for t, b in must_pin.items():
+        weights[t] = b
+    return weights, set(must_pin)
 
 
 def expand_prefixes(index: InvertedIndex, prefixes: list[str]) -> dict[str, list[str]]:
@@ -680,31 +730,19 @@ def search_syntax(
         p = parsed[qid]
         for fld, val in p["fields"]:
             field_rows.append((qid, fld, val))
-        must_terms: set[str] = set()
-        for w in p["required"]:
-            must_terms.update(tokenize_text(w, prof))
-        for ph in p["phrases"]:
-            must_terms.update(tokenize_text(ph, prof))
-        opt_terms: list[str] = []
-        for w in p["optional"]:
-            opt_terms.extend(tokenize_text(w, prof))
-        counts: dict[str, int] = {}
-        for t in list(must_terms) + opt_terms:
-            counts[t] = counts.get(t, 0) + 1
-        # required terms appear once in scoring regardless of qtf policy
-        for t in sorted(must_terms):
-            counts[t] = 1
+        # boost-aware qtf law, shared with the SQL twin
+        counts, must_terms = syntax_scoring_weights(p, prof)
         # each distinct prefix adds ONE SHOULD occurrence per expanded
         # term, on top of any literal occurrences (applied after the
         # must-pinning so the law is order-independent)
         for pfx in sorted(set(p["prefixes"])):
             for t in expansions.get(pfx, []):
-                counts[t] = counts.get(t, 0) + 1
+                counts[t] = counts.get(t, 0.0) + 1.0
         for fz in sorted(set(p["fuzzies"])):
             for t in fuzzy_exp.get(fz, []):
-                counts[t] = counts.get(t, 0) + 1
+                counts[t] = counts.get(t, 0.0) + 1.0
         for term, qtf in counts.items():
-            scoring.append((qid, term, int(qtf), len(counts), k))
+            scoring.append((qid, term, float(qtf), len(counts), k))
         must_counts.append((qid, len(must_terms), k))
         for w in p["excluded"]:
             for t in tokenize_text(w, prof):

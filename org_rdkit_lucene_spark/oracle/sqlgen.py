@@ -201,12 +201,14 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
     terms by (df DESC, term ASC) — the same expansion the engine
     resolves against its lexicon — each adding one SHOULD occurrence.
     term~ / term~N fuzzy clauses expand identically via levenshtein
-    (top-FUZZY_EXPANSION_LIMIT)."""
+    (top-FUZZY_EXPANSION_LIMIT). term^N boosts flow through the SHARED
+    syntax_scoring_weights law (engine parity by construction)."""
     from org_rdkit_lucene_spark.operators.query import (
         FIELD_BOOST,
         FUZZY_EXPANSION_LIMIT,
         PREFIX_EXPANSION_LIMIT,
         parse_query,
+        syntax_scoring_weights,
     )
 
     q_rows, must_rows, mreq_rows, ex_rows, ph_rows, phn_rows = [], [], [], [], [], []
@@ -222,22 +224,10 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
             pref_rows.append("({}, '{}')".format(qid, pfx.replace("'", "''")))
         for w, d in sorted(set(p["fuzzies"])):
             fz_rows.append("({}, '{}', {})".format(qid, w.replace("'", "''"), d))
-        must_terms: set[str] = set()
-        for w in p["required"]:
-            must_terms.update(tokenize_text(w))
-        for ph in p["phrases"]:
-            must_terms.update(tokenize_text(ph))
-        opt: list[str] = []
-        for w in p["optional"]:
-            opt.extend(tokenize_text(w))
-        counts: dict[str, int] = {}
-        for t in list(must_terms) + opt:
-            counts[t] = counts.get(t, 0) + 1
-        for t in sorted(must_terms):
-            counts[t] = 1
+        counts, must_terms = syntax_scoring_weights(p, DEFAULT_PROFILE)
         for term, qtf in counts.items():
             esc = term.replace("'", "''")
-            q_rows.append(f"({qid}, '{esc}', {qtf}, {len(counts)}, {k})")
+            q_rows.append(f"({qid}, '{esc}', {float(qtf)!r}, {len(counts)}, {k})")
         mreq_rows.append(f"({qid}, {len(must_terms)})")
         for t in sorted(must_terms):
             must_rows.append(f"({qid}, '{t.replace(chr(39), chr(39)*2)}')")

@@ -23,14 +23,48 @@ def test_parse_query():
         "fields": [],
         "prefixes": [],
         "fuzzies": [],
+        "req_boosts": [1.0],
+        "opt_boosts": [1.0, 1.0],
     }
     empty = parse_query("")
     assert all(
         empty[k] == []
         for k in ("required", "optional", "excluded", "phrases", "fields",
-                  "prefixes", "fuzzies")
+                  "prefixes", "fuzzies", "req_boosts", "opt_boosts")
     )
     assert parse_query('""')["phrases"] == []
+
+
+def test_parse_query_boosts():
+    p = parse_query("merge^2 +table^0.5 scan^10 plain")
+    assert p["optional"] == ["merge", "scan", "plain"]
+    assert p["opt_boosts"] == [2.0, 10.0, 1.0]
+    assert p["required"] == ["table"] and p["req_boosts"] == [0.5]
+    # malformed / unsupported boosts: the word stays INTACT (boost 1.0)
+    # rather than silently degrading to a different clause type
+    for w in ("a^", "a^b", "a^-1", "pre*^2", "fz~^2", "a^2^3"):
+        q = parse_query(w)
+        assert q["optional"] == [w] and q["opt_boosts"] == [1.0], w
+    assert parse_query("pre*^2")["prefixes"] == []
+    assert parse_query("fz~^2")["fuzzies"] == []
+
+
+def test_syntax_scoring_weights_boost_law():
+    from org_rdkit_lucene_spark.operators.query import syntax_scoring_weights
+    from org_rdkit_lucene_spark.config import ANALYZERS
+
+    prof = ANALYZERS["code_default"]
+    # optional occurrences sum their boosts; required pins at max boost
+    w, must = syntax_scoring_weights(parse_query("merg^2 merg^3"), prof)
+    assert w == {"merg": 5.0} and must == set()
+    w, must = syntax_scoring_weights(parse_query("+merg^2 merg merg^9"), prof)
+    assert w == {"merg": 2.0} and must == {"merg"}
+    # phrases pin at 1.0 even when an optional boost exists
+    w, must = syntax_scoring_weights(parse_query('"merg" merg^7'), prof)
+    assert w == {"merg": 1.0} and must == {"merg"}
+    # unboosted law identical to the round-1 integer law
+    w, must = syntax_scoring_weights(parse_query("+a b b c"), prof)
+    assert w == {"a": 1.0, "b": 2.0, "c": 1.0} and must == {"a"}
 
 
 def test_parse_query_prefixes():
@@ -208,6 +242,39 @@ def test_prefix_zero_expansion_is_inert(small_index, syn_corpus):
         base.sort_values("rank").reset_index(drop=True),
         with_dead.sort_values("rank").reset_index(drop=True),
     )
+
+
+def test_boosted_search_matches_manual_weights(small_index, syn_corpus):
+    """merg^2 scorer must equal a hand-built scored pass with qtf
+    [2.0, 1.0] — the boost is exactly a clause-weight multiplier."""
+    from org_rdkit_lucene_spark.operators.query import _bm25_scored, rank_topk
+
+    qterms = pd.DataFrame(
+        [(1, "merg", 2.0, 2, 10), (1, "scorer", 1.0, 2, 10)],
+        columns=["query_id", "term", "qtf", "n_terms", "k"],
+    )
+    scored, est = _bm25_scored(small_index, qterms)
+    want = (
+        rank_topk(scored, small_index.cfg.bm25.score_decimals,
+                  est_candidates=est["disjunctive"], max_k=10)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    got = (
+        search_syntax(small_index, syn_corpus, [(1, "merg^2 scorer", 10)])
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # and differs from the unboosted ranking law only via the weights:
+    # a boost of 1.0 written explicitly is a no-op
+    noop = (
+        search_syntax(small_index, syn_corpus, [(1, "merg^1.0 scorer", 10)])
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    plain = (
+        search_syntax(small_index, syn_corpus, [(1, "merg scorer", 10)])
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(noop, plain)
 
 
 def test_parse_boolean_grammar():
