@@ -290,6 +290,25 @@ def _q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_syntax(idx, _corpus_for(spark, sf_dir), FUZZY_QUERIES)
 
 
+# General wildcard clauses (WildcardQuery through the same parser
+# surface: ? = one char, * = any run, leading wildcard rejected like
+# Lucene's default): expanded against the lexicon via the SHARED
+# anchored wildcard_regex to the top-256 terms by (df DESC, term ASC);
+# identical regexp expansion in the SQL twin. 129 exercises a
+# zero-expansion pattern (the rest of the query still scores).
+WILDCARD_QUERIES = [
+    (126, "m?rg hash", 10),
+    (127, "w?rke* join", 10),
+    (128, "+batch b*ch", 5),
+    (129, "zz?q* batch", 5),
+]
+
+
+def _q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return search_syntax(idx, _corpus_for(spark, sf_dir), WILDCARD_QUERIES)
+
+
 # Grouped boolean queries (AND/OR/parentheses; AND binds tighter,
 # adjacency = implicit OR): the tree FILTERS, BM25 over matched leaf
 # terms scores — one scored pass + a JVM-side CASE per query.
@@ -776,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_field_qualified": _q_field_qualified,
         "q1_prefix_search": _q_prefix_search,
         "q1_fuzzy_search": _q_fuzzy_search,
+        "q1_wildcard_search": _q_wildcard_search,
         "q1_boolean_search": _q_boolean_search,
         "q1_boolean_not": _q_boolean_not,
         "q1_boosted_search": _q_boosted_search,
@@ -882,6 +902,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_field_qualified": sqlgen.query_syntax_sql(FIELD_QUERIES),
         "q1_prefix_search": sqlgen.query_syntax_sql(PREFIX_QUERIES),
         "q1_fuzzy_search": sqlgen.query_syntax_sql(FUZZY_QUERIES),
+        "q1_wildcard_search": sqlgen.query_syntax_sql(WILDCARD_QUERIES),
         "q1_boolean_search": sqlgen.boolean_search_sql(BOOL_QUERIES),
         "q1_boolean_not": sqlgen.boolean_search_sql(BOOL_NOT_QUERIES),
         "q1_boosted_search": sqlgen.query_syntax_sql(BOOST_QUERIES),

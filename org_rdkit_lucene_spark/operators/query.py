@@ -516,6 +516,9 @@ PREFIX_EXPANSION_LIMIT = 256
 # edit-distance matches are a correction set, not a vocabulary slice.
 FUZZY_EXPANSION_LIMIT = 64
 FUZZY_MAX_DIST = 2
+# WildcardQuery rewrites like PrefixQuery (it IS the general form:
+# ``te?m`` / ``mi*dle``); same clause bound as prefixes.
+WILDCARD_EXPANSION_LIMIT = 256
 
 _SYNTAX_RE = _re.compile(r'"([^"]*)"|(\+|-)?(\S+)')
 _FIELD_RE = _re.compile(r"^(repo|path|lang):(.+)$")
@@ -523,7 +526,32 @@ _FUZZY_RE = _re.compile(r"^(.+?)~([0-9])?$")
 # term^N boost (QueryParser's setBoost surface): base must be a plain
 # word — no wildcard/fuzzy/field/quote chars — so "pre*^2" never
 # silently degrades to a plain term
-_BOOST_RE = _re.compile(r'^([^\s*~:^"]+)\^(\d+(?:\.\d+)?)$')
+_BOOST_RE = _re.compile(r'^([^\s*?~:^"]+)\^(\d+(?:\.\d+)?)$')
+# general wildcard word: starts with a literal char (Lucene's default
+# allowLeadingWildcard=false), then literals/*/? only — no fuzzy/
+# boost/field/quote chars, so combined-operator words degrade intact
+_WILDCARD_RE = _re.compile(r'^[^\s*?~:^"][^\s~:^"]*$')
+
+
+def wildcard_regex(pattern: str) -> str:
+    """Anchored regex for a lowercased wildcard pattern — ``*`` = any
+    run (incl. empty), ``?`` = exactly one char (WildcardQuery
+    semantics). Emits only ``.*``/``.``/literals/backslash-escapes so
+    ONE string serves Python ``re``, Spark ``rlike`` (java.util.regex)
+    and DuckDB ``regexp_matches`` (RE2) identically — the engine/SQL
+    twins share the law by construction."""
+    parts = ["^"]
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        elif ch.isalnum():
+            parts.append(ch)
+        else:
+            parts.append("\\" + ch)
+    parts.append("$")
+    return "".join(parts)
 
 
 def _split_boost(word: str) -> tuple[str, float]:
@@ -543,7 +571,13 @@ def parse_query(text: str) -> dict:
     a word with ``*`` elsewhere is not a prefix clause. ``term~`` /
     ``term~N`` is a FUZZY clause (edit distance N, default 1, clamped
     to ``FUZZY_MAX_DIST``): lowercased, NOT analyzed, SHOULD-only —
-    fuzzies = [(word, dist)]. ``term^N`` (N a positive int/float) is a
+    fuzzies = [(word, dist)]. A word with ``?`` anywhere or ``*`` in a
+    non-trailing position is a WILDCARD clause (WildcardQuery surface:
+    ``te?m``, ``mi*dle``, ``w?rke*``): lowercased, NOT analyzed,
+    SHOULD-only. A LEADING wildcard is not supported (Lucene's default
+    ``allowLeadingWildcard=false`` — an unbounded dictionary scan at
+    100 TB); the word stays an ordinary term clause instead.
+    ``term^N`` (N a positive int/float) is a
     BOOST on a plain required/optional term clause — ``req_boosts`` /
     ``opt_boosts`` run parallel to ``required`` / ``optional`` (1.0
     unboosted). Boosts on phrase/field/prefix/fuzzy/excluded clauses
@@ -551,7 +585,7 @@ def parse_query(text: str) -> dict:
     supports them; this surface, like its prefix-only wildcards, takes
     the most-used slice)."""
     out = {"required": [], "optional": [], "excluded": [], "phrases": [],
-           "fields": [], "prefixes": [], "fuzzies": [],
+           "fields": [], "prefixes": [], "fuzzies": [], "wildcards": [],
            "req_boosts": [], "opt_boosts": []}
     for m in _SYNTAX_RE.finditer(text):
         phrase, op, word = m.group(1), m.group(2), m.group(3)
@@ -563,8 +597,11 @@ def parse_query(text: str) -> dict:
         zm = _FUZZY_RE.match(word)
         if fm:
             out["fields"].append((fm.group(1), fm.group(2).lower()))
-        elif word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
+        elif (word.endswith("*") and len(word) > 1 and "*" not in word[:-1]
+              and "?" not in word):
             out["prefixes"].append(word[:-1].lower())
+        elif ("*" in word or "?" in word) and _WILDCARD_RE.match(word):
+            out["wildcards"].append(word.lower())
         elif zm and "~" not in zm.group(1):
             dist = min(int(zm.group(2)) if zm.group(2) else 1, FUZZY_MAX_DIST)
             out["fuzzies"].append((zm.group(1).lower(), dist))
@@ -630,6 +667,32 @@ def expand_prefixes(index: InvertedIndex, prefixes: list[str]) -> dict[str, list
             ["df", "term"], ascending=[False, True]
         )
         out[p] = m["term"].head(PREFIX_EXPANSION_LIMIT).tolist()
+    return out
+
+
+def expand_wildcards(index: InvertedIndex, patterns: list[str]) -> dict[str, list[str]]:
+    """Resolve wildcard clauses against the lexicon: for each pattern,
+    the top-``WILDCARD_EXPANSION_LIMIT`` matching terms by (df DESC,
+    term ASC) — WildcardQuery's bounded rewrite, same law as prefixes.
+    One lexicon job for ALL patterns; the literal head before the first
+    wildcard pushes into the parquet scan as a StringStartsWith filter
+    (non-empty by construction — leading wildcards never parse), the
+    anchored regex match runs JVM-side on the surviving slice."""
+    uniq = sorted({p for p in patterns if p})
+    if not uniq:
+        return {}
+    cond = None
+    for p in uniq:
+        head = _re.split(r"[*?]", p, maxsplit=1)[0]
+        c = F.col("term").startswith(head) & F.col("term").rlike(wildcard_regex(p))
+        cond = c if cond is None else cond | c
+    lexp = index.lexicon.filter(cond).select("term", "df").toPandas()
+    out: dict[str, list[str]] = {}
+    for p in uniq:
+        rx = _re.compile(wildcard_regex(p))
+        mask = lexp["term"].map(lambda t: rx.match(t) is not None).astype(bool)
+        m = lexp[mask].sort_values(["df", "term"], ascending=[False, True])
+        out[p] = m["term"].head(WILDCARD_EXPANSION_LIMIT).tolist()
     return out
 
 
@@ -723,6 +786,9 @@ def search_syntax(
     fuzzy_exp = expand_fuzzies(
         index, [f for q in parsed.values() for f in q["fuzzies"]]
     )
+    wild_exp = expand_wildcards(
+        index, [w for q in parsed.values() for w in q["wildcards"]]
+    )
 
     scoring, must_counts, excluded_rows, phrase_rows = [], [], [], []
     field_rows: list[tuple[int, str, str]] = []
@@ -740,6 +806,9 @@ def search_syntax(
                 counts[t] = counts.get(t, 0.0) + 1.0
         for fz in sorted(set(p["fuzzies"])):
             for t in fuzzy_exp.get(fz, []):
+                counts[t] = counts.get(t, 0.0) + 1.0
+        for wc in sorted(set(p["wildcards"])):
+            for t in wild_exp.get(wc, []):
                 counts[t] = counts.get(t, 0.0) + 1.0
         for term, qtf in counts.items():
             scoring.append((qid, term, float(qtf), len(counts), k))

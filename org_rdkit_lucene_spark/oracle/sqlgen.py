@@ -201,18 +201,23 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
     terms by (df DESC, term ASC) — the same expansion the engine
     resolves against its lexicon — each adding one SHOULD occurrence.
     term~ / term~N fuzzy clauses expand identically via levenshtein
-    (top-FUZZY_EXPANSION_LIMIT). term^N boosts flow through the SHARED
-    syntax_scoring_weights law (engine parity by construction)."""
+    (top-FUZZY_EXPANSION_LIMIT). Wildcard clauses (te?m / mi*dle)
+    expand via regexp_matches on the SHARED anchored
+    ``wildcard_regex`` (top-WILDCARD_EXPANSION_LIMIT). term^N boosts
+    flow through the SHARED syntax_scoring_weights law (engine parity
+    by construction)."""
     from org_rdkit_lucene_spark.operators.query import (
         FIELD_BOOST,
         FUZZY_EXPANSION_LIMIT,
         PREFIX_EXPANSION_LIMIT,
+        WILDCARD_EXPANSION_LIMIT,
         parse_query,
         syntax_scoring_weights,
+        wildcard_regex,
     )
 
     q_rows, must_rows, mreq_rows, ex_rows, ph_rows, phn_rows = [], [], [], [], [], []
-    fld_rows, k_rows, pref_rows, fz_rows = [], [], [], []
+    fld_rows, k_rows, pref_rows, fz_rows, wc_rows = [], [], [], [], []
     for qid, text, k in queries:
         p = parse_query(text)
         k_rows.append(f"({qid}, {k})")
@@ -224,6 +229,10 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
             pref_rows.append("({}, '{}')".format(qid, pfx.replace("'", "''")))
         for w, d in sorted(set(p["fuzzies"])):
             fz_rows.append("({}, '{}', {})".format(qid, w.replace("'", "''"), d))
+        for wc in sorted(set(p["wildcards"])):
+            wc_rows.append(
+                "({}, '{}')".format(qid, wildcard_regex(wc).replace("'", "''"))
+            )
         counts, must_terms = syntax_scoring_weights(p, DEFAULT_PROFILE)
         for term, qtf in counts.items():
             esc = term.replace("'", "''")
@@ -272,6 +281,15 @@ fz_exp AS (
   FROM fz f JOIN dfs d ON levenshtein(d.term, f.fterm) <= f.dist
   WHERE f.query_id IS NOT NULL
 ),
+wc(query_id, pat) AS (VALUES
+    {vals(wc_rows, 2)}),
+wc_exp AS (
+  SELECT w.query_id, d.term,
+         row_number() OVER (PARTITION BY w.query_id, w.pat
+                            ORDER BY d.df DESC, d.term ASC) AS rn
+  FROM wc w JOIN dfs d ON regexp_matches(d.term, w.pat)
+  WHERE w.query_id IS NOT NULL
+),
 qm AS (
   SELECT query_id, term, sum(qtf)::DOUBLE AS qtf FROM (
     SELECT query_id, term, qtf FROM q WHERE query_id IS NOT NULL
@@ -279,6 +297,8 @@ qm AS (
     SELECT query_id, term, 1 AS qtf FROM pref_exp WHERE rn <= {PREFIX_EXPANSION_LIMIT}
     UNION ALL
     SELECT query_id, term, 1 AS qtf FROM fz_exp WHERE rn <= {FUZZY_EXPANSION_LIMIT}
+    UNION ALL
+    SELECT query_id, term, 1 AS qtf FROM wc_exp WHERE rn <= {WILDCARD_EXPANSION_LIMIT}
   ) GROUP BY 1, 2
 ),
 scored AS (

@@ -23,6 +23,7 @@ def test_parse_query():
         "fields": [],
         "prefixes": [],
         "fuzzies": [],
+        "wildcards": [],
         "req_boosts": [1.0],
         "opt_boosts": [1.0, 1.0],
     }
@@ -30,7 +31,8 @@ def test_parse_query():
     assert all(
         empty[k] == []
         for k in ("required", "optional", "excluded", "phrases", "fields",
-                  "prefixes", "fuzzies", "req_boosts", "opt_boosts")
+                  "prefixes", "fuzzies", "wildcards", "req_boosts",
+                  "opt_boosts")
     )
     assert parse_query('""')["phrases"] == []
 
@@ -237,6 +239,99 @@ def test_prefix_zero_expansion_is_inert(small_index, syn_corpus):
     base = search_syntax(small_index, syn_corpus, [(1, "merg scorer", 10)]).toPandas()
     with_dead = search_syntax(
         small_index, syn_corpus, [(1, "merg scorer zzzq*", 10)]
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        base.sort_values("rank").reset_index(drop=True),
+        with_dead.sort_values("rank").reset_index(drop=True),
+    )
+
+
+def test_parse_query_wildcards():
+    p = parse_query("M?rg mi*dle w?rke* +join -old te*")
+    assert p["wildcards"] == ["m?rg", "mi*dle", "w?rke*"]  # lowercased
+    assert p["prefixes"] == ["te"]  # pure trailing-* stays a prefix
+    assert p["required"] == ["join"] and p["excluded"] == ["old"]
+    # leading wildcards are NOT supported (Lucene default): word intact
+    for w in ("*term", "?erm", "**", "?"):
+        q = parse_query(w)
+        assert q["wildcards"] == [] and q["optional"] == [w], w
+    # combined-operator words degrade without becoming wildcards
+    assert parse_query("te?m~")["wildcards"] == []
+    q = parse_query("a?b^2")
+    assert q["wildcards"] == [] and q["optional"] == ["a?b^2"]
+    assert q["opt_boosts"] == [1.0]  # boost bases exclude wildcards too
+
+
+def test_wildcard_regex_law():
+    from org_rdkit_lucene_spark.operators.query import wildcard_regex
+    import re
+
+    rx = re.compile(wildcard_regex("w?rke*"))
+    assert rx.match("worker") and rx.match("warke")
+    assert not rx.match("wrke") and not rx.match("aworker")
+    # * may match empty; ? must match exactly one
+    assert re.compile(wildcard_regex("ab*")).match("ab")
+    assert not re.compile(wildcard_regex("a?b")).match("ab")
+    # non-alnum literals are escaped, not treated as regex metachars
+    assert re.compile(wildcard_regex("a.b?")).match("a.bc")
+    assert not re.compile(wildcard_regex("a.b?")).match("axbc")
+
+
+def test_wildcard_expansion_matches_manual_disjunction(small_index, syn_corpus):
+    """A wildcard clause must equal a hand-built disjunction of its
+    lexicon expansion (each expanded term one SHOULD occurrence)."""
+    from org_rdkit_lucene_spark.operators.query import (
+        _bm25_scored,
+        expand_wildcards,
+        rank_topk,
+        wildcard_regex,
+    )
+    import re
+
+    exp = expand_wildcards(small_index, ["w?rke*"])["w?rke*"]
+    assert "worker" in exp and len(exp) > 1
+    rx = re.compile(wildcard_regex("w?rke*"))
+    assert all(rx.match(t) for t in exp)
+    qterms = pd.DataFrame(
+        [(1, t, 1, len(exp), 10) for t in exp],
+        columns=["query_id", "term", "qtf", "n_terms", "k"],
+    )
+    scored, est = _bm25_scored(small_index, qterms)
+    want = (
+        rank_topk(scored, small_index.cfg.bm25.score_decimals,
+                  est_candidates=est["disjunctive"], max_k=10)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    got = (
+        search_syntax(small_index, syn_corpus, [(1, "w?rke*", 10)])
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_wildcard_expansion_bounded_and_df_ordered(small_index, monkeypatch):
+    """Expansion takes the top-N matches by (df DESC, term ASC), like
+    prefixes — the bound that keeps hot patterns metadata-sized."""
+    from org_rdkit_lucene_spark.operators import query as qmod
+    import re
+
+    full = qmod.expand_wildcards(small_index, ["s*"])["s*"]
+    assert len(full) > 2
+    lex = small_index.lexicon.toPandas()
+    rx = re.compile(qmod.wildcard_regex("s*"))
+    m = lex[lex["term"].map(lambda t: rx.match(t) is not None)].sort_values(
+        ["df", "term"], ascending=[False, True]
+    )
+    assert full == m["term"].head(qmod.WILDCARD_EXPANSION_LIMIT).tolist()
+
+    monkeypatch.setattr(qmod, "WILDCARD_EXPANSION_LIMIT", 2)
+    assert qmod.expand_wildcards(small_index, ["s*"])["s*"] == full[:2]
+
+
+def test_wildcard_zero_expansion_is_inert(small_index, syn_corpus):
+    base = search_syntax(small_index, syn_corpus, [(1, "merg scorer", 10)]).toPandas()
+    with_dead = search_syntax(
+        small_index, syn_corpus, [(1, "merg scorer zz?q*", 10)]
     ).toPandas()
     pd.testing.assert_frame_equal(
         base.sort_values("rank").reset_index(drop=True),
