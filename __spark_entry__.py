@@ -309,6 +309,25 @@ def _q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_syntax(idx, _corpus_for(spark, sf_dir), WILDCARD_QUERIES)
 
 
+# Term-range clauses (TermRangeQuery through the same parser surface:
+# [a TO b] inclusive, {a TO b} exclusive, * = open bound): expanded
+# against the lexicon's lexicographic slice to the top-256 terms by
+# (df DESC, term ASC); identical comparison law in the SQL twin. 134
+# exercises a zero-expansion slice (the rest of the query still
+# scores).
+RANGE_QUERIES = [
+    (131, "[merg TO mesh] join", 10),
+    (132, "{scan TO seg} hash", 10),
+    (133, "+batch [win TO wz]", 5),
+    (134, "[zzza TO zzzb] batch", 5),
+]
+
+
+def _q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return search_syntax(idx, _corpus_for(spark, sf_dir), RANGE_QUERIES)
+
+
 # Grouped boolean queries (AND/OR/parentheses; AND binds tighter,
 # adjacency = implicit OR): the tree FILTERS, BM25 over matched leaf
 # terms scores — one scored pass + a JVM-side CASE per query.
@@ -796,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_prefix_search": _q_prefix_search,
         "q1_fuzzy_search": _q_fuzzy_search,
         "q1_wildcard_search": _q_wildcard_search,
+        "q1_range_search": _q_range_search,
         "q1_boolean_search": _q_boolean_search,
         "q1_boolean_not": _q_boolean_not,
         "q1_boosted_search": _q_boosted_search,
@@ -903,6 +923,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_prefix_search": sqlgen.query_syntax_sql(PREFIX_QUERIES),
         "q1_fuzzy_search": sqlgen.query_syntax_sql(FUZZY_QUERIES),
         "q1_wildcard_search": sqlgen.query_syntax_sql(WILDCARD_QUERIES),
+        "q1_range_search": sqlgen.query_syntax_sql(RANGE_QUERIES),
         "q1_boolean_search": sqlgen.boolean_search_sql(BOOL_QUERIES),
         "q1_boolean_not": sqlgen.boolean_search_sql(BOOL_NOT_QUERIES),
         "q1_boosted_search": sqlgen.query_syntax_sql(BOOST_QUERIES),

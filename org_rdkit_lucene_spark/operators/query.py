@@ -519,6 +519,11 @@ FUZZY_MAX_DIST = 2
 # WildcardQuery rewrites like PrefixQuery (it IS the general form:
 # ``te?m`` / ``mi*dle``); same clause bound as prefixes.
 WILDCARD_EXPANSION_LIMIT = 256
+# TermRangeQuery rewrites likewise (``[a TO b]`` inclusive, ``{a TO
+# b}`` exclusive, ``*`` = open bound); a lexicographic dictionary
+# slice is a vocabulary scan exactly like a prefix, so it shares the
+# prefix bound.
+RANGE_EXPANSION_LIMIT = 256
 
 _SYNTAX_RE = _re.compile(r'"([^"]*)"|(\+|-)?(\S+)')
 _FIELD_RE = _re.compile(r"^(repo|path|lang):(.+)$")
@@ -531,6 +536,11 @@ _BOOST_RE = _re.compile(r'^([^\s*?~:^"]+)\^(\d+(?:\.\d+)?)$')
 # allowLeadingWildcard=false), then literals/*/? only — no fuzzy/
 # boost/field/quote chars, so combined-operator words degrade intact
 _WILDCARD_RE = _re.compile(r'^[^\s*?~:^"][^\s~:^"]*$')
+# [a TO b] / {a TO b} term ranges (TermRangeQuery through the parser's
+# bracket syntax; TO must be uppercase, per Lucene). Bounds are plain
+# words or * (open end) — extracted in a pre-pass because they span
+# whitespace.
+_RANGE_RE = _re.compile(r'([\[{])([^\s"{}\[\]]+)\s+TO\s+([^\s"{}\[\]]+)([\]}])')
 
 
 def wildcard_regex(pattern: str) -> str:
@@ -577,6 +587,11 @@ def parse_query(text: str) -> dict:
     SHOULD-only. A LEADING wildcard is not supported (Lucene's default
     ``allowLeadingWildcard=false`` — an unbounded dictionary scan at
     100 TB); the word stays an ordinary term clause instead.
+    ``[a TO b]`` / ``{a TO b}`` is a RANGE clause (TermRangeQuery:
+    ``[``/``]`` inclusive, ``{``/``}`` exclusive, ``*`` an open
+    bound): bounds lowercased, NOT analyzed, SHOULD-only —
+    ranges = [(lo, hi, lo_incl, hi_incl)] with None for an open end
+    (``[* TO *]`` is dropped as inert).
     ``term^N`` (N a positive int/float) is a
     BOOST on a plain required/optional term clause — ``req_boosts`` /
     ``opt_boosts`` run parallel to ``required`` / ``optional`` (1.0
@@ -586,7 +601,18 @@ def parse_query(text: str) -> dict:
     the most-used slice)."""
     out = {"required": [], "optional": [], "excluded": [], "phrases": [],
            "fields": [], "prefixes": [], "fuzzies": [], "wildcards": [],
-           "req_boosts": [], "opt_boosts": []}
+           "ranges": [], "req_boosts": [], "opt_boosts": []}
+
+    def _take_range(m: "_re.Match") -> str:
+        lo = None if m.group(2) == "*" else m.group(2).lower()
+        hi = None if m.group(3) == "*" else m.group(3).lower()
+        if lo is not None or hi is not None:  # [* TO *] is inert
+            out["ranges"].append(
+                (lo, hi, m.group(1) == "[", m.group(4) == "]")
+            )
+        return " "
+
+    text = _RANGE_RE.sub(_take_range, text)
     for m in _SYNTAX_RE.finditer(text):
         phrase, op, word = m.group(1), m.group(2), m.group(3)
         if phrase is not None:
@@ -696,6 +722,55 @@ def expand_wildcards(index: InvertedIndex, patterns: list[str]) -> dict[str, lis
     return out
 
 
+RangeClause = tuple  # (lo, hi, lo_incl, hi_incl); None = open bound
+
+
+def _range_cond(rng: RangeClause):
+    lo, hi, lo_i, hi_i = rng
+    conds = []
+    if lo is not None:
+        conds.append(F.col("term") >= lo if lo_i else F.col("term") > lo)
+    if hi is not None:
+        conds.append(F.col("term") <= hi if hi_i else F.col("term") < hi)
+    c = conds[0]
+    for extra in conds[1:]:
+        c = c & extra
+    return c
+
+
+def expand_ranges(
+    index: InvertedIndex, ranges: list[RangeClause]
+) -> dict[RangeClause, list[str]]:
+    """Resolve ``[a TO b]`` clauses against the lexicon: for each
+    range, the top-``RANGE_EXPANSION_LIMIT`` terms inside the
+    lexicographic slice by (df DESC, term ASC) — TermRangeQuery's
+    bounded rewrite, same law as prefixes. One lexicon job for ALL
+    ranges; each bound pushes into the parquet scan as a
+    GreaterThan(OrEqual)/LessThan(OrEqual) filter (the Spark analog of
+    Lucene seeking a term-dictionary range)."""
+    uniq = sorted(set(ranges), key=lambda r: (r[0] or "", r[1] or "", r[2], r[3]))
+    if not uniq:
+        return {}
+    cond = _range_cond(uniq[0])
+    for r in uniq[1:]:
+        cond = cond | _range_cond(r)
+    lexp = index.lexicon.filter(cond).select("term", "df").toPandas()
+    out: dict[RangeClause, list[str]] = {}
+    for r in uniq:
+        lo, hi, lo_i, hi_i = r
+        t = lexp["term"]
+        mask = pd.Series(True, index=lexp.index)
+        if lo is not None:
+            mask &= (t >= lo) if lo_i else (t > lo)
+        if hi is not None:
+            mask &= (t <= hi) if hi_i else (t < hi)
+        m = lexp[mask.astype(bool)].sort_values(
+            ["df", "term"], ascending=[False, True]
+        )
+        out[r] = m["term"].head(RANGE_EXPANSION_LIMIT).tolist()
+    return out
+
+
 def expand_fuzzies(
     index: InvertedIndex, fuzzies: list[tuple[str, int]]
 ) -> dict[tuple[str, int], list[str]]:
@@ -789,6 +864,9 @@ def search_syntax(
     wild_exp = expand_wildcards(
         index, [w for q in parsed.values() for w in q["wildcards"]]
     )
+    range_exp = expand_ranges(
+        index, [r for q in parsed.values() for r in q["ranges"]]
+    )
 
     scoring, must_counts, excluded_rows, phrase_rows = [], [], [], []
     field_rows: list[tuple[int, str, str]] = []
@@ -809,6 +887,10 @@ def search_syntax(
                 counts[t] = counts.get(t, 0.0) + 1.0
         for wc in sorted(set(p["wildcards"])):
             for t in wild_exp.get(wc, []):
+                counts[t] = counts.get(t, 0.0) + 1.0
+        for rg in sorted(set(p["ranges"]),
+                         key=lambda r: (r[0] or "", r[1] or "", r[2], r[3])):
+            for t in range_exp.get(rg, []):
                 counts[t] = counts.get(t, 0.0) + 1.0
         for term, qtf in counts.items():
             scoring.append((qid, term, float(qtf), len(counts), k))

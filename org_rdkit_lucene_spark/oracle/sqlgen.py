@@ -203,13 +203,16 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
     term~ / term~N fuzzy clauses expand identically via levenshtein
     (top-FUZZY_EXPANSION_LIMIT). Wildcard clauses (te?m / mi*dle)
     expand via regexp_matches on the SHARED anchored
-    ``wildcard_regex`` (top-WILDCARD_EXPANSION_LIMIT). term^N boosts
-    flow through the SHARED syntax_scoring_weights law (engine parity
-    by construction)."""
+    ``wildcard_regex`` (top-WILDCARD_EXPANSION_LIMIT). [a TO b] /
+    {a TO b} range clauses expand via lexicographic comparisons with
+    per-range inclusivity flags (top-RANGE_EXPANSION_LIMIT). term^N
+    boosts flow through the SHARED syntax_scoring_weights law (engine
+    parity by construction)."""
     from org_rdkit_lucene_spark.operators.query import (
         FIELD_BOOST,
         FUZZY_EXPANSION_LIMIT,
         PREFIX_EXPANSION_LIMIT,
+        RANGE_EXPANSION_LIMIT,
         WILDCARD_EXPANSION_LIMIT,
         parse_query,
         syntax_scoring_weights,
@@ -217,7 +220,7 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
     )
 
     q_rows, must_rows, mreq_rows, ex_rows, ph_rows, phn_rows = [], [], [], [], [], []
-    fld_rows, k_rows, pref_rows, fz_rows, wc_rows = [], [], [], [], []
+    fld_rows, k_rows, pref_rows, fz_rows, wc_rows, rg_rows = [], [], [], [], [], []
     for qid, text, k in queries:
         p = parse_query(text)
         k_rows.append(f"({qid}, {k})")
@@ -232,6 +235,14 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
         for wc in sorted(set(p["wildcards"])):
             wc_rows.append(
                 "({}, '{}')".format(qid, wildcard_regex(wc).replace("'", "''"))
+            )
+        for lo, hi, lo_i, hi_i in sorted(
+            set(p["ranges"]), key=lambda r: (r[0] or "", r[1] or "", r[2], r[3])
+        ):
+            sql_lo = "NULL" if lo is None else "'{}'".format(lo.replace("'", "''"))
+            sql_hi = "NULL" if hi is None else "'{}'".format(hi.replace("'", "''"))
+            rg_rows.append(
+                f"({qid}, {sql_lo}, {sql_hi}, {str(lo_i).upper()}, {str(hi_i).upper()})"
             )
         counts, must_terms = syntax_scoring_weights(p, DEFAULT_PROFILE)
         for term, qtf in counts.items():
@@ -290,6 +301,17 @@ wc_exp AS (
   FROM wc w JOIN dfs d ON regexp_matches(d.term, w.pat)
   WHERE w.query_id IS NOT NULL
 ),
+rg(query_id, lo, hi, lo_i, hi_i) AS (VALUES
+    {vals(rg_rows, 5)}),
+rg_exp AS (
+  SELECT r.query_id, d.term,
+         row_number() OVER (PARTITION BY r.query_id, r.lo, r.hi, r.lo_i, r.hi_i
+                            ORDER BY d.df DESC, d.term ASC) AS rn
+  FROM rg r JOIN dfs d
+    ON r.query_id IS NOT NULL
+   AND (r.lo IS NULL OR d.term > r.lo OR (r.lo_i AND d.term = r.lo))
+   AND (r.hi IS NULL OR d.term < r.hi OR (r.hi_i AND d.term = r.hi))
+),
 qm AS (
   SELECT query_id, term, sum(qtf)::DOUBLE AS qtf FROM (
     SELECT query_id, term, qtf FROM q WHERE query_id IS NOT NULL
@@ -299,6 +321,8 @@ qm AS (
     SELECT query_id, term, 1 AS qtf FROM fz_exp WHERE rn <= {FUZZY_EXPANSION_LIMIT}
     UNION ALL
     SELECT query_id, term, 1 AS qtf FROM wc_exp WHERE rn <= {WILDCARD_EXPANSION_LIMIT}
+    UNION ALL
+    SELECT query_id, term, 1 AS qtf FROM rg_exp WHERE rn <= {RANGE_EXPANSION_LIMIT}
   ) GROUP BY 1, 2
 ),
 scored AS (

@@ -24,6 +24,7 @@ def test_parse_query():
         "prefixes": [],
         "fuzzies": [],
         "wildcards": [],
+        "ranges": [],
         "req_boosts": [1.0],
         "opt_boosts": [1.0, 1.0],
     }
@@ -31,8 +32,8 @@ def test_parse_query():
     assert all(
         empty[k] == []
         for k in ("required", "optional", "excluded", "phrases", "fields",
-                  "prefixes", "fuzzies", "wildcards", "req_boosts",
-                  "opt_boosts")
+                  "prefixes", "fuzzies", "wildcards", "ranges",
+                  "req_boosts", "opt_boosts")
     )
     assert parse_query('""')["phrases"] == []
 
@@ -332,6 +333,93 @@ def test_wildcard_zero_expansion_is_inert(small_index, syn_corpus):
     base = search_syntax(small_index, syn_corpus, [(1, "merg scorer", 10)]).toPandas()
     with_dead = search_syntax(
         small_index, syn_corpus, [(1, "merg scorer zz?q*", 10)]
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        base.sort_values("rank").reset_index(drop=True),
+        with_dead.sort_values("rank").reset_index(drop=True),
+    )
+
+
+def test_parse_query_ranges():
+    p = parse_query("[Merg TO Scorer] join {a TO b} [c TO *] [* TO d]")
+    assert p["ranges"] == [
+        ("merg", "scorer", True, True),   # inclusive, lowercased
+        ("a", "b", False, False),         # exclusive
+        ("c", None, True, True),          # open upper bound
+        (None, "d", True, True),          # open lower bound
+    ]
+    assert p["optional"] == ["join"]
+    # [* TO *] is inert (matches the whole dictionary — dropped)
+    assert parse_query("[* TO *] x")["ranges"] == []
+    # malformed ranges never parse as ranges (lowercase to, missing
+    # bracket, quoted) — the words fall through to ordinary clauses
+    for bad in ("[a to b]", "[a TO", "a TO b]", '["a" TO b]'):
+        assert parse_query(bad)["ranges"] == [], bad
+
+
+def test_range_expansion_matches_manual_disjunction(small_index, syn_corpus):
+    """A range clause must equal a hand-built disjunction of its
+    lexicon expansion (each expanded term one SHOULD occurrence)."""
+    from org_rdkit_lucene_spark.operators.query import (
+        _bm25_scored,
+        expand_ranges,
+        rank_topk,
+    )
+
+    rng = ("m", "mz", True, True)
+    exp = expand_ranges(small_index, [rng])[rng]
+    assert "merg" in exp and len(exp) > 1
+    assert all("m" <= t <= "mz" for t in exp)
+    qterms = pd.DataFrame(
+        [(1, t, 1, len(exp), 10) for t in exp],
+        columns=["query_id", "term", "qtf", "n_terms", "k"],
+    )
+    scored, est = _bm25_scored(small_index, qterms)
+    want = (
+        rank_topk(scored, small_index.cfg.bm25.score_decimals,
+                  est_candidates=est["disjunctive"], max_k=10)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    got = (
+        search_syntax(small_index, syn_corpus, [(1, "[m TO mz]", 10)])
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_range_inclusivity_and_bound(small_index, monkeypatch):
+    """{a TO b} excludes exactly the endpoint terms of [a TO b]; the
+    expansion is top-N by (df DESC, term ASC) like its siblings."""
+    from org_rdkit_lucene_spark.operators import query as qmod
+
+    lex = small_index.lexicon.toPandas().sort_values("term")
+    terms = lex["term"].tolist()
+    lo, hi = terms[1], terms[4]  # real lexicon terms as endpoints
+    incl = qmod.expand_ranges(small_index, [(lo, hi, True, True)])
+    excl = qmod.expand_ranges(small_index, [(lo, hi, False, False)])
+    assert set(incl[(lo, hi, True, True)]) - set(excl[(lo, hi, False, False)]) == {lo, hi}
+
+    m = lex[(lex["term"] >= lo) & (lex["term"] <= hi)].sort_values(
+        ["df", "term"], ascending=[False, True]
+    )
+    assert incl[(lo, hi, True, True)] == m["term"].head(
+        qmod.RANGE_EXPANSION_LIMIT
+    ).tolist()
+
+    full = qmod.expand_ranges(small_index, [("a", "zz", True, True)])[
+        ("a", "zz", True, True)
+    ]
+    assert len(full) > 2
+    monkeypatch.setattr(qmod, "RANGE_EXPANSION_LIMIT", 2)
+    assert qmod.expand_ranges(small_index, [("a", "zz", True, True)])[
+        ("a", "zz", True, True)
+    ] == full[:2]
+
+
+def test_range_zero_expansion_is_inert(small_index, syn_corpus):
+    base = search_syntax(small_index, syn_corpus, [(1, "merg scorer", 10)]).toPandas()
+    with_dead = search_syntax(
+        small_index, syn_corpus, [(1, "merg scorer [zzza TO zzzb]", 10)]
     ).toPandas()
     pd.testing.assert_frame_equal(
         base.sort_values("rank").reset_index(drop=True),
