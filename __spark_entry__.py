@@ -328,6 +328,25 @@ def _q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_syntax(idx, _corpus_for(spark, sf_dir), RANGE_QUERIES)
 
 
+# Sloppy phrases (PhraseQuery.setSlop through the same parser surface:
+# "a b"~N). Tokens in order over the ANALYZED stream within span
+# n-1+N — the shared _slop_match law; the SQL twin evaluates the same
+# existence condition as an n-way positions self-join. 138's phrase
+# tokens are must-pinned so a doc lacking either token never ranks;
+# 139 is the single-token degenerate (= presence).
+SLOP_QUERIES = [
+    (136, '"merge table"~3 join', 10),
+    (137, '"window scan"~2 hash', 10),
+    (138, '+batch "hash join"~1', 5),
+    (139, '"filter"~2 batch', 5),
+]
+
+
+def _q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return search_syntax(idx, _corpus_for(spark, sf_dir), SLOP_QUERIES)
+
+
 # Grouped boolean queries (AND/OR/parentheses; AND binds tighter,
 # adjacency = implicit OR): the tree FILTERS, BM25 over matched leaf
 # terms scores — one scored pass + a JVM-side CASE per query.
@@ -816,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_fuzzy_search": _q_fuzzy_search,
         "q1_wildcard_search": _q_wildcard_search,
         "q1_range_search": _q_range_search,
+        "q1_sloppy_phrase": _q_sloppy_phrase,
         "q1_boolean_search": _q_boolean_search,
         "q1_boolean_not": _q_boolean_not,
         "q1_boosted_search": _q_boosted_search,
@@ -924,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_fuzzy_search": sqlgen.query_syntax_sql(FUZZY_QUERIES),
         "q1_wildcard_search": sqlgen.query_syntax_sql(WILDCARD_QUERIES),
         "q1_range_search": sqlgen.query_syntax_sql(RANGE_QUERIES),
+        "q1_sloppy_phrase": sqlgen.query_syntax_sql(SLOP_QUERIES),
         "q1_boolean_search": sqlgen.boolean_search_sql(BOOL_QUERIES),
         "q1_boolean_not": sqlgen.boolean_search_sql(BOOL_NOT_QUERIES),
         "q1_boosted_search": sqlgen.query_syntax_sql(BOOST_QUERIES),

@@ -525,7 +525,7 @@ WILDCARD_EXPANSION_LIMIT = 256
 # prefix bound.
 RANGE_EXPANSION_LIMIT = 256
 
-_SYNTAX_RE = _re.compile(r'"([^"]*)"|(\+|-)?(\S+)')
+_SYNTAX_RE = _re.compile(r'"([^"]*)"(?:~(\d+))?|(\+|-)?(\S+)')
 _FIELD_RE = _re.compile(r"^(repo|path|lang):(.+)$")
 _FUZZY_RE = _re.compile(r"^(.+?)~([0-9])?$")
 # term^N boost (QueryParser's setBoost surface): base must be a plain
@@ -591,7 +591,11 @@ def parse_query(text: str) -> dict:
     ``[``/``]`` inclusive, ``{``/``}`` exclusive, ``*`` an open
     bound): bounds lowercased, NOT analyzed, SHOULD-only —
     ranges = [(lo, hi, lo_incl, hi_incl)] with None for an open end
-    (``[* TO *]`` is dropped as inert).
+    (``[* TO *]`` is dropped as inert). ``"a b"~N`` (N > 0) is a
+    SLOPPY PHRASE (PhraseQuery.setSlop surface): its ANALYZED tokens
+    must appear in order in the doc's token stream with span
+    ``(p_n - p_1) - (n - 1) <= N`` — slop_phrases = [(text, slop)];
+    ``~0`` stays the exact verbatim-substring phrase law.
     ``term^N`` (N a positive int/float) is a
     BOOST on a plain required/optional term clause — ``req_boosts`` /
     ``opt_boosts`` run parallel to ``required`` / ``optional`` (1.0
@@ -601,7 +605,7 @@ def parse_query(text: str) -> dict:
     the most-used slice)."""
     out = {"required": [], "optional": [], "excluded": [], "phrases": [],
            "fields": [], "prefixes": [], "fuzzies": [], "wildcards": [],
-           "ranges": [], "req_boosts": [], "opt_boosts": []}
+           "ranges": [], "slop_phrases": [], "req_boosts": [], "opt_boosts": []}
 
     def _take_range(m: "_re.Match") -> str:
         lo = None if m.group(2) == "*" else m.group(2).lower()
@@ -614,10 +618,13 @@ def parse_query(text: str) -> dict:
 
     text = _RANGE_RE.sub(_take_range, text)
     for m in _SYNTAX_RE.finditer(text):
-        phrase, op, word = m.group(1), m.group(2), m.group(3)
+        phrase, slop_s, op, word = m.group(1), m.group(2), m.group(3), m.group(4)
         if phrase is not None:
             if phrase.strip():
-                out["phrases"].append(phrase.strip())
+                if slop_s is not None and int(slop_s) > 0:
+                    out["slop_phrases"].append((phrase.strip(), int(slop_s)))
+                else:  # "a b"~0 is the exact phrase
+                    out["phrases"].append(phrase.strip())
             continue
         fm = _FIELD_RE.match(word)
         zm = _FUZZY_RE.match(word)
@@ -663,6 +670,9 @@ def syntax_scoring_weights(p: dict, profile) -> tuple[dict[str, float], set[str]
         for t in tokenize_text(w, profile):
             must_pin[t] = max(must_pin.get(t, 0.0), b)
     for ph in p["phrases"]:
+        for t in tokenize_text(ph, profile):
+            must_pin[t] = max(must_pin.get(t, 0.0), 1.0)
+    for ph, _slop in p["slop_phrases"]:
         for t in tokenize_text(ph, profile):
             must_pin[t] = max(must_pin.get(t, 0.0), 1.0)
     weights: dict[str, float] = {}
@@ -720,6 +730,40 @@ def expand_wildcards(index: InvertedIndex, patterns: list[str]) -> dict[str, lis
         m = lexp[mask].sort_values(["df", "term"], ascending=[False, True])
         out[p] = m["term"].head(WILDCARD_EXPANSION_LIMIT).tolist()
     return out
+
+
+def _slop_match(tokens: list[str], words: list[str], slop: int) -> bool:
+    """The SHARED sloppy-phrase law (engine kernel + tests; the DuckDB
+    twin implements the same existence condition as an n-way positions
+    join): ``tokens`` contains positions p1 < p2 < ... < pn with
+    ``tokens[pi] == words[i]`` and ``pn - p1 <= (n - 1) + slop``.
+    Exact for any input: for a fixed p1 the greedy earliest-successor
+    chain minimizes pn, and every p1 is tried."""
+    import bisect
+
+    if not words:
+        return True
+    wset = set(words)
+    pos: dict[str, list[int]] = {w: [] for w in wset}
+    for i, t in enumerate(tokens):
+        if t in wset:
+            pos[t].append(i)
+    if any(not pos[w] for w in wset):
+        return False
+    bound = (len(words) - 1) + slop
+    for p1 in pos[words[0]]:
+        p = p1
+        ok = True
+        for w in words[1:]:
+            lst = pos[w]
+            j = bisect.bisect_right(lst, p)
+            if j == len(lst):
+                ok = False
+                break
+            p = lst[j]
+        if ok and p - p1 <= bound:
+            return True
+    return False
 
 
 RangeClause = tuple  # (lo, hi, lo_incl, hi_incl); None = open bound
@@ -848,7 +892,10 @@ def search_syntax(
     filters). A doc must match every required term and every phrase
     term, match no excluded term, and contain each phrase verbatim.
     ``corpus_with_ids`` (doc_id, content) is only needed when phrases
-    are present. ``field:value`` clauses over {repo, path, lang} are
+    are present. ``"a b"~N`` sloppy phrases filter by the analyzed
+    token-stream window law (:func:`_slop_match`); their tokens are
+    must-pinned like exact-phrase tokens. ``field:value`` clauses over
+    {repo, path, lang} are
     SHOULD clauses: each match adds FIELD_BOOST to the score, and a doc
     matching only field clauses is still a candidate (subject to the
     MUST/exclusion/phrase filters)."""
@@ -869,6 +916,7 @@ def search_syntax(
     )
 
     scoring, must_counts, excluded_rows, phrase_rows = [], [], [], []
+    slop_rows: list[tuple[int, str, int]] = []
     field_rows: list[tuple[int, str, str]] = []
     for qid, text, k in queries:
         p = parsed[qid]
@@ -900,6 +948,10 @@ def search_syntax(
                 excluded_rows.append((qid, t))
         for ph in p["phrases"]:
             phrase_rows.append((qid, ph))
+        # a slop phrase whose text analyzes to zero tokens is inert
+        for ph, s in sorted(set(p["slop_phrases"])):
+            if tokenize_text(ph, prof):
+                slop_rows.append((qid, ph, s))
 
     if not scoring and not field_rows:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -938,6 +990,8 @@ def search_syntax(
             set().union(
                 *[set(tokenize_text(w, prof)) for w in parsed[qid]["required"]] or [set()],
                 *[set(tokenize_text(ph, prof)) for ph in parsed[qid]["phrases"]] or [set()],
+                *[set(tokenize_text(ph, prof))
+                  for ph, _s in parsed[qid]["slop_phrases"]] or [set()],
             )
         )
     ]
@@ -1001,6 +1055,58 @@ def search_syntax(
             scored.join(ok, ["query_id", "doc_id"], "left")
             .join(phn, "query_id")
             .filter(F.coalesce(F.col("n_ph_ok"), F.lit(0)) == F.col("n_ph"))
+        )
+
+    # sloppy-phrase verification (same filter shape as exact phrases,
+    # but over the ANALYZED token stream via the shared _slop_match
+    # law). Candidates are already must-pinned to contain every phrase
+    # token, so the Arrow-batched kernel only ever sees that bounded
+    # slice; tokenization is memoized per doc within a batch.
+    if slop_rows:
+        if corpus_with_ids is None:
+            raise ValueError("sloppy-phrase queries require corpus_with_ids")
+        sp = F.broadcast(
+            spark.createDataFrame(slop_rows, "query_id int, phrase string, slop int")
+        )
+        spn = F.broadcast(
+            spark.createDataFrame(
+                [(qid, sum(1 for q, _, _ in slop_rows if q == qid))
+                 for qid, _, _ in queries],
+                "query_id int, n_sp int",
+            )
+        )
+
+        def _sp_verify(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                tok_cache: dict[int, list[str]] = {}
+                keep = []
+                for row in pdf.itertuples(index=False):
+                    toks = tok_cache.get(row.doc_id)
+                    if toks is None:
+                        toks = tokenize_text(row.content, prof)
+                        tok_cache[row.doc_id] = toks
+                    words = tokenize_text(row.phrase, prof)
+                    if _slop_match(toks, words, int(row.slop)):
+                        keep.append((row.query_id, row.doc_id))
+                if keep:
+                    yield pd.DataFrame(keep, columns=["query_id", "doc_id"])
+
+        sp_ok = (
+            scored.select("query_id", "doc_id")
+            .join(sp, "query_id")
+            .join(corpus_with_ids.select("doc_id", "content"), "doc_id")
+            .select("query_id", "doc_id", "phrase", "slop", "content")
+            .mapInPandas(_sp_verify, "query_id int, doc_id long")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count("*").alias("n_sp_ok"))
+        )
+        scored = (
+            scored.join(sp_ok, ["query_id", "doc_id"], "left")
+            .join(spn, "query_id")
+            .filter(F.coalesce(F.col("n_sp_ok"), F.lit(0)) == F.col("n_sp"))
+            .drop("n_sp_ok", "n_sp")
         )
 
     dec = index.cfg.bm25.score_decimals

@@ -207,7 +207,10 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
     {a TO b} range clauses expand via lexicographic comparisons with
     per-range inclusivity flags (top-RANGE_EXPANSION_LIMIT). term^N
     boosts flow through the SHARED syntax_scoring_weights law (engine
-    parity by construction)."""
+    parity by construction). "a b"~N sloppy phrases filter via an
+    n-way self-join over token positions — the same existence law as
+    the engine's _slop_match (in-order, span <= n-1+slop, analyzed
+    stream)."""
     from org_rdkit_lucene_spark.operators.query import (
         FIELD_BOOST,
         FUZZY_EXPANSION_LIMIT,
@@ -221,9 +224,45 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
 
     q_rows, must_rows, mreq_rows, ex_rows, ph_rows, phn_rows = [], [], [], [], [], []
     fld_rows, k_rows, pref_rows, fz_rows, wc_rows, rg_rows = [], [], [], [], [], []
+    sp_blocks: list[str] = []
+    spn_rows: list[str] = []
+    sp_id = 0
+
+    def _sqlq(s: str) -> str:
+        return s.replace("'", "''")
+
     for qid, text, k in queries:
         p = parse_query(text)
         k_rows.append(f"({qid}, {k})")
+        # sloppy phrases: one n-way positions join per phrase — the
+        # same existence law as the engine's _slop_match (positions
+        # p1 < ... < pn, span <= n-1+slop over the ANALYZED stream)
+        n_sp = 0
+        for ph, slop in sorted(set(p["slop_phrases"])):
+            words = tokenize_text(ph)
+            if not words:
+                continue  # zero-token slop phrase is inert
+            n_sp += 1
+            sp_id += 1
+            if len(words) == 1:
+                sp_blocks.append(
+                    f"SELECT DISTINCT {qid} AS query_id, doc_id, {sp_id} AS ph\n"
+                    f"  FROM posi WHERE term = '{_sqlq(words[0])}'"
+                )
+            else:
+                joins = " ".join(
+                    f"JOIN posi t{i} ON t{i}.doc_id = t1.doc_id "
+                    f"AND t{i}.term = '{_sqlq(words[i - 1])}' AND t{i}.p > t{i - 1}.p"
+                    for i in range(2, len(words) + 1)
+                )
+                bound = len(words) - 1 + slop
+                sp_blocks.append(
+                    f"SELECT DISTINCT {qid} AS query_id, t1.doc_id AS doc_id, "
+                    f"{sp_id} AS ph\n  FROM posi t1 {joins}\n"
+                    f"  WHERE t1.term = '{_sqlq(words[0])}' "
+                    f"AND t{len(words)}.p - t1.p <= {bound}"
+                )
+        spn_rows.append(f"({qid}, {n_sp})")
         for fld, val in p["fields"]:
             fld_rows.append(
                 "({}, '{}', '{}')".format(qid, fld, val.replace("'", "''"))
@@ -262,8 +301,20 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
         return ",\n    ".join(rows) if rows else "(" + ", ".join(["NULL"] * arity) + ")"
 
     toks = duckdb_tokens_sql("text")
+    spok_body = "\n  UNION ALL\n  ".join(sp_blocks) or (
+        "SELECT NULL::INT AS query_id, NULL::BIGINT AS doc_id, "
+        "NULL::INT AS ph WHERE FALSE"
+    )
     return f"""
 WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM {table}),
+posi AS (SELECT doc_id, unnest({toks}) AS term,
+                generate_subscripts({toks}, 1) AS p FROM {table}),
+spok AS (
+  {spok_body}
+),
+spc AS (SELECT query_id, doc_id, count(DISTINCT ph) AS c FROM spok GROUP BY 1, 2),
+spn(query_id, n_sp) AS (VALUES
+    {vals(spn_rows, 2)}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
 nstat AS (SELECT count(*)::DOUBLE AS n FROM {table}),
@@ -388,9 +439,12 @@ filtered AS (
   LEFT JOIN exdocs x ON x.query_id = s.query_id AND x.doc_id = s.doc_id
   LEFT JOIN phn ON phn.query_id = s.query_id
   LEFT JOIN phok ON phok.query_id = s.query_id AND phok.doc_id = s.doc_id
+  LEFT JOIN spn ON spn.query_id = s.query_id
+  LEFT JOIN spc ON spc.query_id = s.query_id AND spc.doc_id = s.doc_id
   WHERE coalesce(mhit.c, 0) = mreq.n_must
     AND x.doc_id IS NULL
     AND coalesce(phok.c, 0) = coalesce(phn.n_ph, 0)
+    AND coalesce(spc.c, 0) = coalesce(spn.n_sp, 0)
 ),
 ranked AS (
   SELECT query_id, doc_id,

@@ -5,6 +5,7 @@ semantics against brute-force checks."""
 import pandas as pd
 import pytest
 
+from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
 from org_rdkit_lucene_spark.operators.query import (
     max_scores,
     parse_query,
@@ -25,6 +26,7 @@ def test_parse_query():
         "fuzzies": [],
         "wildcards": [],
         "ranges": [],
+        "slop_phrases": [],
         "req_boosts": [1.0],
         "opt_boosts": [1.0, 1.0],
     }
@@ -33,7 +35,7 @@ def test_parse_query():
         empty[k] == []
         for k in ("required", "optional", "excluded", "phrases", "fields",
                   "prefixes", "fuzzies", "wildcards", "ranges",
-                  "req_boosts", "opt_boosts")
+                  "slop_phrases", "req_boosts", "opt_boosts")
     )
     assert parse_query('""')["phrases"] == []
 
@@ -425,6 +427,62 @@ def test_range_zero_expansion_is_inert(small_index, syn_corpus):
         base.sort_values("rank").reset_index(drop=True),
         with_dead.sort_values("rank").reset_index(drop=True),
     )
+
+
+def test_parse_query_slop_phrases():
+    p = parse_query('"Merge scan"~2 x "a b" "c d"~0 "e f"~')
+    assert p["slop_phrases"] == [("Merge scan", 2)]
+    # ~0 and a bare ~ degrade to the exact-phrase law
+    assert p["phrases"] == ["a b", "c d", "e f"]
+    assert p["optional"] == ["x", "~"]  # the dangling ~ is a plain word
+    q = parse_query('"a b"~3 "a b"~3')
+    assert q["slop_phrases"] == [("a b", 3), ("a b", 3)]
+    assert parse_query('""~2')["slop_phrases"] == []
+
+
+def test_slop_match_law():
+    from org_rdkit_lucene_spark.operators.query import _slop_match
+
+    toks = "a x b y c".split()
+    assert _slop_match(toks, ["a", "b"], 1)          # span 2 = 1+1
+    assert not _slop_match(toks, ["a", "b"], 0)      # not adjacent
+    assert not _slop_match(toks, ["b", "a"], 5)      # order matters
+    assert _slop_match(toks, ["a", "b", "c"], 2)     # span 4 = 2+2
+    assert not _slop_match(toks, ["a", "b", "c"], 1)
+    assert _slop_match(toks, ["x"], 0)               # single-token = presence
+    assert not _slop_match(toks, ["z"], 9)
+    # greedy-earliest must not miss a later valid start
+    toks2 = "b a z z z b".split()  # first b useless; a@1..b@5 needs slop 3
+    assert _slop_match(toks2, ["a", "b"], 3)
+    assert not _slop_match(toks2, ["a", "b"], 2)
+    # duplicate phrase words need distinct positions
+    assert _slop_match("a a".split(), ["a", "a"], 0)
+    assert not _slop_match(["a"], ["a", "a"], 9)
+
+
+def test_sloppy_phrase_filters_by_token_window(small_index, syn_corpus, spark):
+    """Engine results for '\"w1 w2\"~s' must equal the brute-force law:
+    BM25 candidates restricted to docs whose analyzed token stream
+    satisfies _slop_match — checked against a pandas recomputation."""
+    from org_rdkit_lucene_spark.operators.query import _slop_match
+
+    ph, slop = "merg hash", 3
+    got = search_syntax(
+        small_index, syn_corpus, [(1, f'"{ph}"~{slop}', 1000)]
+    ).toPandas()
+    corpus = syn_corpus.select("doc_id", "content").toPandas()
+    words = tokenize_text(ph)
+    expect = {
+        int(r.doc_id)
+        for r in corpus.itertuples(index=False)
+        if _slop_match(tokenize_text(r.content), words, slop)
+    }
+    assert set(got["doc_id"]) == expect and len(expect) > 0
+    # tightening the slop can only shrink the hit set
+    tight = search_syntax(
+        small_index, syn_corpus, [(1, f'"{ph}"~1', 1000)]
+    ).toPandas()
+    assert set(tight["doc_id"]) <= set(got["doc_id"])
 
 
 def test_boosted_search_matches_manual_weights(small_index, syn_corpus):
