@@ -32,6 +32,7 @@ from org_rdkit_lucene_spark.operators.ann import (
 )
 from org_rdkit_lucene_spark.operators.build import InvertedIndex, build_index
 from org_rdkit_lucene_spark.operators.dedup import (
+    dedup_clusters,
     dedup_exact,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -618,6 +619,18 @@ def _td_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_dup_documents(spark, sf_dir), "doc_id", "text").orderBy("doc1", "doc2")
 
 
+def _td_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup CLUSTERS over the MinHash-LSH pair graph:
+    star-contraction connected components (cluster_id = component min,
+    the keeper); the SQL twin computes the identical component law via
+    a recursive transitive closure."""
+    docs = _dup_documents(spark, sf_dir)
+    out = dedup_clusters(minhash_lsh_pairs(docs, "doc_id", "text"), docs=docs)
+    return out.withColumn(
+        "is_duplicate", F.col("is_duplicate").cast("int")
+    ).orderBy("doc_id")
+
+
 def _td_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         _dup_documents(spark, sf_dir), "doc_id", "text", n=3, threshold=0.8
@@ -803,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_dedup_exact": _td_dedup_exact,
         "td_minhash_signatures": _td_minhash_signatures,
         "td_minhash_lsh_pairs": _td_minhash_lsh_pairs,
+        "td_dedup_clusters": _td_dedup_clusters,
         "td_ngram_jaccard": _td_ngram_jaccard,
         "td_simhash_fingerprints": _td_simhash,
         "td_simhash_near_pairs": _td_simhash_pairs,
@@ -886,6 +900,9 @@ def oracle_sql() -> dict[str, str]:
         "td_dedup_exact": sqlgen.dedup_exact_sql(),
         "td_minhash_signatures": sqlgen.minhash_signatures_sql(),
         "td_minhash_lsh_pairs": sqlgen.minhash_lsh_pairs_sql(
+            table="dup_documents", extra_cte=sqlgen.dup_docs_cte()
+        ),
+        "td_dedup_clusters": sqlgen.dedup_clusters_sql(
             table="dup_documents", extra_cte=sqlgen.dup_docs_cte()
         ),
         "td_ngram_jaccard": sqlgen.ngram_jaccard_sql(

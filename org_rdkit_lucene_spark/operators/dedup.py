@@ -327,3 +327,112 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", content_col: str =
         .filter(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
     )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): every node connects its LARGER
+    neighbors to its minimum neighborhood label. One shuffle (window
+    over node id)."""
+    d = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
+    return (
+        d.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("u"), F.col("v").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge toward its larger
+    endpoint, then connect every smaller neighbor (and the node itself)
+    to the minimum smaller neighbor. One shuffle."""
+    o = edges.select(
+        F.greatest("u", "v").alias("p"), F.least("u", "v").alias("c")
+    )
+    w = Window.partitionBy("p")
+    o = o.withColumn("m", F.min("c").over(w))
+    out = o.select(F.col("m").alias("u"), F.col("c").alias("v")).unionByName(
+        o.select(F.col("m").alias("u"), F.col("p").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Duplicate CLUSTERS from candidate pairs: connected components
+    over the (doc1, doc2) edge graph → ``(doc_id, cluster_id,
+    is_duplicate)`` where ``cluster_id`` is the smallest doc_id in the
+    component (the keeper) — the step a 100 TB dedup pipeline runs
+    after MinHash/SimHash pair generation so each near-dup GROUP keeps
+    exactly one representative (transitively: A~B, B~C collapse to one
+    cluster even if A~C was never emitted as a pair).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    SoCC'14 — the published MapReduce CC algorithm), expressed as pure
+    DataFrame window/shuffle ops. Converges in O(log² n) rounds on ANY
+    graph shape — including long chains, where naive min-label
+    propagation needs O(diameter) rounds — and every round is two
+    shuffles partitioned by node id (no driver-side graph state; the
+    only driver action per round is a 2-value convergence checksum).
+    ``localCheckpoint`` truncates lineage each round so plans stay
+    bounded; on a real cluster swap in reliable ``checkpoint`` for
+    executor-loss tolerance.
+
+    ``docs`` (optional) adds singleton rows (cluster_id = own id) for
+    docs that never appeared in a pair. Raises if not converged within
+    ``max_rounds`` (the O(log² n) bound makes 30 astronomically safe).
+    """
+    edges = pairs.select(
+        F.col("doc1").cast("long").alias("u"), F.col("doc2").cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+
+    prev: tuple | None = None
+    converged = False
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # bit_xor is order-independent and cannot overflow (ANSI-safe)
+        chk = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        cur = (chk["n"], chk["h"])
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged and prev is not None and prev[0] > 0:
+        raise RuntimeError(f"dedup_clusters did not converge in {max_rounds} rounds")
+
+    # At convergence the edge set is a star forest: (root=min, member).
+    # The groupBy-min is a pure formality (each member has one root).
+    assign = (
+        edges.select(
+            F.greatest("u", "v").alias("doc_id"), F.least("u", "v").alias("cluster_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    roots = assign.select(F.col("cluster_id").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    clustered = assign.unionByName(roots)
+    if docs is not None:
+        clustered = (
+            docs.select(F.col(id_col).cast("long").alias("doc_id"))
+            .join(clustered, "doc_id", "left")
+            .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        )
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") != F.col("cluster_id")).alias("is_duplicate"),
+    )

@@ -1177,3 +1177,55 @@ SELECT doc_id::BIGINT AS doc_id,
        CASE WHEN doc_id % 3 IN (1, 2) THEN {h} % 600000 ELSE 0 END::BIGINT AS duration_ms,
        CASE WHEN doc_id % 3 = 2 THEN {h} % 3000 ELSE 0 END::INT AS n_frames
 FROM documents ORDER BY doc_id"""
+
+
+def dedup_clusters_sql(n_hashes: int = 8, n_bands: int = 4,
+                       table: str = "documents", extra_cte: str = "") -> str:
+    """Connected components over the MinHash-LSH pair graph: cluster_id
+    = min doc_id reachable through candidate-pair edges (transitive
+    closure via a recursive CTE — the exact same component law the
+    engine's star-contraction computes in O(log² n) shuffle rounds)."""
+    rows_per_band = n_hashes // n_bands
+    band_rows = []
+    for bi in range(n_bands):
+        cols = " || '|' || ".join(
+            f"h{bi * rows_per_band + j}" for j in range(rows_per_band)
+        )
+        band_rows.append(f"SELECT doc_id, {bi} AS band, {cols} AS band_val FROM sig")
+    bands = "\nUNION ALL\n".join(band_rows)
+    pre = f"{extra_cte}," if extra_cte else ""
+    return f"""
+WITH RECURSIVE {pre}
+sh AS (
+  SELECT doc_id, unnest({_shingles(3)}) AS s FROM {table}
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{i}#' || s)) AS h{i}" for i in range(n_hashes))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+und AS (
+  SELECT doc1 AS u, doc2 AS v FROM pairs
+  UNION SELECT doc2, doc1 FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, w.v FROM reach r JOIN und w ON r.v = w.u
+),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(c.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+       (coalesce(c.cluster_id, d.doc_id) <> d.doc_id)::INT AS is_duplicate
+FROM {table} d LEFT JOIN comp c ON c.doc_id = d.doc_id
+ORDER BY doc_id"""

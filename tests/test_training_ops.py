@@ -417,3 +417,76 @@ def test_winnow_fingerprints_properties(spark):
     for v in s0:
         x ^= v
     assert out.loc[0, "fp_xor"] == x
+
+
+def _uf_clusters(pairs: list[tuple[int, int]], nodes: set[int]) -> dict[int, int]:
+    """Brute-force union-find oracle: node -> min id in its component."""
+    parent = {n: n for n in nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Star-contraction CC == union-find on a seeded random graph
+    (transitive closure: A~B, B~C must share a cluster without A~C)."""
+    from org_rdkit_lucene_spark.operators.dedup import dedup_clusters
+
+    rng = np.random.RandomState(7)
+    nodes = set(range(200))
+    pairs = sorted(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.randint(0, 200, size=(150, 2))
+            if a != b
+        }
+    )
+    want = _uf_clusters(pairs, nodes)
+    pdf = (
+        dedup_clusters(
+            spark.createDataFrame(pairs, "doc1 long, doc2 long"),
+            docs=spark.createDataFrame([(n,) for n in sorted(nodes)], "doc_id long"),
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(pdf) == len(nodes)
+    got = pdf["cluster_id"].to_dict()
+    assert got == want
+    assert (pdf["is_duplicate"] == (pdf.index != pdf["cluster_id"])).all()
+
+
+def test_dedup_clusters_chain_converges(spark):
+    """A 64-node CHAIN is the worst case for naive min-propagation
+    (needs O(diameter) rounds); star contraction must still converge
+    fast and label every node with the chain head."""
+    from org_rdkit_lucene_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(63)]
+    pdf = dedup_clusters(
+        spark.createDataFrame(chain, "doc1 long, doc2 long"), max_rounds=12
+    ).toPandas()
+    assert len(pdf) == 64
+    assert (pdf["cluster_id"] == 0).all()
+    assert int(pdf["is_duplicate"].sum()) == 63
+
+
+def test_dedup_clusters_empty_and_singletons(spark):
+    """No pairs -> every doc is its own singleton cluster."""
+    from org_rdkit_lucene_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(1,), (2,), (9,)], "doc_id long")
+    empty = spark.createDataFrame([], "doc1 long, doc2 long")
+    pdf = dedup_clusters(empty, docs=docs).toPandas().sort_values("doc_id")
+    assert list(pdf["doc_id"]) == [1, 2, 9]
+    assert (pdf["cluster_id"] == pdf["doc_id"]).all()
+    assert not pdf["is_duplicate"].any()
