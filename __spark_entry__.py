@@ -49,6 +49,7 @@ from org_rdkit_lucene_spark.operators.multimodal import (
 from org_rdkit_lucene_spark.operators.query import (
     hit_counts,
     max_scores,
+    more_like_this,
     search,
     search_after,
     search_name_or_key,
@@ -346,6 +347,18 @@ SLOP_QUERIES = [
 def _q_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index_for(spark, sf_dir)
     return search_syntax(idx, _corpus_for(spark, sf_dir), SLOP_QUERIES)
+
+
+# MoreLikeThis (Lucene's classic MLT surface): anchor doc → top-10
+# terms by quantized tf·idf interestingness → one disjunctive BM25
+# pass excluding the anchor. The SQL twin recomputes the identical
+# selection law from the tok/dfs CTEs.
+MLT_REQUESTS = [(150, 3, 10), (151, 17, 10), (152, 42, 5)]
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return more_like_this(idx, _corpus_for(spark, sf_dir), MLT_REQUESTS)
 
 
 # Grouped boolean queries (AND/OR/parentheses; AND binds tighter,
@@ -850,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_wildcard_search": _q_wildcard_search,
         "q1_range_search": _q_range_search,
         "q1_sloppy_phrase": _q_sloppy_phrase,
+        "q7_more_like_this": _q_more_like_this,
         "q1_boolean_search": _q_boolean_search,
         "q1_boolean_not": _q_boolean_not,
         "q1_boosted_search": _q_boosted_search,
@@ -962,6 +976,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_wildcard_search": sqlgen.query_syntax_sql(WILDCARD_QUERIES),
         "q1_range_search": sqlgen.query_syntax_sql(RANGE_QUERIES),
         "q1_sloppy_phrase": sqlgen.query_syntax_sql(SLOP_QUERIES),
+        "q7_more_like_this": sqlgen.more_like_this_sql(MLT_REQUESTS),
         "q1_boolean_search": sqlgen.boolean_search_sql(BOOL_QUERIES),
         "q1_boolean_not": sqlgen.boolean_search_sql(BOOL_NOT_QUERIES),
         "q1_boosted_search": sqlgen.query_syntax_sql(BOOST_QUERIES),

@@ -1338,3 +1338,93 @@ def hit_counts(index: InvertedIndex, queries: list[tuple[int, str, int]], mode: 
     return scored.groupBy("query_id").agg(F.count("*").alias("total_hits")).select(
         F.col("query_id").cast("int").alias("query_id"), "total_hits"
     )
+
+
+MLT_MAX_TERMS = 10
+
+
+def more_like_this(
+    index: InvertedIndex,
+    corpus_with_ids: DataFrame,
+    requests: list[tuple[int, int, int]],
+    max_terms: int = MLT_MAX_TERMS,
+) -> DataFrame:
+    """Q7 MoreLikeThis: rank docs similar to an ANCHOR doc (Lucene's
+    classic MoreLikeThis surface re-expressed for this engine).
+    ``requests = [(query_id, anchor_doc_id, k)]``.
+
+    Term-selection law (MLT "interestingness", made cross-engine
+    exact): analyze the anchor's content with the index tokenizer,
+    score each DISTINCT term by ``tf_anchor · idf`` (the index's BM25
+    idf), quantize to ``iq = floor(tf·idf·10⁴ + 0.5)`` — the same
+    quantization the rank law uses, so engine and SQL twin select
+    identical terms — and keep the top ``max_terms`` by
+    (iq DESC, term ASC). Those terms run one disjunctive BM25 pass
+    (qtf = 1 each: selection already encodes salience) with the anchor
+    itself excluded from the hits.
+
+    Scale shape: the per-anchor analysis is DRIVER-side but metadata-
+    sized (requests are a driver list; one content row per anchor +
+    one lexicon slice for its terms — the same collect class as the
+    query planner's df-bound estimation). The scored pass is the
+    ordinary pushed-scan + broadcast-weight pipeline of
+    :func:`search`."""
+    import math
+
+    spark = index.spark
+    if not requests:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    anchors = sorted({a for _, a, _ in requests})
+    rows = (
+        corpus_with_ids.filter(F.col("doc_id").isin(anchors))
+        .select("doc_id", "content")
+        .collect()
+    )
+    content = {r["doc_id"]: r["content"] for r in rows}
+    prof = index.cfg.tokenizer
+    tf_by_anchor: dict[int, dict[str, int]] = {}
+    for a in anchors:
+        toks = tokenize_text(content.get(a, ""), prof)
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        tf_by_anchor[a] = tf
+    all_terms = sorted(set().union(*tf_by_anchor.values()) or set())
+    if not all_terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    lex = (
+        index.lexicon.filter(F.col("term").isin(all_terms))
+        .select("term", "idf")
+        .toPandas()
+    )
+    idf = dict(zip(lex["term"], lex["idf"]))
+
+    quant = float(10 ** index.cfg.bm25.score_decimals)
+    qrows = []
+    for qid, a, k in requests:
+        scored_terms = sorted(
+            (
+                (-int(math.floor(tf * idf[t] * quant + 0.5)), t)
+                for t, tf in tf_by_anchor[a].items()
+                if t in idf
+            ),
+        )[:max_terms]
+        n = len(scored_terms)
+        for _, t in scored_terms:
+            qrows.append((qid, t, 1, n, k))
+    if not qrows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qterms = pd.DataFrame(qrows, columns=["query_id", "term", "qtf", "n_terms", "k"])
+    scored, est = _bm25_scored(index, qterms)
+    anchor_df = F.broadcast(
+        spark.createDataFrame(
+            [(qid, a) for qid, a, _ in requests], "query_id long, doc_id long"
+        )
+    )
+    scored = scored.join(anchor_df, ["query_id", "doc_id"], "left_anti")
+    return rank_topk(
+        scored,
+        index.cfg.bm25.score_decimals,
+        est_candidates=est["disjunctive"],
+        max_k=max(k for _, _, k in requests),
+    )

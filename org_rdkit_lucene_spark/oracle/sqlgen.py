@@ -1229,3 +1229,71 @@ SELECT d.doc_id::BIGINT AS doc_id,
        (coalesce(c.cluster_id, d.doc_id) <> d.doc_id)::INT AS is_duplicate
 FROM {table} d LEFT JOIN comp c ON c.doc_id = d.doc_id
 ORDER BY doc_id"""
+
+
+def more_like_this_sql(requests: list[tuple[int, int, int]],
+                       max_terms: int = 10, table: str = "documents",
+                       profile: TokenizerProfile = DEFAULT_PROFILE) -> str:
+    """MoreLikeThis twin: identical term-selection law (anchor tf · idf,
+    quantized iq = floor(tf·idf·10⁴+0.5), top max_terms by iq DESC then
+    term ASC), then one disjunctive BM25 pass (qtf=1) excluding the
+    anchor — the engine's :func:`more_like_this` verbatim in SQL."""
+    toks = duckdb_tokens_sql("text", profile)
+    req = ",\n    ".join(f"({qid}, {a}, {k})" for qid, a, k in requests)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+nstat AS (SELECT count(*)::DOUBLE AS n FROM {table}),
+dlstat AS (
+  SELECT sum(coalesce(dl.dl, 0)) / (SELECT n FROM nstat) AS avgdl
+  FROM {table} LEFT JOIN dl USING (doc_id)
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+idfs AS (
+  SELECT term, df,
+         ln(1.0 + ((SELECT n FROM nstat) - df + 0.5) / (df + 0.5)) AS idf
+  FROM dfs
+),
+req(query_id, anchor, k) AS (VALUES
+    {req}),
+interest AS (
+  SELECT r.query_id, r.anchor, r.k, t.term, i.idf,
+         CAST(floor(t.tf * i.idf * {_QUANT} + 0.5) AS BIGINT) AS iq
+  FROM req r
+  JOIN tf t ON t.doc_id = r.anchor
+  JOIN idfs i ON i.term = t.term
+),
+sel AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY iq DESC, term ASC) AS rn
+    FROM interest)
+  WHERE rn <= {max_terms}
+),
+scored AS (
+  SELECT s.query_id, t.doc_id,
+         sum(s.idf * t.tf * {P.k1 + 1.0}
+             / (t.tf + {P.k1} * (1.0 - {P.b} + {P.b} * dl.dl / (SELECT avgdl FROM dlstat)))
+         ) AS score_raw,
+         max(s.k) AS k
+  FROM sel s
+  JOIN tf t ON t.term = s.term AND t.doc_id <> s.anchor
+  JOIN dl ON dl.doc_id = t.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score_raw * {_QUANT} + 0.5) AS BIGINT) AS score_q, k,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(floor(score_raw * {_QUANT} + 0.5) AS BIGINT) DESC, doc_id ASC
+         ) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score_q
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank"""

@@ -4,6 +4,7 @@ semantics against brute-force checks."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
 from org_rdkit_lucene_spark.operators.query import (
@@ -655,3 +656,46 @@ def test_max_scores_equals_rank1(small_index):
     for qid in (1, 2):
         r1 = top[(top.query_id == qid) & (top["rank"] == 1)].iloc[0]
         assert ms.loc[qid] == r1.score_q
+
+
+def test_more_like_this_law(small_index, syn_corpus):
+    """MLT == (manual term selection by quantized tf·idf) + disjunctive
+    search over the selected terms, with the anchor removed and ranks
+    recomputed."""
+    import math
+
+    from org_rdkit_lucene_spark.operators.query import more_like_this, search
+
+    anchor, k = 7, 8
+    row = syn_corpus.filter(f"doc_id = {anchor}").select("content").collect()[0]
+    toks = tokenize_text(row["content"])
+    tf = pd.Series(toks).value_counts().to_dict()
+    lex = (
+        small_index.lexicon.filter(F.col("term").isin(list(tf)))
+        .select("term", "idf")
+        .toPandas()
+    )
+    idf = dict(zip(lex["term"], lex["idf"]))
+    quant = float(10 ** small_index.cfg.bm25.score_decimals)
+    sel = sorted(
+        ((-int(math.floor(tf[t] * idf[t] * quant + 0.5)), t) for t in tf if t in idf)
+    )[:10]
+    terms = [t for _, t in sel]
+    assert len(terms) == 10
+
+    got = (
+        more_like_this(small_index, syn_corpus, [(1, anchor, k)])
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    want = (
+        search(small_index, [(1, " ".join(terms), k + 1)])
+        .toPandas()
+        .sort_values("rank")
+    )
+    want = want[want["doc_id"] != anchor].head(k).reset_index(drop=True)
+    assert anchor not in set(got["doc_id"])
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["score_q"]) == list(want["score_q"])
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
