@@ -47,6 +47,7 @@ from org_rdkit_lucene_spark.operators.multimodal import (
     frame_sample_plan,
 )
 from org_rdkit_lucene_spark.operators.query import (
+    facet_counts,
     hit_counts,
     max_scores,
     more_like_this,
@@ -132,6 +133,14 @@ def _q_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_hit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit_counts(_index_for(spark, sf_dir), DISJ_QUERIES).orderBy("query_id")
+
+
+def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 totalHits faceted by the stored lang field (search-UI facet
+    panel / per-slice coverage report)."""
+    return facet_counts(
+        _index_for(spark, sf_dir), DISJ_QUERIES, facet_col="lang"
+    ).orderBy("query_id", "facet")
 
 
 def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_bm25_conjunctive": _q_conjunctive,
         "q6_two_phase_verify": _q_two_phase,
         "a4_hit_counts": _q_hit_counts,
+        "a4_facet_counts": _q_facet_counts,
         "k5_search_after": _q_search_after,
         "b_lexicon_top_df": _q_lexicon,
         "b_docmeta_sha256": _q_docmeta,
@@ -902,6 +912,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_bm25_conjunctive": sqlgen.bm25_topk_sql(CONJ_QUERIES, "conjunctive"),
         "q6_two_phase_verify": sqlgen.two_phase_sql(PHRASE_QUERIES),
         "a4_hit_counts": sqlgen.hit_counts_sql(DISJ_QUERIES),
+        "a4_facet_counts": sqlgen.facet_counts_sql(DISJ_QUERIES, facet_col="lang"),
         "k5_search_after": _page2_sql(),
         "b_lexicon_top_df": sqlgen.lexicon_sql(30),
         "b_docmeta_sha256": sqlgen.docmeta_sql(),

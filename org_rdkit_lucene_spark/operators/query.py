@@ -1428,3 +1428,40 @@ def more_like_this(
         est_candidates=est["disjunctive"],
         max_k=max(k for _, _, k in requests),
     )
+
+
+def facet_counts(
+    index: InvertedIndex,
+    queries: list[tuple[int, str, int]],
+    facet_col: str = "lang",
+    mode: str = "disjunctive",
+) -> DataFrame:
+    """Faceted hit counts (the A4 totalHits surface broken down by a
+    stored docmeta field — the facet panel of a search UI / the
+    per-corpus-slice coverage report of a training-data pipeline):
+    ``(query_id, facet, n_docs)`` — matching docs per query per value
+    of ``facet_col``.
+
+    Scale shape: candidates stream out of the pushed postings scan;
+    the docmeta join is keyed on doc_id on both sides (co-partitioned
+    at cluster scale), and the two-key groupBy gets map-side partial
+    aggregation. No collect, no window, no per-row Python."""
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    empty_schema = "query_id int, facet string, n_docs long"
+    if len(qterms) == 0:
+        return index.spark.createDataFrame([], empty_schema)
+    scored, _ = _bm25_scored(index, qterms)
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    elif mode != "disjunctive":
+        raise ValueError(f"unknown mode {mode!r}")
+    meta = index.docmeta.select(
+        "doc_id", F.col(facet_col).cast("string").alias("facet")
+    )
+    return (
+        scored.select("query_id", "doc_id")
+        .join(meta, "doc_id")
+        .groupBy("query_id", "facet")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.col("query_id").cast("int").alias("query_id"), "facet", "n_docs")
+    )

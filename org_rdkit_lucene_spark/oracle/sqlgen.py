@@ -1297,3 +1297,22 @@ SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
        CAST(doc_id AS BIGINT) AS doc_id, score_q
 FROM ranked WHERE rnk <= k
 ORDER BY query_id, rank"""
+
+
+def facet_counts_sql(queries: list[tuple[int, str, int]],
+                     facet_col: str = "lang", mode: str = "disjunctive",
+                     table: str = "documents") -> str:
+    """Faceted hit-count twin: matching docs per (query, facet value)
+    over the same scored candidate set as :func:`bm25_topk_sql`."""
+    flt = "WHERE s.n_matched = s.n_terms" if mode == "conjunctive" else ""
+    return (
+        _bm25_ctes(queries, table=table)
+        + f"""
+SELECT CAST(s.query_id AS INTEGER) AS query_id,
+       CAST(d.{facet_col} AS VARCHAR) AS facet,
+       count(*) AS n_docs
+FROM scored s JOIN {table} d ON d.doc_id = s.doc_id
+{flt}
+GROUP BY 1, 2
+ORDER BY query_id, facet"""
+    )

@@ -699,3 +699,21 @@ def test_more_like_this_law(small_index, syn_corpus):
     assert list(got["doc_id"]) == list(want["doc_id"])
     assert list(got["score_q"]) == list(want["score_q"])
     assert list(got["rank"]) == list(range(1, len(got) + 1))
+
+
+def test_facet_counts_partition_hit_totals(small_index):
+    """Per-facet counts must partition the A4 totals exactly: summing
+    n_docs over facets reproduces hit_counts for every query, in both
+    modes."""
+    from org_rdkit_lucene_spark.operators.query import facet_counts, hit_counts
+
+    qs = [(1, "merg scorer", 10), (2, "hash join scan", 10)]
+    for mode in ("disjunctive", "conjunctive"):
+        fc = facet_counts(small_index, qs, facet_col="lang", mode=mode).toPandas()
+        hc = hit_counts(small_index, qs, mode=mode).toPandas()
+        got = fc.groupby("query_id")["n_docs"].sum().to_dict()
+        want = dict(zip(hc["query_id"], hc["total_hits"]))
+        assert got == want
+        assert fc["facet"].notna().all()
+        if mode == "disjunctive":  # conjunctive may legitimately be empty
+            assert sum(want.values()) > 0 and fc["facet"].nunique() > 1
