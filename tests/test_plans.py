@@ -110,3 +110,27 @@ def test_hot_term_split_broadcasts_past_threshold(spark, small_index):
     cfg2 = IndexConfig(build_partitions=4, hot_broadcast_threshold=10_000)
     blocks2 = encode_postings(flat, cfg2, small_index.avgdl, small_index.max_doc_id, hot_terms)
     audit.assert_no_rowwise_python(blocks2)
+
+
+def test_facet_counts_plan_contracts(small_index):
+    """Faceting must keep the scored path's contracts: pushed term
+    pruning, broadcast weight join, no per-row Python, no cartesian."""
+    from org_rdkit_lucene_spark.operators.query import facet_counts
+
+    df = facet_counts(small_index, QUERIES, facet_col="lang")
+    assert audit.has_pushed_term_filter(df, "term")
+    assert audit.count_nodes(df, "BatchEvalPython") == 0
+    assert audit.count_nodes(df, "CartesianProduct") == 0
+
+
+def test_more_like_this_plan_contracts(small_index, small_corpus):
+    """MLT's scored pass is the ordinary pushed-scan + broadcast
+    pipeline; the anchor exclusion must be a broadcast anti-join."""
+    from org_rdkit_lucene_spark.operators.query import more_like_this
+
+    corpus_ids = small_corpus.join(small_index.docmap, ["repo", "path", "commit"])
+    df = more_like_this(small_index, corpus_ids, [(1, 3, 5)])
+    assert audit.has_pushed_term_filter(df, "term")
+    assert audit.count_nodes(df, "BatchEvalPython") == 0
+    assert audit.count_nodes(df, "SortMergeJoin") == 0
+    assert audit.count_nodes(df, "CartesianProduct") == 0
