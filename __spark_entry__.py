@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from org_rdkit_lucene_spark.config import IndexConfig
 from org_rdkit_lucene_spark.functions.text import (
+    curate_corpus,
     doc_fingerprints,
     lang_id,
     quality_scores,
@@ -641,6 +642,15 @@ def _td_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_dup_documents(spark, sf_dir), "doc_id", "text").orderBy("doc1", "doc2")
 
 
+def _td_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused per-doc curation decision (dup > lang > quality > keep)
+    over the engineered-duplicates view, so every reason fires."""
+    return curate_corpus(
+        _dup_documents(spark, sf_dir), "doc_id", "text",
+        min_quality_q=550_000, langs=("en",),
+    ).orderBy("doc_id")
+
+
 def _td_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup CLUSTERS over the MinHash-LSH pair graph:
     star-contraction connected components (cluster_id = component min,
@@ -839,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_dedup_exact": _td_dedup_exact,
         "td_minhash_signatures": _td_minhash_signatures,
         "td_minhash_lsh_pairs": _td_minhash_lsh_pairs,
+        "td_curation": _td_curation,
         "td_dedup_clusters": _td_dedup_clusters,
         "td_ngram_jaccard": _td_ngram_jaccard,
         "td_simhash_fingerprints": _td_simhash,
@@ -926,6 +937,10 @@ def oracle_sql() -> dict[str, str]:
         "td_minhash_signatures": sqlgen.minhash_signatures_sql(),
         "td_minhash_lsh_pairs": sqlgen.minhash_lsh_pairs_sql(
             table="dup_documents", extra_cte=sqlgen.dup_docs_cte()
+        ),
+        "td_curation": sqlgen.curate_corpus_sql(
+            min_quality_q=550_000, langs=("en",),
+            table="dup_documents", extra_cte=sqlgen.dup_docs_cte(),
         ),
         "td_dedup_clusters": sqlgen.dedup_clusters_sql(
             table="dup_documents", extra_cte=sqlgen.dup_docs_cte()

@@ -160,3 +160,93 @@ def winnow_fingerprints(
             F.lit(0),
         ).alias("fp_xor"),
     )
+
+
+def _lang_pred_chain() -> Column:
+    """The lang-ID decision CASE chain over pre-computed ``c_<lang>``
+    columns — factored so :func:`lang_id` and :func:`curate_corpus`
+    share ONE law (ties break lang-name ASC)."""
+    chain = F.lit(LANGS[-1])
+    for i in range(len(LANGS) - 2, -1, -1):
+        lang = LANGS[i]
+        cond = None
+        for j in range(i + 1, len(LANGS)):
+            c = F.col(f"c_{lang}") >= F.col(f"c_{LANGS[j]}")
+            cond = c if cond is None else (cond & c)
+        chain = F.when(cond, F.lit(lang)).otherwise(chain)
+    return chain
+
+
+def _quality_q_expr(content_col: str) -> Column:
+    """quality_q as ONE inlinable expression (identical arithmetic and
+    1e-6 quantization to :func:`quality_scores` — shared-law tested)."""
+    c = F.col(content_col)
+    toks = tokens_column(content_col)
+    n_chars = F.length(c)
+    n_alnum = F.length(F.regexp_replace(c, "[^a-zA-Z0-9]", ""))
+    n_space = F.length(c) - F.length(F.regexp_replace(c, r"\s", ""))
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        (n_chars - n_alnum - n_space).cast("double") / n_chars
+    )
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    n_toks = F.size(toks)
+    stop_ratio = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / n_toks
+    )
+    q = (
+        F.lit(0.3) * F.least(F.lit(1.0), n_toks.cast("double") / F.lit(100.0))
+        + F.lit(0.4) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * stop_ratio
+    )
+    return F.floor(q * 1_000_000 + F.lit(0.5)).cast("long")
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    min_quality_q: int = 600_000,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """The composed per-document CURATION DECISION of a pretraining
+    pipeline — exact-dedup, language allowlist, quality threshold —
+    fused into ``(doc_id, keep, reason)`` with a fixed precedence:
+
+      1. ``dup``     — not the keeper of its sha256(content) group
+      2. ``lang``    — predicted language not in ``langs``
+      3. ``quality`` — quality_q below ``min_quality_q``
+      else ``keep`` (keep = 1).
+
+    Scale shape: everything is computed in ONE pass over ONE scan —
+    the lang counts, quality expression, and content hash are sibling
+    column programs (whole-stage codegen), and the only shuffle is the
+    dedup keeper window partitioned by the uniform sha256 digest.
+    Running the three standalone operators and joining them would cost
+    three scans plus three doc_id shuffles; the fusion is
+    equality-tested against exactly that composition."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(content_col), 256).alias("content_hash"),
+        _quality_q_expr(content_col).alias("quality_q"),
+        tokens_column(content_col).alias("_toks"),
+    )
+    for lang in LANGS:
+        base = base.withColumn(f"c_{lang}", _stop_count(F.col("_toks"), lang))
+    w = Window.partitionBy("content_hash")
+    base = base.withColumn("pred_lang", _lang_pred_chain()).withColumn(
+        "is_dup", F.col("doc_id") != F.min("doc_id").over(w)
+    )
+    reason = (
+        F.when(F.col("is_dup"), F.lit("dup"))
+        .when(~F.col("pred_lang").isin(*langs), F.lit("lang"))
+        .when(F.col("quality_q") < F.lit(int(min_quality_q)), F.lit("quality"))
+        .otherwise(F.lit("keep"))
+    )
+    return base.select(
+        "doc_id",
+        (reason == F.lit("keep")).cast("int").alias("keep"),
+        reason.alias("reason"),
+    )

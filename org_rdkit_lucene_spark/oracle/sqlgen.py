@@ -1316,3 +1316,64 @@ FROM scored s JOIN {table} d ON d.doc_id = s.doc_id
 GROUP BY 1, 2
 ORDER BY query_id, facet"""
     )
+
+
+def curate_corpus_sql(min_quality_q: int = 600_000, langs: tuple = ("en",),
+                      table: str = "documents", extra_cte: str = "") -> str:
+    """Fused curation-decision twin: same dedup-keeper window, lang
+    CASE chain, quality arithmetic, and reason precedence as
+    :func:`curate_corpus` (dup > lang > quality > keep)."""
+    from org_rdkit_lucene_spark.functions.text import LANGS, STOPWORDS
+
+    toks = duckdb_tokens_sql("text")
+    en = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    counts = []
+    for lang in LANGS:
+        arr = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        counts.append(
+            f"len(list_filter({toks}, t -> list_contains({arr}, t))) AS c_{lang}"
+        )
+    chain = f"'{LANGS[-1]}'"
+    for i in range(len(LANGS) - 2, -1, -1):
+        lang = LANGS[i]
+        cond = " AND ".join(f"c_{lang} >= c_{LANGS[j]}" for j in range(i + 1, len(LANGS)))
+        chain = f"CASE WHEN {cond} THEN '{lang}' ELSE {chain} END"
+    allow = ", ".join(f"'{l}'" for l in langs)
+    pre = f"{extra_cte}," if extra_cte else ""
+    return f"""
+WITH {pre}
+m AS (
+  SELECT doc_id,
+         sha256(text) AS content_hash,
+         len({toks}) AS n_toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS n_alnum,
+         length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
+         len(list_filter({toks}, t -> list_contains({en}, t))) AS n_stop,
+         {", ".join(counts)}
+  FROM {table}
+),
+r AS (
+  SELECT doc_id, content_hash,
+         CASE WHEN n_chars = 0 THEN 0.0
+              ELSE (n_chars - n_alnum - n_space) * 1.0 / n_chars END AS punct_ratio,
+         CASE WHEN n_toks = 0 THEN 0.0 ELSE n_stop * 1.0 / n_toks END AS stop_ratio,
+         n_toks, {chain} AS pred_lang,
+         (doc_id != min(doc_id) OVER (PARTITION BY content_hash)) AS is_dup
+  FROM m
+),
+dec AS (
+  SELECT doc_id, is_dup, pred_lang,
+         CAST(floor((0.3 * least(1.0, n_toks / 100.0) + 0.4 * (1.0 - punct_ratio)
+                     + 0.3 * stop_ratio) * 1000000 + 0.5) AS BIGINT) AS quality_q
+  FROM r
+)
+SELECT doc_id::BIGINT AS doc_id,
+       (CASE WHEN is_dup THEN 0
+             WHEN pred_lang NOT IN ({allow}) THEN 0
+             WHEN quality_q < {int(min_quality_q)} THEN 0 ELSE 1 END)::INT AS keep,
+       CASE WHEN is_dup THEN 'dup'
+            WHEN pred_lang NOT IN ({allow}) THEN 'lang'
+            WHEN quality_q < {int(min_quality_q)} THEN 'quality'
+            ELSE 'keep' END AS reason
+FROM dec ORDER BY doc_id"""

@@ -490,3 +490,42 @@ def test_dedup_clusters_empty_and_singletons(spark):
     assert list(pdf["doc_id"]) == [1, 2, 9]
     assert (pdf["cluster_id"] == pdf["doc_id"]).all()
     assert not pdf["is_duplicate"].any()
+
+
+def test_curate_corpus_equals_composition(spark, docs_df):
+    """The fused single-scan curation pass must equal the composition
+    of the three standalone operators under the documented precedence
+    (dup > lang > quality > keep)."""
+    from org_rdkit_lucene_spark.functions.text import curate_corpus, lang_id, quality_scores
+
+    thr, langs = 300_000, ("en",)
+    got = curate_corpus(docs_df, min_quality_q=thr, langs=langs).toPandas()
+    dup = dedup_exact(docs_df, "doc_id", "text").toPandas().set_index("doc_id")
+    lid = lang_id(docs_df).toPandas().set_index("doc_id")
+    q = quality_scores(docs_df).toPandas().set_index("doc_id")
+
+    def expected(d):
+        if dup.loc[d, "is_duplicate"]:
+            return "dup"
+        if lid.loc[d, "pred_lang"] not in langs:
+            return "lang"
+        if q.loc[d, "quality_q"] < thr:
+            return "quality"
+        return "keep"
+
+    want = {int(d): expected(int(d)) for d in got["doc_id"]}
+    assert dict(zip(got["doc_id"], got["reason"])) == want
+    assert (got["keep"] == (got["reason"] == "keep").astype(int)).all()
+    # the fixture has an exact dup (docs 0/1), so 'dup' must fire
+    assert "dup" in set(got["reason"]) and "keep" in set(got["reason"])
+
+
+def test_curate_corpus_plan_single_scan_single_shuffle(spark, docs_df):
+    """Fusion contract: one parquet/local scan, one Exchange (the
+    sha256 keeper window), no per-row Python."""
+    from org_rdkit_lucene_spark.functions.text import curate_corpus
+    from org_rdkit_lucene_spark.plans import audit
+
+    df = curate_corpus(docs_df)
+    assert audit.count_nodes(df, "BatchEvalPython") == 0
+    assert audit.count_nodes(df, "Exchange") <= 2  # hash partition (+AQE reuse)
