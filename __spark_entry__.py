@@ -53,6 +53,7 @@ from org_rdkit_lucene_spark.operators.query import (
     max_scores,
     more_like_this,
     search,
+    search_snippets,
     search_after,
     search_name_or_key,
     search_syntax,
@@ -369,6 +370,13 @@ MLT_REQUESTS = [(150, 3, 10), (151, 17, 10), (152, 42, 5)]
 def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index_for(spark, sf_dir)
     return more_like_this(idx, _corpus_for(spark, sf_dir), MLT_REQUESTS)
+
+
+def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic first-occurrence snippets (the
+    highlighter surface)."""
+    idx = _index_for(spark, sf_dir)
+    return search_snippets(idx, _corpus_for(spark, sf_dir), DISJ_QUERIES)
 
 
 # Grouped boolean queries (AND/OR/parentheses; AND binds tighter,
@@ -885,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_range_search": _q_range_search,
         "q1_sloppy_phrase": _q_sloppy_phrase,
         "q7_more_like_this": _q_more_like_this,
+        "q8_snippets": _q_snippets,
         "q1_boolean_search": _q_boolean_search,
         "q1_boolean_not": _q_boolean_not,
         "q1_boosted_search": _q_boosted_search,
@@ -1003,6 +1012,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_range_search": sqlgen.query_syntax_sql(RANGE_QUERIES),
         "q1_sloppy_phrase": sqlgen.query_syntax_sql(SLOP_QUERIES),
         "q7_more_like_this": sqlgen.more_like_this_sql(MLT_REQUESTS),
+        "q8_snippets": sqlgen.snippets_sql(DISJ_QUERIES),
         "q1_boolean_search": sqlgen.boolean_search_sql(BOOL_QUERIES),
         "q1_boolean_not": sqlgen.boolean_search_sql(BOOL_NOT_QUERIES),
         "q1_boosted_search": sqlgen.query_syntax_sql(BOOST_QUERIES),

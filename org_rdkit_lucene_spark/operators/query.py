@@ -1465,3 +1465,65 @@ def facet_counts(
         .agg(F.count("*").alias("n_docs"))
         .select(F.col("query_id").cast("int").alias("query_id"), "facet", "n_docs")
     )
+
+
+SNIPPET_RADIUS = 40
+
+
+def search_snippets(
+    index: InvertedIndex,
+    corpus_with_ids: DataFrame,
+    queries: list[tuple[int, str, int]],
+    radius: int = SNIPPET_RADIUS,
+) -> DataFrame:
+    """Top-k search WITH SNIPPETS (the Lucene-highlighter surface made
+    deterministic): each hit carries a context window around the FIRST
+    verbatim occurrence of a query term in the document.
+
+    Snippet law (cross-engine exact): over the hit's content, for every
+    ANALYZED query term compute ``p = instr(lower(content), term)``;
+    among terms with p > 0 pick the (p ASC, term ASC) minimum and emit
+    ``substring(content, max(1, p - radius), 2·radius + len(term))``;
+    if no term occurs verbatim (analyzer-transformed tokens), fall back
+    to the document head ``substring(content, 1, 2·radius)``.
+
+    Scale shape: ranking is the ordinary :func:`search` path; the
+    snippet join touches only the k ranked hits per query (bounded),
+    terms arrive via a broadcast, and the window/substring program is
+    pure JVM — no per-row Python."""
+    spark = index.spark
+    hits = search(index, queries)
+    qt = tokenize_queries(queries, index.cfg.tokenizer)
+    if len(qt) == 0:
+        return spark.createDataFrame(
+            [], RESULT_SCHEMA + ", snippet string"
+        )
+    tdf = F.broadcast(
+        spark.createDataFrame(
+            qt[["query_id", "term"]].drop_duplicates()
+        )
+    )
+    content = corpus_with_ids.select("doc_id", "content")
+    pos = (
+        hits.join(content, "doc_id")
+        .join(tdf, "query_id")
+        .withColumn("p", F.expr("instr(lower(content), term)"))
+        .filter(F.col("p") > 0)
+        .groupBy("query_id", "doc_id")
+        .agg(F.min(F.struct(F.col("p"), F.col("term"))).alias("b"))
+    )
+    out = (
+        hits.join(content, "doc_id")
+        .join(pos, ["query_id", "doc_id"], "left")
+        .withColumn(
+            "snippet",
+            F.when(
+                F.col("b").isNotNull(),
+                F.expr(
+                    f"substring(content, greatest(1, b.p - {int(radius)}), "
+                    f"{2 * int(radius)} + length(b.term))"
+                ),
+            ).otherwise(F.expr(f"substring(content, 1, {2 * int(radius)})")),
+        )
+    )
+    return out.select(*_result_cols(), "snippet")

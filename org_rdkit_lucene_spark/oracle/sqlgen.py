@@ -1377,3 +1377,43 @@ SELECT doc_id::BIGINT AS doc_id,
             WHEN quality_q < {int(min_quality_q)} THEN 'quality'
             ELSE 'keep' END AS reason
 FROM dec ORDER BY doc_id"""
+
+
+def snippets_sql(queries: list[tuple[int, str, int]], radius: int = 40,
+                 table: str = "documents") -> str:
+    """Snippet twin: identical first-occurrence law — p =
+    strpos(lower(text), term) over the analyzed query terms, minimum
+    (p ASC, term ASC) among p > 0, window substr(text, max(1, p-radius),
+    2·radius+len(term)); head-of-doc fallback when nothing matches."""
+    r = int(radius)
+    return (
+        _bm25_ctes(queries, table=table)
+        + _ranked(False)
+        + f""",
+hits AS (
+  SELECT query_id, rnk, doc_id, score_q, ranked.k FROM ranked WHERE rnk <= ranked.k
+),
+pos AS (
+  SELECT h.query_id, h.doc_id, q.term,
+         strpos(lower(d.text), q.term) AS p
+  FROM hits h
+  JOIN {table} d ON d.doc_id = h.doc_id
+  JOIN q ON q.query_id = h.query_id
+  WHERE strpos(lower(d.text), q.term) > 0
+),
+best AS (
+  SELECT query_id, doc_id, p, term FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id, doc_id ORDER BY p ASC, term ASC) AS rn
+    FROM pos) WHERE rn = 1
+)
+SELECT CAST(h.query_id AS INTEGER) AS query_id, CAST(h.rnk AS INTEGER) AS rank,
+       CAST(h.doc_id AS BIGINT) AS doc_id, h.score_q,
+       CASE WHEN b.p IS NOT NULL
+            THEN substr(d.text, greatest(1, b.p - {r}), {2 * r} + length(b.term))
+            ELSE substr(d.text, 1, {2 * r}) END AS snippet
+FROM hits h
+JOIN {table} d ON d.doc_id = h.doc_id
+LEFT JOIN best b ON b.query_id = h.query_id AND b.doc_id = h.doc_id
+ORDER BY query_id, rank"""
+    )

@@ -717,3 +717,36 @@ def test_facet_counts_partition_hit_totals(small_index):
         assert fc["facet"].notna().all()
         if mode == "disjunctive":  # conjunctive may legitimately be empty
             assert sum(want.values()) > 0 and fc["facet"].nunique() > 1
+
+
+def test_snippets_first_occurrence_law(small_index, syn_corpus):
+    """Snippets must equal a pandas recomputation of the law: minimum
+    (p, term) over verbatim query-term occurrences in lower(content),
+    window 2·radius+len(term) from max(1, p-radius); head fallback."""
+    from org_rdkit_lucene_spark.operators.query import search, search_snippets
+
+    qs = [(1, "merg scorer", 6), (2, "token", 4)]
+    got = search_snippets(small_index, syn_corpus, qs).toPandas()
+    base = search(small_index, qs).toPandas()
+    assert len(got) == len(base)
+    src = syn_corpus.select("doc_id", "content").toPandas().set_index("doc_id")
+    terms = {1: sorted(set(tokenize_text("merg scorer"))), 2: ["token"]}
+    for row in got.itertuples(index=False):
+        content = src.loc[int(row.doc_id), "content"]
+        cands = sorted(
+            (content.lower().find(t) + 1, t)
+            for t in terms[row.query_id]
+            if t in content.lower()
+        )
+        if cands:
+            p, t = cands[0]
+            want = content[max(0, p - 41):max(0, p - 41) + 80 + len(t)]
+        else:
+            want = content[:80]
+        assert row.snippet == want, (row.query_id, row.doc_id)
+    # plan: no per-row Python anywhere in the snippet path
+    from org_rdkit_lucene_spark.plans import audit
+
+    assert audit.count_nodes(
+        search_snippets(small_index, syn_corpus, qs), "BatchEvalPython"
+    ) == 0
