@@ -202,8 +202,10 @@ def run_level(
         # 100 TB scale claims, so their throughput is tracked per round
         # like the BM25 paths (one timed run each at this level)
         if td_dir:
+            from org_rdkit_lucene_spark.functions.text import curate_corpus
             from org_rdkit_lucene_spark.operators.ann import ivf_cosine_topk
             from org_rdkit_lucene_spark.operators.dedup import (
+                dedup_clusters,
                 minhash_lsh_pairs,
                 simhash_fingerprints,
             )
@@ -222,6 +224,11 @@ def run_level(
                  lambda: simhash_fingerprints(docs, "doc_id", "text")),
                 ("td_ivf_cosine_topk",
                  lambda: ivf_cosine_topk(emb, qvecs, k=10, n_centroids=16, nprobe=4)),
+                ("td_dedup_clusters",
+                 lambda: dedup_clusters(
+                     minhash_lsh_pairs(docs, "doc_id", "text"), docs=docs)),
+                ("td_curation",
+                 lambda: curate_corpus(docs, min_quality_q=550_000)),
             ]:
                 t = time.time()
                 hits = fn().count()
