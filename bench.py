@@ -37,7 +37,12 @@ sys.path.insert(0, REPO)
 
 from org_rdkit_lucene_spark.config import IndexConfig
 from org_rdkit_lucene_spark.operators.build import build_index
-from org_rdkit_lucene_spark.operators.query import hit_counts, search, search_two_phase
+from org_rdkit_lucene_spark.operators.query import (
+    hit_counts,
+    search,
+    search_auto,
+    search_two_phase,
+)
 from org_rdkit_lucene_spark.operators.wand import search_wand
 from org_rdkit_lucene_spark.session import get_spark
 from org_rdkit_lucene_spark.sources.fixtures import make_corpus_pdf, make_query_set
@@ -183,6 +188,12 @@ def run_level(
              lambda: search_wand(idx, large_k, "disjunctive")),
             ("q_topk_xlarge_wand", "wand_xlarge_k",
              lambda: search_wand(idx, xlarge_k, "disjunctive")),
+            # the cost-based router on the SAME disjunctive batch as
+            # q_disjunctive: at sf0.1 its df bound exceeds the route
+            # threshold, so this measures the planner picking the
+            # kernel (expected ≈ kernel latency, not DataFrame-path)
+            ("q_disjunctive_auto", "auto_routed",
+             lambda: search_auto(idx, batches["disj"], "disjunctive")),
         ]:
             samples = []
             for rep in range(repeats):

@@ -121,9 +121,9 @@ def main() -> None:
     s.add_argument("--mode", default=None, choices=[None, "disjunctive", "conjunctive"])
     s.add_argument(
         "--engine", default=None,
-        choices=[None, "dataframe", "wand", "syntax", "boolean"],
-        help="dataframe | wand kernel | syntax (+/-/phrase/field:/term*/term~) "
-             "| boolean (AND/OR/parens)",
+        choices=[None, "dataframe", "wand", "auto", "syntax", "boolean"],
+        help="dataframe | wand kernel | auto (cost-based route) "
+             "| syntax (+/-/phrase/field:/term*/term~) | boolean (AND/OR/parens)",
     )
     args = ap.parse_args()
 
@@ -170,6 +170,10 @@ def main() -> None:
             res = search_syntax(idx, None, queries)
         elif opts["engine"] == "boolean":
             res = search_boolean(idx, queries)
+        elif opts["engine"] == "auto":
+            from org_rdkit_lucene_spark.operators.query import search_auto
+
+            res = search_auto(idx, queries, mode=opts["mode"])
         else:
             fn = search_wand if opts["engine"] == "wand" else search
             res = fn(idx, queries, mode=opts["mode"])

@@ -51,3 +51,43 @@ def test_wand_large_k_identity(small_index, k):
     want = _pdf(search(small_index, qs, "disjunctive"))
     got = _pdf(search_wand(small_index, qs, "disjunctive", n_shards=7))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_search_auto_routes_and_is_identical(small_index, spark):
+    """The cost-based router must return results identical to BOTH
+    physical paths (they are identity-tested against each other), and
+    must actually pick the kernel above the threshold and the
+    DataFrame path below it."""
+    import org_rdkit_lucene_spark.operators.query as qmod
+    from org_rdkit_lucene_spark.operators.query import search, search_auto
+
+    qs = [(1, "merg scorer token", 10), (2, "hash join", 5)]
+    base = search(small_index, qs).toPandas().sort_values(["query_id", "rank"])
+    auto = search_auto(small_index, qs).toPandas().sort_values(["query_id", "rank"])
+    assert base.reset_index(drop=True).equals(auto.reset_index(drop=True))
+
+    routed = {}
+    orig_search, orig_wand = qmod.search, search_wand
+
+    def spy_search(*a, **k):
+        routed["path"] = "df"
+        return orig_search(*a, **k)
+
+    def spy_wand(*a, **k):
+        routed["path"] = "wand"
+        return orig_wand(*a, **k)
+
+    import org_rdkit_lucene_spark.operators.wand as wmod
+
+    qmod.search, wmod.search_wand = spy_search, spy_wand
+    try:
+        old = qmod.WAND_ROUTE_MIN_CANDIDATES
+        qmod.WAND_ROUTE_MIN_CANDIDATES = 1  # everything is "hot"
+        search_auto(small_index, qs)
+        assert routed["path"] == "wand"
+        qmod.WAND_ROUTE_MIN_CANDIDATES = 10**12  # nothing is
+        search_auto(small_index, qs)
+        assert routed["path"] == "df"
+    finally:
+        qmod.WAND_ROUTE_MIN_CANDIDATES = old
+        qmod.search, wmod.search_wand = orig_search, orig_wand
