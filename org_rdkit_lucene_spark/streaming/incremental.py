@@ -710,3 +710,39 @@ def compact(
         spark, out_dir, seg.n_docs, seg.avgdl, cfg,
         total_dl=seg.total_dl, max_doc_id=seg.max_doc_id, codec=cfg.codec,
     )
+
+
+def delete_docs_by_key(
+    spark: SparkSession,
+    base_index_dir: str,
+    keys: list[tuple[str, str, str]],
+    cfg: IndexConfig,
+    seg_name: str | None = None,
+) -> str:
+    """Natural-key pure delete — ``deleteDocuments(pkField)`` without a
+    pre-assigned integer id, the deletion twin of the natural-key
+    upsert (``build_segment(id_col=None)``): resolve each
+    ``(repo, path, commit)`` key against the LIVE view's docmeta (one
+    broadcast join of the driver-sized key list against metadata-scale
+    docmeta) and write the tombstone-only segment via
+    :func:`delete_docs` (midpoint-ordinal safety law included).
+    Unknown keys resolve to nothing — deletes are idempotent. Returns
+    the segment dir."""
+    existing = list_segments(base_index_dir)
+    ords = [seg_ordinal(d) for d in existing]
+    max_ord = max(ords) if ords else -1.0
+    prior = _prior_view(spark, base_index_dir, max_ord + 1.0, cfg)
+    kdf = F.broadcast(
+        spark.createDataFrame(
+            [(str(r), str(p), str(c)) for r, p, c in keys],
+            "repo string, path string, commit string",
+        )
+    )
+    ids = sorted(
+        int(r["doc_id"])
+        for r in prior.docmeta.join(kdf, ["repo", "path", "commit"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    return delete_docs(spark, base_index_dir, ids, cfg, seg_name)

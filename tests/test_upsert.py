@@ -432,3 +432,36 @@ def test_stream_upsert_end_to_end(spark, tmp_path_factory):
     )
     hits = search(seg, [(3, "upsertmarker", 50)]).toPandas()
     assert set(hits["doc_id"]) == {10, 50, 120}
+
+
+def test_natural_key_delete(spark, tmp_path_factory):
+    """delete_docs_by_key: (repo, path, commit) keys resolve to live
+    doc_ids and tombstone them; unknown keys are ignored; rank identity
+    with a rebuild over the remaining corpus."""
+    from org_rdkit_lucene_spark.streaming.incremental import delete_docs_by_key
+
+    tmp = tmp_path_factory.mktemp("nk_delete")
+    pdf = make_corpus_pdf(n_docs=80, seed=23)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    cfg = IndexConfig(build_partitions=4, hot_term_df=60, n_salts=4)
+    base_dir = str(tmp / "base")
+    assert build_index(spark, spark.createDataFrame(pdf), cfg, base_dir, id_col="ext_id")
+
+    victims = pdf.iloc[:4]
+    keys = [(r.repo, r.path, r.commit) for r in victims.itertuples(index=False)]
+    keys.append(("no-such-repo", "nope", "dead"))  # unknown key: ignored
+    delete_docs_by_key(spark, base_dir, keys, cfg)
+
+    seg = SegmentedIndex.load(spark, base_dir, cfg)
+    live = set(seg.docmeta.select("doc_id").toPandas()["doc_id"])
+    assert live == set(range(4, len(pdf)))
+
+    rest = pdf[pdf.ext_id >= 4]
+    full = build_index(
+        spark, spark.createDataFrame(rest), cfg, str(tmp / "full"), id_col="ext_id"
+    )
+    qs = [(1, "merg scorer", 15), (2, "token pars hash", 10)]
+    pd.testing.assert_frame_equal(
+        _sorted(search(seg, qs, mode="disjunctive")),
+        _sorted(search(full, qs, mode="disjunctive")),
+    )
