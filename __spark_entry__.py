@@ -814,6 +814,21 @@ def _ev_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join (signup→purchase attribution
+    within 1 hour, both sides watermarked): bounded availableNow input
+    ⇒ deterministic, hash-matched against the plain SQL interval join."""
+    from org_rdkit_lucene_spark.streaming.events import stream_attribution_join
+
+    _EV_COUNTER[0] += 1
+    return stream_attribution_join(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        horizon="1 hour",
+        query_name=f"evj_{_EV_COUNTER[0]}",
+    ).orderBy("signup_id", "purchase_id")
+
+
 def _ev_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
     running totals over a real stream; the LAST emission per user must
@@ -884,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_windowed_stream": _ev_windowed_stream,
         "ev_sessionize": _ev_sessionize,
         "ev_dedup_stream": _ev_dedup_stream,
+        "ev_interval_join": _ev_interval_join,
         "ev_running_totals": _ev_running_totals,
         "q1_query_syntax": _q_syntax,
         "k6_max_scores": _q_max_scores,
@@ -984,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_windowed_stream": sqlgen.windowed_events_sql("1 hour"),
         "ev_sessionize": sqlgen.sessionize_sql(30),
         "ev_dedup_stream": sqlgen.dedup_events_sql(),
+        "ev_interval_join": sqlgen.interval_join_sql(horizon="1 hour"),
         "ev_running_totals": sqlgen.running_totals_sql(),
         "q1_query_syntax": sqlgen.query_syntax_sql(SYNTAX_QUERIES),
         "k6_max_scores": sqlgen.max_scores_sql(DISJ_QUERIES),

@@ -1469,3 +1469,19 @@ def kmeans_sql(n_clusters: int = 8, n_iters: int = 2,
 WITH {body}
 SELECT vec_id::BIGINT AS vec_id, cid::BIGINT AS cid
 FROM asg{n_iters} ORDER BY vec_id"""
+
+
+def interval_join_sql(horizon: str = "1 hour") -> str:
+    """Twin of streaming/events.stream_attribution_join (run by the
+    entry as a REAL watermarked stream-stream join): the plain interval
+    self-join — purchases matched to the same user's signup at most
+    ``horizon`` later, delta in exact microseconds."""
+    return f"""
+SELECT s.event_id::BIGINT AS signup_id, p.event_id::BIGINT AS purchase_id,
+       s.user_id::BIGINT AS user_id,
+       (epoch_us(p.ts) - epoch_us(s.ts))::BIGINT AS delta_us
+FROM events s JOIN events p
+  ON p.user_id = s.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '{horizon}'
+ORDER BY signup_id, purchase_id"""

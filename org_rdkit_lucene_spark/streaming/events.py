@@ -254,3 +254,100 @@ def stream_running_user_totals(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def attribution_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Signup→purchase ATTRIBUTION via an event-time interval join: each
+    purchase is joined to the same user's signup(s) at most ``horizon``
+    earlier → (signup_id, purchase_id, user_id, delta_us). delta_us is
+    the exact microsecond gap (integer — bit-stable across engines).
+
+    On bounded frames this is the batch semantics; feed it streaming
+    inputs via :func:`stream_attribution_join`, where the same
+    time-range predicate is what lets Spark bound join state."""
+    s = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = s.join(
+        p,
+        [
+            s.user_id == p.user_id,
+            F.expr(f"p_ts >= s_ts AND p_ts <= s_ts + INTERVAL {horizon}"),
+        ],
+        "inner",
+    )
+    return joined.select(
+        "signup_id",
+        "purchase_id",
+        s.user_id.alias("user_id"),
+        F.expr("timestampdiff(MICROSECOND, s_ts, p_ts)").alias("delta_us"),
+    )
+
+
+def stream_attribution_join(
+    spark: SparkSession,
+    events_path: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "ev_attrib",
+) -> DataFrame:
+    """The interval join as a REAL stream-stream inner join — the
+    Structured Streaming feature that makes event attribution work on
+    unbounded inputs: BOTH sides watermarked, and the time-range
+    predicate in the join condition lets Spark evict each signup's
+    state once the watermark passes ``s_ts + horizon`` (without the
+    range, stream-stream join state grows forever). availableNow +
+    append + memory sink; bounded input ⇒ result equals
+    :func:`attribution_join` on the same frame (tested)."""
+    def rd():
+        reader = spark.readStream.schema(EVENTS_SCHEMA)
+        path = events_path
+        if os.path.isfile(path):
+            reader = reader.option("pathGlobFilter", os.path.basename(path))
+            path = os.path.dirname(path)
+        return reader.parquet(path)
+
+    s = (
+        rd()
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", watermark)
+        .select("user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts"))
+    )
+    p = (
+        rd()
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = s.join(
+        p,
+        F.expr(
+            f"user_id = p_user AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL {horizon}"
+        ),
+        "inner",
+    ).select(
+        "signup_id",
+        "purchase_id",
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, s_ts, p_ts)").alias("delta_us"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

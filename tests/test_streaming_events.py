@@ -193,3 +193,33 @@ def test_running_totals_stateful_across_batches(spark, tmp_path):
         out.sort_values("emit_seq").groupby("user_id").last().reset_index()
     )
     assert final["n_events"].tolist() == [15, 15, 15, 15]
+
+
+def test_stream_attribution_join_equals_batch(spark):
+    """The watermarked stream-stream interval join on a bounded input
+    must equal the batch interval join exactly (pair set + exact
+    microsecond deltas), and every delta must be within the horizon."""
+    from org_rdkit_lucene_spark.streaming.events import (
+        attribution_join,
+        stream_attribution_join,
+    )
+
+    events_file = "/root/testdata/sf0.001/events.parquet"
+    batch_events = spark.read.parquet(events_file)
+    want = (
+        attribution_join(batch_events, horizon="1 hour")
+        .toPandas()
+        .sort_values(["signup_id", "purchase_id"])
+        .reset_index(drop=True)
+    )
+    got = (
+        stream_attribution_join(spark, events_file, horizon="1 hour",
+                                query_name="ev_attrib_t")
+        .toPandas()
+        .sort_values(["signup_id", "purchase_id"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+    assert (want["delta_us"] >= 0).all()
+    assert (want["delta_us"] <= 3_600_000_000).all()
