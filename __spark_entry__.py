@@ -262,6 +262,9 @@ FIELD_QUERIES = [
     (72, "path:src3 hash", 10),
     (73, "repo:src1 +table", 5),
     (74, "lang:zh", 5),
+    # field GROUPING (QueryParser's field:(a b)): each group value is
+    # its own SHOULD clause — 75 ≡ "lang:de lang:zh merge"
+    (75, "lang:(de zh) merge", 10),
 ]
 
 

@@ -527,6 +527,10 @@ RANGE_EXPANSION_LIMIT = 256
 
 _SYNTAX_RE = _re.compile(r'"([^"]*)"(?:~(\d+))?|(\+|-)?(\S+)')
 _FIELD_RE = _re.compile(r"^(repo|path|lang):(.+)$")
+# field:(a b c) — QueryParser's field-grouping surface: each value in
+# the group becomes its own field:value SHOULD clause (pre-expanded
+# before the token loop, like ranges)
+_FIELD_GROUP_RE = _re.compile(r"\b(repo|path|lang):\(([^()]*)\)")
 _FUZZY_RE = _re.compile(r"^(.+?)~([0-9])?$")
 # term^N boost (QueryParser's setBoost surface): base must be a plain
 # word — no wildcard/fuzzy/field/quote chars — so "pre*^2" never
@@ -616,7 +620,14 @@ def parse_query(text: str) -> dict:
             )
         return " "
 
+    def _take_field_group(m: "_re.Match") -> str:
+        fld = m.group(1)
+        for v in m.group(2).split():
+            out["fields"].append((fld, v.lower()))
+        return " "
+
     text = _RANGE_RE.sub(_take_range, text)
+    text = _FIELD_GROUP_RE.sub(_take_field_group, text)
     for m in _SYNTAX_RE.finditer(text):
         phrase, slop_s, op, word = m.group(1), m.group(2), m.group(3), m.group(4)
         if phrase is not None:

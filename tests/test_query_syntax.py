@@ -750,3 +750,21 @@ def test_snippets_first_occurrence_law(small_index, syn_corpus):
     assert audit.count_nodes(
         search_snippets(small_index, syn_corpus, qs), "BatchEvalPython"
     ) == 0
+
+
+def test_parse_query_field_groups(small_index, syn_corpus):
+    """field:(a b) expands to one field:value SHOULD clause per group
+    value — identical to writing the singles out."""
+    p = parse_query("lang:(DE zh) merge repo:(r1)")
+    assert p["fields"] == [("lang", "de"), ("lang", "zh"), ("repo", "r1")]
+    assert p["optional"] == ["merge"]
+    # empty group is inert; ungrouped field clauses still work
+    q = parse_query("lang:() path:src3")
+    assert q["fields"] == [("path", "src3")]
+    # engine identity: grouped == singles
+    a = search_syntax(small_index, syn_corpus, [(1, "lang:(de zh) merg", 10)]).toPandas()
+    b = search_syntax(small_index, syn_corpus, [(1, "lang:de lang:zh merg", 10)]).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("rank").reset_index(drop=True),
+        b.sort_values("rank").reset_index(drop=True),
+    )
