@@ -18,10 +18,12 @@ from pyspark.sql import functions as F
 
 from org_rdkit_lucene_spark.config import IndexConfig
 from org_rdkit_lucene_spark.functions.text import (
+    contamination_check,
     curate_corpus,
     doc_fingerprints,
     lang_id,
     quality_scores,
+    redact_pii,
     token_counts,
     winnow_fingerprints,
 )
@@ -654,6 +656,37 @@ def _td_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_dup_documents(spark, sf_dir), "doc_id", "text").orderBy("doc1", "doc2")
 
 
+def _pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived view with deterministic seeded PII (every 7th doc gets
+    an email + IPv4 + long number) — mirrors sqlgen.pii_docs_cte."""
+    d = _documents(spark, sf_dir)
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".1 acct 90210"),
+        (F.col("doc_id") + 1_000_000).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, seeded).otherwise(F.col("text")).alias("text"),
+    )
+
+
+def _td_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return redact_pii(_pii_documents(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
+
+
+def _td_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination flags: every 97th doc forms the
+    'benchmark set'; docs sharing ≥1 distinct 8-gram shingle with it
+    (incl. the members themselves) are contaminated."""
+    docs = _documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_check(docs, bench, n=8, min_hits=1).orderBy("doc_id")
+
+
 def _td_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused per-doc curation decision (dup > lang > quality > keep)
     over the engineered-duplicates view, so every reason fires."""
@@ -883,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_minhash_signatures": _td_minhash_signatures,
         "td_minhash_lsh_pairs": _td_minhash_lsh_pairs,
         "td_curation": _td_curation,
+        "td_redact_pii": _td_redact_pii,
+        "td_contamination": _td_contamination,
         "td_dedup_clusters": _td_dedup_clusters,
         "td_ngram_jaccard": _td_ngram_jaccard,
         "td_simhash_fingerprints": _td_simhash,
@@ -974,6 +1009,10 @@ def oracle_sql() -> dict[str, str]:
         "td_minhash_lsh_pairs": sqlgen.minhash_lsh_pairs_sql(
             table="dup_documents", extra_cte=sqlgen.dup_docs_cte()
         ),
+        "td_redact_pii": sqlgen.redact_pii_sql(
+            table="pii_documents", extra_cte=sqlgen.pii_docs_cte()
+        ),
+        "td_contamination": sqlgen.contamination_sql(n=8, min_hits=1, bench_mod=97),
         "td_curation": sqlgen.curate_corpus_sql(
             min_quality_q=550_000, langs=("en",),
             table="dup_documents", extra_cte=sqlgen.dup_docs_cte(),

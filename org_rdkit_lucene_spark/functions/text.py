@@ -250,3 +250,77 @@ def curate_corpus(
         (reason == F.lit("keep")).cast("int").alias("keep"),
         reason.alias("reason"),
     )
+
+
+# Deterministic PII patterns (RE2-safe subset shared verbatim with the
+# DuckDB twin): emails, IPv4 addresses, long digit runs (phone/account
+# numbers). Order matters — patterns apply in this sequence.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{9,}\b", "<NUM>"),
+]
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id", content_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: replace emails / IPv4s /
+    long digit runs with typed placeholders, applied in the fixed
+    :data:`PII_PATTERNS` order → (doc_id, redacted, n_redactions).
+    Pure Catalyst ``regexp_replace`` chain (whole-stage codegen, no
+    Python); n_redactions counts replaced spans via the length of the
+    match-split minus one, per pattern, BEFORE that pattern's
+    replacement — the same counting law the SQL twin uses."""
+    c = F.col(content_col)
+    n = F.lit(0).cast("long")
+    red = c
+    for pat, rep in PII_PATTERNS:
+        n = n + F.size(F.split(red, pat, -1)) - 1
+        red = F.regexp_replace(red, pat, rep)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        red.alias("redacted"),
+        n.alias("n_redactions"),
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    bench_content_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination detection — the pretraining hygiene op:
+    flag corpus docs sharing ≥ ``min_hits`` DISTINCT ``n``-gram token
+    shingles with ANY benchmark document →
+    (doc_id, n_hits, is_contaminated).
+
+    Scale shape: the benchmark side is small by definition (an eval
+    set), so its DISTINCT shingle set broadcasts; the corpus side
+    streams shingles out of one scan and the only aggregation is the
+    per-doc hit count (map-side partials). No self-join, no skew
+    surface — corpus shingles are probed against a broadcast hash set."""
+    from org_rdkit_lucene_spark.operators.dedup import shingles_column
+
+    bsh = (
+        benchmark.select(
+            F.explode(shingles_column(bench_content_col, n)).alias("s")
+        ).distinct()
+    )
+    dsh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_column(content_col, n)).alias("s"),
+    ).distinct()
+    hits = (
+        dsh.join(F.broadcast(bsh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .withColumn("is_contaminated", (F.col("n_hits") >= min_hits).cast("int"))
+    )

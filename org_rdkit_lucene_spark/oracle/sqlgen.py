@@ -1485,3 +1485,66 @@ FROM events s JOIN events p
  AND s.event_type = 'signup' AND p.event_type = 'purchase'
  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '{horizon}'
 ORDER BY signup_id, purchase_id"""
+
+
+def redact_pii_sql(table: str = "documents", extra_cte: str = "") -> str:
+    """Twin of functions/text.redact_pii: same RE2-safe patterns in the
+    same order, counting spans before each replacement ('g' flag — the
+    engine's regexp_replace is replace-all)."""
+    from org_rdkit_lucene_spark.functions.text import PII_PATTERNS
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    prev = "r0"
+    ctes = ([extra_cte] if extra_cte else []) + [
+        f"r0 AS (SELECT doc_id, text AS t, 0::BIGINT AS n FROM {table})"
+    ]
+    for i, (pat, rep) in enumerate(PII_PATTERNS, start=1):
+        ctes.append(
+            f"r{i} AS (SELECT doc_id, "
+            f"regexp_replace(t, '{esc(pat)}', '{rep}', 'g') AS t, "
+            f"n + len(regexp_split_to_array(t, '{esc(pat)}')) - 1 AS n FROM {prev})"
+        )
+        prev = f"r{i}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT doc_id::BIGINT AS doc_id, t AS redacted, n::BIGINT AS n_redactions
+FROM {prev} ORDER BY doc_id"""
+
+
+def contamination_sql(n: int = 8, min_hits: int = 1, bench_mod: int = 97,
+                      table: str = "documents") -> str:
+    """Twin of functions/text.contamination_check with the benchmark
+    derived as every ``bench_mod``-th doc of the same table."""
+    return f"""
+WITH bsh AS (
+  SELECT DISTINCT unnest({_shingles(n)}) AS s FROM {table} WHERE doc_id % {bench_mod} = 0
+),
+dsh AS (
+  SELECT DISTINCT doc_id, unnest({_shingles(n)}) AS s FROM {table}
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM dsh JOIN bsh USING (s) GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) >= {min_hits})::INT AS is_contaminated
+FROM {table} d LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY doc_id"""
+
+
+def pii_docs_cte(mod: int = 7, table: str = "documents") -> str:
+    """Derived view seeding deterministic PII into every ``mod``-th doc
+    (email + IPv4 + long number) so the redaction operator has a
+    non-trivial, reproducible answer on a synthetic corpus."""
+    return f"""pii_documents AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {mod} = 0
+              THEN text || ' contact user' || doc_id ||
+                   '@example.com at 10.0.' || (doc_id % 200) ||
+                   '.1 acct 90210' || (1000000 + doc_id)
+              ELSE text END AS text
+  FROM {table}
+)"""

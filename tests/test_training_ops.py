@@ -555,3 +555,50 @@ def test_kmeans_embeddings_laws(spark):
     for gen in range(4):
         members = lab[[i for i in range(80) if i % 4 == gen]]
         assert members.nunique() == 1, f"generator class {gen} split"
+
+
+def test_redact_pii_law(spark):
+    from org_rdkit_lucene_spark.functions.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example.org now"),
+            (1, "host 192.168.0.1 and acct 123456789 ok"),
+            (2, "clean text, no pii at all"),
+            (3, "a@b.io c@d.net"),
+        ],
+        "doc_id long, text string",
+    )
+    out = redact_pii(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "redacted"] == "mail <EMAIL> now"
+    assert out.loc[0, "n_redactions"] == 1
+    assert out.loc[1, "redacted"] == "host <IP> and acct <NUM> ok"
+    assert out.loc[1, "n_redactions"] == 2
+    assert out.loc[2, "redacted"] == "clean text, no pii at all"
+    assert out.loc[2, "n_redactions"] == 0
+    assert out.loc[3, "redacted"] == "<EMAIL> <EMAIL>"
+    assert out.loc[3, "n_redactions"] == 2
+    # pure Catalyst — no Python stage
+    from org_rdkit_lucene_spark.plans import audit
+
+    assert audit.count_nodes(redact_pii(docs), "BatchEvalPython") == 0
+
+
+def test_contamination_check_law(spark):
+    from org_rdkit_lucene_spark.functions.text import contamination_check
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text),                                   # the benchmark doc itself
+            (1, "prefix words then " + bench_text + " suffix"),  # copies the slice
+            (2, "totally unrelated content about sparks and shuffles everywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 0")
+    out = contamination_check(docs, bench, n=8, min_hits=1).toPandas().set_index("doc_id")
+    assert out.loc[0, "is_contaminated"] == 1
+    assert out.loc[1, "is_contaminated"] == 1  # transitive copy caught
+    assert out.loc[2, "is_contaminated"] == 0 and out.loc[2, "n_hits"] == 0
+    assert out.loc[1, "n_hits"] >= 1
