@@ -24,6 +24,7 @@ from org_rdkit_lucene_spark.functions.text import (
     lang_id,
     quality_scores,
     redact_pii,
+    repetition_scores,
     token_counts,
     winnow_fingerprints,
 )
@@ -743,6 +744,29 @@ def _td_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_documents(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
 
 
+def _rep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived view with engineered intra-doc repetition — mirrors
+    sqlgen.rep_docs_cte exactly (doc_id % 3 == 0 triples its text
+    across newlines, % 3 == 1 appends a distinct tail line)."""
+    docs = _documents(spark, sf_dir)
+    nl = F.lit("\n")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(t, nl, t, nl, t))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(t, nl, F.lit("tail "), F.col("doc_id").cast("string")),
+        )
+        .otherwise(t)
+        .alias("text"),
+    )
+
+
+def _td_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_scores(_rep_documents(spark, sf_dir), "doc_id", "text").orderBy("doc_id")
+
+
 ANN_QUERY_IDS = [3, 17, 42, 99, 123]
 ANN_K = 10
 
@@ -927,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_quality_scores": _td_quality_scores,
         "td_doc_fingerprints": _td_doc_fingerprints,
         "td_winnow_fingerprints": _td_winnow_fingerprints,
+        "td_repetition": _td_repetition,
         "td_ann_cosine_topk": _td_ann_cosine_topk,
         "td_ann_lsh_topk": _td_ann_lsh_topk,
         "td_ann_ivf_topk": _td_ann_ivf_topk,
@@ -1032,6 +1057,9 @@ def oracle_sql() -> dict[str, str]:
         "td_quality_scores": sqlgen.quality_scores_sql(),
         "td_doc_fingerprints": sqlgen.doc_fingerprints_sql(),
         "td_winnow_fingerprints": sqlgen.winnow_fingerprints_sql(),
+        "td_repetition": sqlgen.repetition_scores_sql(
+            table="rep_documents", extra_cte=sqlgen.rep_docs_cte()
+        ),
         "td_ann_cosine_topk": sqlgen.ann_cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
         "td_ann_lsh_topk": sqlgen.ann_lsh_topk_sql(ANN_QUERY_IDS, ANN_K, n_planes=6),
         "td_ann_ivf_topk": sqlgen.ann_ivf_topk_sql(ANN_QUERY_IDS, ANN_K, 16, 4),

@@ -252,6 +252,92 @@ def curate_corpus(
     )
 
 
+def repetition_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_dup_char_frac: float = 0.20,
+) -> DataFrame:
+    """Intra-document repetition scoring — the Gopher/RefinedWeb
+    repetition-removal signal (Rae et al. 2021 §A1.1): documents built
+    from copy-pasted lines (boilerplate, templated pages, log spam)
+    carry low training value even when no OTHER document duplicates
+    them, so the pipeline needs a within-doc signal next to the
+    corpus-level dedup family.
+
+    The shared law (engine + DuckDB twin, same arithmetic):
+
+    - content lines = trimmed non-empty pieces of ``split(text, '\\n')``
+    - ``dup_line_frac`` = (n_lines - n_distinct_lines) / n_lines —
+      occurrences beyond each value's first
+    - ``dup_char_frac`` = chars in ALL occurrences of line values that
+      appear more than once / total content-line chars (the RefinedWeb
+      "characters in duplicated lines" convention)
+    - ``repetitive`` = dup_line_frac > ``max_dup_line_frac`` OR
+      dup_char_frac > ``max_dup_char_frac`` (Gopher's 0.30 / 0.20),
+      compared on the QUANTIZED values so both engines flag
+      identically
+    - fractions quantized to 1e-6 (``floor(f·10⁶ + 0.5)``); line-less
+      docs emit (0, 0, 0, not-repetitive)
+
+    Scale shape: a pure per-row Catalyst column program — one scan,
+    ZERO shuffles, embarrassingly parallel at any corpus size. The
+    duplicate-char sum avoids the O(n²) member-count form by sorting
+    the line array once (any sort groups equal values adjacently, so
+    collation differences between engines cannot matter — only
+    neighbor EQUALITY is consumed) and flagging positions whose
+    neighbor matches: O(n log n) per doc.
+
+    Returns (doc_id, n_lines, dup_line_frac_q, dup_char_frac_q,
+    repetitive).
+    """
+    c = F.col(content_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda t: F.trim(t)),
+        lambda x: F.length(x) > 0,
+    )
+    s = F.array_sort(lines)
+    n = F.size(s)
+    d = F.size(F.array_distinct(s))
+    dup_chars = F.aggregate(
+        F.transform(
+            F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: F.when(
+                ((i > 1) & (F.element_at(s, i) == F.element_at(s, i - 1)))
+                | ((i < n) & (F.element_at(s, i) == F.element_at(s, i + 1))),
+                F.length(F.element_at(s, i)).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    total_chars = F.aggregate(
+        F.transform(s, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dup_line_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - d).cast("double") / n
+    )
+    dup_char_frac = F.when(total_chars == 0, F.lit(0.0)).otherwise(
+        dup_chars.cast("double") / total_chars
+    )
+    line_q = F.floor(dup_line_frac * 1_000_000 + F.lit(0.5)).cast("long")
+    char_q = F.floor(dup_char_frac * 1_000_000 + F.lit(0.5)).cast("long")
+    line_thr = int(max_dup_line_frac * 1_000_000 + 0.5)
+    char_thr = int(max_dup_char_frac * 1_000_000 + 0.5)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_lines"),
+        line_q.alias("dup_line_frac_q"),
+        char_q.alias("dup_char_frac_q"),
+        ((line_q > line_thr) | (char_q > char_thr)).cast("int").alias("repetitive"),
+    )
+
+
 # Deterministic PII patterns (RE2-safe subset shared verbatim with the
 # DuckDB twin): emails, IPv4 addresses, long digit runs (phone/account
 # numbers). Order matters — patterns apply in this sequence.

@@ -802,6 +802,73 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM fps ORDER BY doc_id"""
 
 
+def rep_docs_cte(table: str = "documents") -> str:
+    """Derived view with engineered intra-doc repetition: doc_id % 3
+    == 0 triples its text across newlines (fully repetitive), % 3 == 1
+    appends one distinct tail line (non-repetitive two-liner), % 3 ==
+    2 stays as-is. Mirrored exactly by the Spark wrapper so the
+    repetition operator has a non-trivial deterministic answer on a
+    corpus whose natural docs are single-line."""
+    return f"""rep_documents AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+                THEN text || chr(10) || text || chr(10) || text
+              WHEN doc_id % 3 = 1
+                THEN text || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM {table}
+)"""
+
+
+def repetition_scores_sql(
+    max_dup_line_frac: float = 0.30,
+    max_dup_char_frac: float = 0.20,
+    table: str = "documents",
+    extra_cte: str = "",
+) -> str:
+    """Twin of functions/text.repetition_scores: trimmed non-empty
+    lines, sorted once so duplicate values sit adjacent (only neighbor
+    EQUALITY is consumed, so collation differences cannot matter),
+    dup-line / dup-char fractions quantized to 1e-6, Gopher thresholds
+    compared on the quantized values."""
+    line_thr = int(max_dup_line_frac * 1_000_000 + 0.5)
+    char_thr = int(max_dup_char_frac * 1_000_000 + 0.5)
+    extra = f"{extra_cte}," if extra_cte else ""
+    return f"""
+WITH {extra}
+ls AS (
+  SELECT doc_id,
+         list_sort(list_filter(
+           list_transform(string_split(text, chr(10)), t -> trim(t)),
+           x -> length(x) > 0)) AS s
+  FROM {table}
+),
+m AS (
+  SELECT doc_id, len(s) AS n, len(list_distinct(s)) AS d,
+         coalesce(list_sum(list_transform(range(1, len(s) + 1),
+           i -> CASE WHEN (i > 1 AND s[i] = s[i-1])
+                       OR (i < len(s) AND s[i] = s[i+1])
+                     THEN length(s[i]) ELSE 0 END)), 0) AS dup_chars,
+         coalesce(list_sum(list_transform(s, x -> length(x))), 0) AS total_chars
+  FROM ls
+),
+r AS (
+  SELECT doc_id, n,
+         CASE WHEN n = 0 THEN 0.0
+              ELSE (n - d) * 1.0 / n END AS dup_line_frac,
+         CASE WHEN total_chars = 0 THEN 0.0
+              ELSE dup_chars * 1.0 / total_chars END AS dup_char_frac
+  FROM m
+)
+SELECT doc_id::BIGINT AS doc_id, n::BIGINT AS n_lines,
+       CAST(floor(dup_line_frac * 1000000 + 0.5) AS BIGINT) AS dup_line_frac_q,
+       CAST(floor(dup_char_frac * 1000000 + 0.5) AS BIGINT) AS dup_char_frac_q,
+       CAST(CASE WHEN floor(dup_line_frac * 1000000 + 0.5) > {line_thr}
+                   OR floor(dup_char_frac * 1000000 + 0.5) > {char_thr}
+                 THEN 1 ELSE 0 END AS INT) AS repetitive
+FROM r ORDER BY doc_id"""
+
+
 def ann_cosine_topk_sql(query_vec_ids: list[int], k: int = 10) -> str:
     ids = ", ".join(str(i) for i in query_vec_ids)
     return f"""

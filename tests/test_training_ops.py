@@ -602,3 +602,38 @@ def test_contamination_check_law(spark):
     assert out.loc[1, "is_contaminated"] == 1  # transitive copy caught
     assert out.loc[2, "is_contaminated"] == 0 and out.loc[2, "n_hits"] == 0
     assert out.loc[1, "n_hits"] >= 1
+
+
+def test_repetition_scores_law(spark):
+    from org_rdkit_lucene_spark.functions.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a\na\na"),                    # 3 identical lines: line 2/3, char 1.0
+            (1, "one\ntwo\nthree"),            # all distinct: 0 / 0
+            (2, ""),                           # no content lines
+            (3, "  \n \n   "),                 # space-only lines drop out (trim = spaces)
+            (4, "dup\ndup\nx\ny\nz\nw\nv\nu\nt\ns"),  # 1/10 dup lines, 6/21 dup chars
+            (5, "pad\nsolo line here"),        # two distinct lines
+        ],
+        "doc_id long, text string",
+    )
+    out = repetition_scores(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_lines"] == 3
+    assert out.loc[0, "dup_line_frac_q"] == 666667
+    assert out.loc[0, "dup_char_frac_q"] == 1000000
+    assert out.loc[0, "repetitive"] == 1
+    assert out.loc[1, "repetitive"] == 0
+    assert out.loc[1, "dup_line_frac_q"] == 0
+    assert (out.loc[2, ["n_lines", "dup_line_frac_q", "dup_char_frac_q", "repetitive"]] == 0).all()
+    assert (out.loc[3, ["n_lines", "repetitive"]] == 0).all()
+    # doc 4: 10 lines, 9 distinct -> 1/10 lines; dup chars 2*3=6 of 14
+    assert out.loc[4, "dup_line_frac_q"] == 100000
+    assert out.loc[4, "dup_char_frac_q"] == 428571
+    assert out.loc[4, "repetitive"] == 1  # char frac 0.4286 > 0.20
+    assert out.loc[5, "repetitive"] == 0
+    # pure Catalyst — no Python stage, no shuffle in the plan
+    from org_rdkit_lucene_spark.plans import audit
+
+    assert audit.count_nodes(repetition_scores(docs), "BatchEvalPython") == 0
+    assert audit.count_nodes(repetition_scores(docs), "Exchange") == 0
