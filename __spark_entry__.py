@@ -329,6 +329,25 @@ def _q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_syntax(idx, _corpus_for(spark, sf_dir), WILDCARD_QUERIES)
 
 
+# Regexp clauses (RegexpQuery through the classic QueryParser's /…/
+# surface): anchored full-term match over the portable regex subset,
+# expanded against the lexicon to the top-256 terms by (df DESC, term
+# ASC) — same bounded-rewrite law as wildcards, same pattern string in
+# the SQL twin. 139 exercises a zero-expansion pattern (the rest of
+# the query still scores).
+REGEXP_QUERIES = [
+    (136, "/m[aeiou]rg/ hash", 10),
+    (137, "/work(er|ers)?/ join", 10),
+    (138, "+batch /b.*ch/", 5),
+    (139, "/zz+q/ batch", 5),
+]
+
+
+def _q_regexp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return search_syntax(idx, _corpus_for(spark, sf_dir), REGEXP_QUERIES)
+
+
 # Term-range clauses (TermRangeQuery through the same parser surface:
 # [a TO b] inclusive, {a TO b} exclusive, * = open bound): expanded
 # against the lexicon's lexicographic slice to the top-256 terms by
@@ -977,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_prefix_search": _q_prefix_search,
         "q1_fuzzy_search": _q_fuzzy_search,
         "q1_wildcard_search": _q_wildcard_search,
+        "q1_regexp_search": _q_regexp_search,
         "q1_range_search": _q_range_search,
         "q1_sloppy_phrase": _q_sloppy_phrase,
         "q7_more_like_this": _q_more_like_this,
@@ -1105,6 +1125,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_prefix_search": sqlgen.query_syntax_sql(PREFIX_QUERIES),
         "q1_fuzzy_search": sqlgen.query_syntax_sql(FUZZY_QUERIES),
         "q1_wildcard_search": sqlgen.query_syntax_sql(WILDCARD_QUERIES),
+        "q1_regexp_search": sqlgen.query_syntax_sql(REGEXP_QUERIES),
         "q1_range_search": sqlgen.query_syntax_sql(RANGE_QUERIES),
         "q1_sloppy_phrase": sqlgen.query_syntax_sql(SLOP_QUERIES),
         "q7_more_like_this": sqlgen.more_like_this_sql(MLT_REQUESTS),

@@ -524,6 +524,17 @@ WILDCARD_EXPANSION_LIMIT = 256
 # slice is a vocabulary scan exactly like a prefix, so it shares the
 # prefix bound.
 RANGE_EXPANSION_LIMIT = 256
+# RegexpQuery (``/pattern/`` through the classic QueryParser) rewrites
+# like WildcardQuery — an automaton walk over the term dictionary,
+# bounded to the same clause count.
+REGEXP_EXPANSION_LIMIT = 256
+# The portable regex subset: constructs that parse AND match
+# identically under Python ``re``, java.util.regex (Spark ``rlike``)
+# and RE2 (DuckDB ``regexp_matches``) on lowercase ASCII terms —
+# literals, ``.``, quantifiers ``* + ? {m,n}``, alternation,
+# groups, character classes. No backslash escapes, no anchors (we add
+# ``^...$`` ourselves), no ``/`` (ends the clause).
+_REGEXP_ALLOWED = _re.compile(r"^[a-z0-9.*+?|()\[\]{}\-_,]+$")
 
 _SYNTAX_RE = _re.compile(r'"([^"]*)"(?:~(\d+))?|(\+|-)?(\S+)')
 _FIELD_RE = _re.compile(r"^(repo|path|lang):(.+)$")
@@ -568,6 +579,27 @@ def wildcard_regex(pattern: str) -> str:
     return "".join(parts)
 
 
+def regexp_regex(pattern: str) -> str:
+    """Anchor a validated regexp-clause pattern — RegexpQuery semantics
+    are full-term match, and anchoring also erases the partial-match
+    disagreement between Python ``re.match``, Java ``find()`` (Spark
+    ``rlike``) and RE2 ``regexp_matches`` (DuckDB)."""
+    return "^" + pattern + "$"
+
+
+def _valid_regexp_clause(pattern: str) -> bool:
+    """True iff the lowercased inner text of ``/…/`` is in the portable
+    subset AND compiles — an uncompilable pattern degrades to a plain
+    word instead of failing the query."""
+    if not _REGEXP_ALLOWED.match(pattern):
+        return False
+    try:
+        _re.compile(regexp_regex(pattern))
+    except _re.error:
+        return False
+    return True
+
+
 def _split_boost(word: str) -> tuple[str, float]:
     m = _BOOST_RE.match(word)
     return (m.group(1), float(m.group(2))) if m else (word, 1.0)
@@ -606,10 +638,16 @@ def parse_query(text: str) -> dict:
     unboosted). Boosts on phrase/field/prefix/fuzzy/excluded clauses
     are not supported: the ``^N`` stays part of the word (QueryParser
     supports them; this surface, like its prefix-only wildcards, takes
-    the most-used slice)."""
+    the most-used slice).
+    ``/pattern/`` is a REGEXP clause (RegexpQuery surface): the inner
+    text, lowercased, must be in the portable regex subset
+    (:data:`_REGEXP_ALLOWED`) and compile — otherwise the word stays a
+    plain term clause. Regexp clauses are NOT analyzed, SHOULD-only,
+    and full-term-anchored (``^…$``)."""
     out = {"required": [], "optional": [], "excluded": [], "phrases": [],
            "fields": [], "prefixes": [], "fuzzies": [], "wildcards": [],
-           "ranges": [], "slop_phrases": [], "req_boosts": [], "opt_boosts": []}
+           "ranges": [], "slop_phrases": [], "req_boosts": [], "opt_boosts": [],
+           "regexps": []}
 
     def _take_range(m: "_re.Match") -> str:
         lo = None if m.group(2) == "*" else m.group(2).lower()
@@ -641,6 +679,9 @@ def parse_query(text: str) -> dict:
         zm = _FUZZY_RE.match(word)
         if fm:
             out["fields"].append((fm.group(1), fm.group(2).lower()))
+        elif (len(word) > 2 and word.startswith("/") and word.endswith("/")
+              and _valid_regexp_clause(word[1:-1].lower())):
+            out["regexps"].append(word[1:-1].lower())
         elif (word.endswith("*") and len(word) > 1 and "*" not in word[:-1]
               and "?" not in word):
             out["prefixes"].append(word[:-1].lower())
@@ -740,6 +781,49 @@ def expand_wildcards(index: InvertedIndex, patterns: list[str]) -> dict[str, lis
         mask = lexp["term"].map(lambda t: rx.match(t) is not None).astype(bool)
         m = lexp[mask].sort_values(["df", "term"], ascending=[False, True])
         out[p] = m["term"].head(WILDCARD_EXPANSION_LIMIT).tolist()
+    return out
+
+
+def _regexp_literal_head(p: str) -> str:
+    """Longest literal prefix a matching term MUST start with — the
+    pushed-scan guard. Empty when the pattern has top-level
+    alternation (the head only binds the first alternative) or when
+    the run's last char is consumed by a following quantifier."""
+    if "|" in p:
+        return ""
+    m = _re.match(r"[a-z0-9_,]*", p)
+    head = m.group(0)
+    if p[len(head):][:1] in {"*", "+", "?", "{"}:
+        head = head[:-1]
+    return head
+
+
+def expand_regexps(index: InvertedIndex, patterns: list[str]) -> dict[str, list[str]]:
+    """Resolve regexp clauses against the lexicon: for each pattern,
+    the top-``REGEXP_EXPANSION_LIMIT`` full-match terms by (df DESC,
+    term ASC) — RegexpQuery's bounded automaton rewrite, same law as
+    wildcards. One lexicon job for ALL patterns; a non-empty literal
+    head pushes into the parquet scan as StringStartsWith, the
+    anchored regex runs JVM-side on the surviving slice (a head-less
+    pattern scans the lexicon only — the Spark analog of Lucene's
+    term-dictionary automaton walk, never the corpus)."""
+    uniq = sorted({p for p in patterns if p})
+    if not uniq:
+        return {}
+    cond = None
+    for p in uniq:
+        c = F.col("term").rlike(regexp_regex(p))
+        head = _regexp_literal_head(p)
+        if head:
+            c = F.col("term").startswith(head) & c
+        cond = c if cond is None else cond | c
+    lexp = index.lexicon.filter(cond).select("term", "df").toPandas()
+    out: dict[str, list[str]] = {}
+    for p in uniq:
+        rx = _re.compile(regexp_regex(p))
+        mask = lexp["term"].map(lambda t: rx.match(t) is not None).astype(bool)
+        m = lexp[mask].sort_values(["df", "term"], ascending=[False, True])
+        out[p] = m["term"].head(REGEXP_EXPANSION_LIMIT).tolist()
     return out
 
 
@@ -925,6 +1009,9 @@ def search_syntax(
     range_exp = expand_ranges(
         index, [r for q in parsed.values() for r in q["ranges"]]
     )
+    regex_exp = expand_regexps(
+        index, [r for q in parsed.values() for r in q["regexps"]]
+    )
 
     scoring, must_counts, excluded_rows, phrase_rows = [], [], [], []
     slop_rows: list[tuple[int, str, int]] = []
@@ -950,6 +1037,9 @@ def search_syntax(
         for rg in sorted(set(p["ranges"]),
                          key=lambda r: (r[0] or "", r[1] or "", r[2], r[3])):
             for t in range_exp.get(rg, []):
+                counts[t] = counts.get(t, 0.0) + 1.0
+        for rp in sorted(set(p["regexps"])):
+            for t in regex_exp.get(rp, []):
                 counts[t] = counts.get(t, 0.0) + 1.0
         for term, qtf in counts.items():
             scoring.append((qid, term, float(qtf), len(counts), k))

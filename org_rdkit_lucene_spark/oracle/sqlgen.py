@@ -216,14 +216,17 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
         FUZZY_EXPANSION_LIMIT,
         PREFIX_EXPANSION_LIMIT,
         RANGE_EXPANSION_LIMIT,
+        REGEXP_EXPANSION_LIMIT,
         WILDCARD_EXPANSION_LIMIT,
         parse_query,
+        regexp_regex,
         syntax_scoring_weights,
         wildcard_regex,
     )
 
     q_rows, must_rows, mreq_rows, ex_rows, ph_rows, phn_rows = [], [], [], [], [], []
     fld_rows, k_rows, pref_rows, fz_rows, wc_rows, rg_rows = [], [], [], [], [], []
+    rx_rows: list[str] = []
     sp_blocks: list[str] = []
     spn_rows: list[str] = []
     sp_id = 0
@@ -274,6 +277,10 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
         for wc in sorted(set(p["wildcards"])):
             wc_rows.append(
                 "({}, '{}')".format(qid, wildcard_regex(wc).replace("'", "''"))
+            )
+        for rp in sorted(set(p["regexps"])):
+            rx_rows.append(
+                "({}, '{}')".format(qid, regexp_regex(rp).replace("'", "''"))
             )
         for lo, hi, lo_i, hi_i in sorted(
             set(p["ranges"]), key=lambda r: (r[0] or "", r[1] or "", r[2], r[3])
@@ -352,6 +359,15 @@ wc_exp AS (
   FROM wc w JOIN dfs d ON regexp_matches(d.term, w.pat)
   WHERE w.query_id IS NOT NULL
 ),
+rx(query_id, pat) AS (VALUES
+    {vals(rx_rows, 2)}),
+rx_exp AS (
+  SELECT r.query_id, d.term,
+         row_number() OVER (PARTITION BY r.query_id, r.pat
+                            ORDER BY d.df DESC, d.term ASC) AS rn
+  FROM rx r JOIN dfs d ON regexp_matches(d.term, r.pat)
+  WHERE r.query_id IS NOT NULL
+),
 rg(query_id, lo, hi, lo_i, hi_i) AS (VALUES
     {vals(rg_rows, 5)}),
 rg_exp AS (
@@ -374,6 +390,8 @@ qm AS (
     SELECT query_id, term, 1 AS qtf FROM wc_exp WHERE rn <= {WILDCARD_EXPANSION_LIMIT}
     UNION ALL
     SELECT query_id, term, 1 AS qtf FROM rg_exp WHERE rn <= {RANGE_EXPANSION_LIMIT}
+    UNION ALL
+    SELECT query_id, term, 1 AS qtf FROM rx_exp WHERE rn <= {REGEXP_EXPANSION_LIMIT}
   ) GROUP BY 1, 2
 ),
 scored AS (

@@ -30,6 +30,7 @@ def test_parse_query():
         "slop_phrases": [],
         "req_boosts": [1.0],
         "opt_boosts": [1.0, 1.0],
+        "regexps": [],
     }
     empty = parse_query("")
     assert all(
@@ -768,3 +769,79 @@ def test_parse_query_field_groups(small_index, syn_corpus):
         a.sort_values("rank").reset_index(drop=True),
         b.sort_values("rank").reset_index(drop=True),
     )
+
+
+def test_parse_query_regexps():
+    p = parse_query("/M[aeiou]rg/ hash /work(er|ers)?/")
+    assert p["regexps"] == ["m[aeiou]rg", "work(er|ers)?"]  # lowercased
+    assert p["optional"] == ["hash"]
+    # invalid / out-of-subset patterns degrade to plain words
+    for w in ["/bad(/", "/a\\d/", "//", "/a b/"]:
+        q = parse_query(w)
+        assert q["regexps"] == [], w
+    # slash-containing paths never become regexps (inner '/' rejected)
+    q = parse_query("/usr/bin/ foo/bar")
+    assert q["regexps"] == [] and q["optional"] == ["/usr/bin/", "foo/bar"]
+    # wildcard-ish chars inside /…/ stay a regexp, not a wildcard
+    q = parse_query("/b.*ch/")
+    assert q["regexps"] == ["b.*ch"] and q["wildcards"] == []
+
+
+def test_regexp_literal_head_law():
+    from org_rdkit_lucene_spark.operators.query import _regexp_literal_head
+
+    assert _regexp_literal_head("merg") == "merg"
+    assert _regexp_literal_head("m[aeiou]rg") == "m"
+    # a following quantifier consumes the run's last char
+    assert _regexp_literal_head("zz+q") == "z"
+    assert _regexp_literal_head("ab*c") == "a"
+    assert _regexp_literal_head("ab{2,3}") == "a"
+    # top-level alternation voids the head entirely
+    assert _regexp_literal_head("abc|def") == ""
+    assert _regexp_literal_head("work(er|ers)?") == ""
+
+
+def test_regexp_expansion_matches_manual_disjunction(small_index, syn_corpus):
+    """A regexp clause must equal a hand-built disjunction of its
+    lexicon expansion (each expanded term one SHOULD occurrence)."""
+    from org_rdkit_lucene_spark.operators.query import (
+        _bm25_scored,
+        expand_regexps,
+        rank_topk,
+        regexp_regex,
+    )
+    import re
+
+    exp = expand_regexps(small_index, ["w.rke(r|rs)?"])["w.rke(r|rs)?"]
+    assert "worker" in exp
+    rx = re.compile(regexp_regex("w.rke(r|rs)?"))
+    assert all(rx.match(t) for t in exp)
+    qterms = pd.DataFrame(
+        [(1, t, 1, len(exp), 10) for t in exp],
+        columns=["query_id", "term", "qtf", "n_terms", "k"],
+    )
+    scored, est = _bm25_scored(small_index, qterms)
+    want = (
+        rank_topk(scored, small_index.cfg.bm25.score_decimals,
+                  est_candidates=est["disjunctive"], max_k=10)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    got = (
+        search_syntax(small_index, syn_corpus, [(1, "/w.rke(r|rs)?/", 10)])
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_regexp_single_term_equals_plain_search(small_index, syn_corpus):
+    """/merg/ matches exactly the term 'merg', so it must rank
+    identically to the bare-term query."""
+    got = (
+        search_syntax(small_index, syn_corpus, [(1, "/merg/", 10)])
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    want = (
+        search_syntax(small_index, syn_corpus, [(1, "merg", 10)])
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
