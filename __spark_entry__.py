@@ -34,6 +34,7 @@ from org_rdkit_lucene_spark.operators.ann import (
     ivf_cosine_topk,
     kmeans_embeddings,
     lsh_cosine_topk,
+    semdedup,
 )
 from org_rdkit_lucene_spark.operators.build import InvertedIndex, build_index
 from org_rdkit_lucene_spark.operators.dedup import (
@@ -837,6 +838,22 @@ def _td_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(dup, threshold=0.999, n_planes=8, seed=42).orderBy("vec1", "vec2")
 
 
+def _td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the engineered duplicated-embedding view (upper
+    half of the id space re-uses the lower half's vector): k-means
+    clusters first, then within-cluster cosine ≥ 0.999 flags the
+    higher-id member of each duplicate pair."""
+    emb = _embeddings(spark, sf_dir)
+    half = _half_count(emb, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id").alias("bid"), "embedding")
+    dup = (
+        emb.select("vec_id", (F.col("vec_id") % F.lit(half)).alias("bid"))
+        .join(F.broadcast(base), "bid")
+        .select("vec_id", "embedding")
+    )
+    return semdedup(dup, n_clusters=8, n_iters=2, threshold=0.999).orderBy("vec_id")
+
+
 def _td_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_fake_media(_documents(spark, sf_dir), "doc_id", "text")
     return extract_media_features(media, fake=True).orderBy("doc_id")
@@ -975,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_ann_lsh_topk": _td_ann_lsh_topk,
         "td_ann_ivf_topk": _td_ann_ivf_topk,
         "td_kmeans": _td_kmeans,
+        "td_semdedup": _td_semdedup,
         "td_cosine_dup_pairs": _td_cosine_dup_pairs,
         "td_media_features": _td_media_features,
         "td_frame_sample": _td_frame_sample,
@@ -1084,6 +1102,17 @@ def oracle_sql() -> dict[str, str]:
         "td_ann_lsh_topk": sqlgen.ann_lsh_topk_sql(ANN_QUERY_IDS, ANN_K, n_planes=6),
         "td_ann_ivf_topk": sqlgen.ann_ivf_topk_sql(ANN_QUERY_IDS, ANN_K, 16, 4),
         "td_kmeans": sqlgen.kmeans_sql(n_clusters=8, n_iters=2),
+        "td_semdedup": sqlgen.semdedup_sql(
+            n_clusters=8,
+            n_iters=2,
+            threshold=0.999,
+            table="dup_emb",
+            extra_cte="""dup_emb AS (
+  SELECT d.vec_id, b.embedding
+  FROM embeddings d
+  JOIN embeddings b ON b.vec_id = d.vec_id % (SELECT count(*) // 2 FROM embeddings)
+)""",
+        ),
         "td_cosine_dup_pairs": sqlgen.cosine_dup_pairs_sql(threshold=0.999),
         "td_media_features": sqlgen.media_features_sql(),
         "td_frame_sample": sqlgen.frame_sample_sql(every_ms=50_000),

@@ -307,6 +307,89 @@ def cosine_pairs(
     return scored.filter(F.col("cos_q") >= int(threshold * QUANT))
 
 
+def semdedup(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings FIRST, then searching for
+    near-duplicate pairs only WITHIN each cluster — the step that turns
+    an O(M²) all-pairs cosine search into k independent
+    O((M/k)²) problems, the standard scale path for embedding dedup
+    over a pretraining corpus.
+
+    Composition of two already-pinned laws: cluster assignment is
+    :func:`kmeans_embeddings` (deterministic — raw-subset init,
+    quantized-cosine argmax, exact-int centroid means), and the
+    keeper law is the greedy lowest-id rule shared with the dedup
+    family: a vector is a semantic duplicate iff SOME SAME-CLUSTER
+    vector with a LOWER id has quantized cosine ≥ ``threshold``
+    (SemDeDup likewise keeps one representative per duplicate group).
+    Returns (vec_id, cid, is_semdup).
+
+    Scale shape: the pair join shuffles on cid (k keys); clusters
+    larger than ``max_cluster_size`` are excluded from the pair stage
+    (None disables) — the same M²/2 skew cap as the LSH/cosine
+    siblings, reusing ``_cap_buckets``; their members keep their
+    assignment with is_semdup = 0. The cosine kernel is the
+    Arrow-batched matmul used by :func:`cosine_pairs` — no per-row
+    Python."""
+    from org_rdkit_lucene_spark.operators.dedup import _cap_buckets
+
+    asg = kmeans_embeddings(emb, n_clusters, n_iters, id_col, vec_col)
+    paired_asg = asg
+    if max_cluster_size is not None:
+        paired_asg = _cap_buckets(asg, ["cid"], max_cluster_size)
+    withc = emb.select(F.col(id_col).alias("vec_id"), vec_col).join(
+        paired_asg, "vec_id"
+    )
+    a, b = withc.alias("a"), withc.alias("b")
+    cand = a.join(
+        b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec1"),
+        F.col("b.vec_id").alias("vec2"),
+        F.col(f"a.{vec_col}").alias("v1"),
+        F.col(f"b.{vec_col}").alias("v2"),
+    )
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m1 = _normalize(np.array(pdf["v1"].tolist(), dtype=np.float64))
+            m2 = _normalize(np.array(pdf["v2"].tolist(), dtype=np.float64))
+            sims = (m1 * m2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec2": pdf["vec2"].to_numpy(np.int64),
+                    "cos_q": np.floor(sims * QUANT + 0.5).astype(np.int64),
+                }
+            )
+
+    dups = (
+        cand.mapInPandas(score, schema="vec2 long, cos_q long")
+        .filter(F.col("cos_q") >= int(threshold * QUANT))
+        .select(F.col("vec2").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        asg.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("int").alias("is_semdup"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 Q9 = 1_000_000_000
 
 

@@ -1504,11 +1504,9 @@ ORDER BY query_id, rank"""
     )
 
 
-def kmeans_sql(n_clusters: int = 8, n_iters: int = 2,
-               table: str = "embeddings") -> str:
-    """Twin of operators/ann.kmeans_embeddings: same init (raw vectors
-    with vec_id < k), same quantized-cosine argmax assignment, same
-    exact-int64 1e-9 centroid-mean law, unrolled ``n_iters`` rounds."""
+def _kmeans_ctes(n_clusters: int, n_iters: int, table: str) -> tuple[list[str], str]:
+    """The unrolled k-means CTE chain shared by kmeans_sql and
+    semdedup_sql — returns (ctes, final_assignment_cte_name)."""
     ctes = [f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
   FROM {table}
@@ -1549,11 +1547,68 @@ def kmeans_sql(n_clusters: int = 8, n_iters: int = 2,
   WHERE c.cid NOT IN (SELECT cid FROM sums{i})
 )""")
     ctes.append(asg_cte(n_iters, f"cent{n_iters}"))
+    return ctes, f"asg{n_iters}"
+
+
+def kmeans_sql(n_clusters: int = 8, n_iters: int = 2,
+               table: str = "embeddings") -> str:
+    """Twin of operators/ann.kmeans_embeddings: same init (raw vectors
+    with vec_id < k), same quantized-cosine argmax assignment, same
+    exact-int64 1e-9 centroid-mean law, unrolled ``n_iters`` rounds."""
+    ctes, final = _kmeans_ctes(n_clusters, n_iters, table)
     body = ",\n".join(ctes)
     return f"""
 WITH {body}
 SELECT vec_id::BIGINT AS vec_id, cid::BIGINT AS cid
-FROM asg{n_iters} ORDER BY vec_id"""
+FROM {final} ORDER BY vec_id"""
+
+
+def semdedup_sql(
+    n_clusters: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.95,
+    max_cluster_size: int | None = 10_000,
+    table: str = "embeddings",
+    extra_cte: str = "",
+) -> str:
+    """Twin of operators/ann.semdedup: the shared k-means assignment
+    chain, then within-cluster pairs (clusters above
+    ``max_cluster_size`` excluded from pairing, like the engine's
+    ``_cap_buckets``) with quantized cosine ≥ threshold; a vector is a
+    semantic duplicate iff a lower-id same-cluster vector clears the
+    threshold."""
+    thr_q = int(threshold * 1_000_000)
+    ctes, final = _kmeans_ctes(n_clusters, n_iters, table)
+    if extra_cte:
+        ctes.insert(0, extra_cte)
+    cap_pred = (
+        ""
+        if max_cluster_size is None
+        else f"WHERE a.cid NOT IN (SELECT cid FROM big)"
+    )
+    big_cte = (
+        "big AS (SELECT NULL::BIGINT AS cid WHERE FALSE)"
+        if max_cluster_size is None
+        else f"big AS (SELECT cid FROM {final} GROUP BY cid "
+        f"HAVING count(*) > {max_cluster_size})"
+    )
+    ctes.append(big_cte)
+    ctes.append(f"""dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM {final} a
+  JOIN {final} b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  {cap_pred}
+    {"AND" if cap_pred else "WHERE"} {_cos_q_sql("ea.ev", "eb.ev")} >= {thr_q}
+)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT s.vec_id::BIGINT AS vec_id, s.cid::BIGINT AS cid,
+       CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_semdup
+FROM {final} s LEFT JOIN dups d ON d.vec_id = s.vec_id
+ORDER BY s.vec_id"""
 
 
 def interval_join_sql(horizon: str = "1 hour") -> str:

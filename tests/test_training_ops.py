@@ -637,3 +637,39 @@ def test_repetition_scores_law(spark):
 
     assert audit.count_nodes(repetition_scores(docs), "BatchEvalPython") == 0
     assert audit.count_nodes(repetition_scores(docs), "Exchange") == 0
+
+
+def test_semdedup_law_and_cap(spark):
+    from org_rdkit_lucene_spark.operators.ann import QUANT, kmeans_embeddings, semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16))
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # exact duplicates of vectors 2 and 5, plus a near-dup of 7
+    rows += [(20, base[2].tolist()), (21, base[5].tolist())]
+    near = base[7] + rng.normal(scale=1e-4, size=16)
+    rows += [(22, near.tolist())]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semdedup(emb, n_clusters=4, n_iters=2, threshold=0.999).toPandas().set_index("vec_id")
+    assert out.loc[20, "is_semdup"] == 1 and out.loc[21, "is_semdup"] == 1
+    assert out.loc[22, "is_semdup"] == 1  # cosine ~ 0.9999+ clears 0.999
+    assert out.loc[2, "is_semdup"] == 0 and out.loc[5, "is_semdup"] == 0  # keepers
+    # brute-force within-cluster oracle: dup iff lower-id same-cluster
+    # vector has quantized cosine >= threshold
+    asg = kmeans_embeddings(emb, n_clusters=4, n_iters=2).toPandas().set_index("vec_id")["cid"]
+    vecs = {i: np.array(v) / np.linalg.norm(v) for i, v in rows}
+    thr = int(0.999 * QUANT)
+    for v in vecs:
+        want = any(
+            int(np.floor(float(vecs[u] @ vecs[v]) * QUANT + 0.5)) >= thr
+            for u in vecs if u < v and asg[u] == asg[v]
+        )
+        assert bool(out.loc[v, "is_semdup"]) == want, v
+    # cluster assignment passes through unchanged
+    assert (out["cid"] == asg).all()
+    # a cap below every cluster size suppresses ALL pair generation
+    capped = semdedup(emb, n_clusters=4, n_iters=2, threshold=0.999,
+                      max_cluster_size=1).toPandas()
+    assert capped["is_semdup"].sum() == 0
+    assert len(capped) == len(rows)  # capped members keep their assignment row
