@@ -53,9 +53,11 @@ from org_rdkit_lucene_spark.operators.multimodal import (
     frame_sample_plan,
 )
 from org_rdkit_lucene_spark.operators.query import (
+    explain_scores,
     facet_counts,
     hit_counts,
     max_scores,
+    search_sorted,
     more_like_this,
     search,
     search_snippets,
@@ -956,6 +958,18 @@ def _ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap="30 minutes").orderBy("user_id", "session_start")
 
 
+def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexSearcher.explain analog: per-term quantized BM25
+    contributions for every top-k hit of the disjunctive workload."""
+    return explain_scores(_index_for(spark, sf_dir), DISJ_QUERIES)
+
+
+def _q_sorted_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/SortField analog: the disjunctive workload ranked by the
+    stored doc_len docvalue (DESC, doc_id ASC) instead of relevance."""
+    return search_sorted(_index_for(spark, sf_dir), DISJ_QUERIES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_bm25_disjunctive": _q_disjunctive,
@@ -1024,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_boosted_search": _q_boosted_search,
         "t3_trigram_search": _q_trigram_search,
         "t3_identifiers_lexicon": _q_identifiers_lexicon,
+        "q9_explain": _q_explain,
+        "q1_sorted_by_field": _q_sorted_by_field,
     }
 
 
@@ -1164,4 +1180,6 @@ def oracle_sql() -> dict[str, str]:
         "q1_boosted_search": sqlgen.query_syntax_sql(BOOST_QUERIES),
         "t3_trigram_search": _t3_oracle_trigram(),
         "t3_identifiers_lexicon": _t3_oracle_identifiers(),
+        "q9_explain": sqlgen.explain_sql(DISJ_QUERIES),
+        "q1_sorted_by_field": sqlgen.sorted_search_sql(DISJ_QUERIES),
     }

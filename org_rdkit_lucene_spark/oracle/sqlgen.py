@@ -157,6 +157,62 @@ FROM scored {flt} GROUP BY 1 ORDER BY 1"""
     )
 
 
+def explain_sql(
+    queries: list[tuple[int, str, int]], mode: str = "disjunctive"
+) -> str:
+    """Twin of query.explain_scores (IndexSearcher.explain analog):
+    per-term quantized BM25 contributions for the top-k hits. The
+    contribution expression parenthesizes exactly like the engine
+    ((qtf·idf) · (tf·(k1+1)) / denom) so the doubles agree
+    bit-for-bit before quantization."""
+    conj = mode == "conjunctive"
+    return (
+        _bm25_ctes(queries)
+        + _ranked(conj)
+        + f""",
+hits AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= k),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, q.term, tf.tf,
+         (q.qtf * ln(1.0 + ((SELECT n FROM nstat) - dfs.df + 0.5) / (dfs.df + 0.5)))
+           * (tf.tf * {P.k1 + 1.0})
+           / (tf.tf + {P.k1} * (1.0 - {P.b} + {P.b} * dl.dl / (SELECT avgdl FROM dlstat))) AS c
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfs USING (term)
+  JOIN dl USING (doc_id)
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS INTEGER) AS tf,
+       CAST(floor(c * {_QUANT} + 0.5) AS BIGINT) AS contrib_q
+FROM contrib JOIN hits USING (query_id, doc_id)
+ORDER BY query_id, rank, term"""
+    )
+
+
+def sorted_search_sql(
+    queries: list[tuple[int, str, int]], mode: str = "disjunctive"
+) -> str:
+    """Twin of query.search_sorted (Sort/SortField analog): matching
+    docs ranked by token doc-length (the engine's docmeta.doc_len ==
+    the dl CTE) DESC, doc_id ASC."""
+    flt = "WHERE n_matched = n_terms" if mode == "conjunctive" else ""
+    return (
+        _bm25_ctes(queries)
+        + f""",
+srt AS (
+  SELECT query_id, scored.doc_id, CAST(dl.dl AS BIGINT) AS sort_key, k,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(dl.dl AS BIGINT) DESC, scored.doc_id ASC
+         ) AS rnk
+  FROM scored JOIN dl USING (doc_id) {flt}
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, sort_key
+FROM srt WHERE rnk <= k ORDER BY query_id, rank"""
+    )
+
+
 def two_phase_sql(queries: list[tuple[int, str, int]]) -> str:
     """Q6 analog: conjunctive candidates capped at min(10k, 1e5), verify
     raw query text as substring of the stored body, keep phase-A score,

@@ -147,3 +147,51 @@ def test_hits_to_keys_projection(small_index):
     dm = small_index.docmeta.toPandas().set_index(["repo", "path", "commit"])["doc_id"]
     for r in keys.itertuples():
         assert dm.loc[(r.repo, r.path, r.commit)] == r.doc_id
+
+
+def test_explain_contributions_sum_to_score(small_index, queries_pdf):
+    """q9: per-term contrib_q rows exist for every hit and sum back to
+    the hit's score_q within per-term quantization error (each of the
+    ≤ n_terms contributions rounds independently at 1e-4)."""
+    from org_rdkit_lucene_spark.operators.query import explain_scores
+
+    qs = [
+        (int(r.query_id), r.text, int(r.k))
+        for r in queries_pdf[queries_pdf.query_type == "disjunctive"].itertuples()
+    ]
+    hits = search(small_index, qs).toPandas()
+    expl = explain_scores(small_index, qs).toPandas()
+    assert len(expl) >= len(hits)  # >=1 term row per hit
+    sums = (
+        expl.groupby(["query_id", "doc_id"])
+        .agg(s=("contrib_q", "sum"), n=("term", "count"), rank=("rank", "first"))
+        .reset_index()
+    )
+    m = hits.merge(sums, on=["query_id", "doc_id"])
+    assert len(m) == len(hits)  # every hit explained
+    assert (m["rank_x"] == m["rank_y"]).all()
+    # independent rounding: |sum(round(c_i)) - round(sum(c_i))| <= n/2 + 1
+    assert ((m["s"] - m["score_q"]).abs() <= m["n"] // 2 + 1).all()
+
+
+def test_search_sorted_by_doc_len(small_index, queries_pdf):
+    """Sort/SortField law: same candidate set as search(), ranked by
+    doc_len DESC then doc_id ASC."""
+    from org_rdkit_lucene_spark.operators.query import search_sorted
+
+    qs = [
+        (int(r.query_id), r.text, int(r.k))
+        for r in queries_pdf[queries_pdf.query_type == "disjunctive"].itertuples()
+    ]
+    got = search_sorted(small_index, qs).toPandas()
+    meta = small_index.docmeta.select("doc_id", "doc_len").toPandas()
+    full = hit_counts(small_index, qs).toPandas().set_index("query_id")["total_hits"]
+    for qid, _, k in qs:
+        g = got[got.query_id == qid].sort_values("rank")
+        expect_n = min(k, int(full.get(qid, 0)))
+        assert len(g) == expect_n
+        # sort_key equals the docmeta doc_len and obeys the K2-style law
+        mm = g.merge(meta, on="doc_id")
+        assert (mm["sort_key"] == mm["doc_len"]).all()
+        keys = list(zip(-g["sort_key"], g["doc_id"]))
+        assert keys == sorted(keys)
