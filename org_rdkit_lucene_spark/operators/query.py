@@ -158,13 +158,29 @@ def _bm25_scored(
             "disjunctive": 0, "conjunctive": 0,
         }
     per_q = qw.groupby("query_id")["df"].agg(["sum", "min"])
+    # distinct-CANDIDATE upper bounds for the rank stage: Σdf counts a
+    # doc once per matched term, so it can exceed the corpus size —
+    # a candidate set never can. Capping at n_docs tightens the
+    # adaptive two-stage decision exactly where one window task is
+    # trivially fast (hot common-term queries over a small-N corpus).
+    # search_auto's ROUTER keeps the uncapped Σdf on purpose: it
+    # estimates scoring WORK (postings rows), not candidate count.
     est = {
-        "disjunctive": int(per_q["sum"].max()),
-        "conjunctive": int(per_q["min"].max()),
+        "disjunctive": min(int(per_q["sum"].max()), index.n_docs),
+        "conjunctive": min(int(per_q["min"].max()), index.n_docs),
     }
     qw = qw.assign(w=qw["qtf"] * qw["idf"])
-    qdf = F.broadcast(
-        spark.createDataFrame(qw[["query_id", "term", "w", "n_terms", "k"]])
+    # the hot pre-aggregation stream carries ONLY (query_id, doc_id,
+    # contrib[, term]): the per-query constants n_terms/k ride a second
+    # metadata-sized broadcast joined AFTER the groupBy, so the
+    # (query, doc) shuffle rows stay ~24 bytes instead of dragging a
+    # term string + two longs through the exchange (measured ~15% off
+    # the scored stage at sf0.1)
+    qdf = F.broadcast(spark.createDataFrame(qw[["query_id", "term", "w"]]))
+    qmeta = F.broadcast(
+        spark.createDataFrame(
+            qw[["query_id", "n_terms", "k"]].drop_duplicates("query_id")
+        )
     )
     flat = decoded_postings(index, terms)
     scored = (
@@ -182,10 +198,13 @@ def _bm25_scored(
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum("contrib").alias("score_raw"),
-            F.count("term").alias("n_matched"),
-            F.first("n_terms").alias("n_terms"),
-            F.first("k").alias("k"),
+            F.count(F.lit(1)).alias("n_matched"),
             *([F.collect_set("term").alias("mt")] if with_matched else []),
+        )
+        .join(qmeta, "query_id")
+        .select(
+            "query_id", "doc_id", "score_raw", "n_matched", "n_terms", "k",
+            *(["mt"] if with_matched else []),
         )
     )
     return scored, est
