@@ -39,10 +39,18 @@ from org_rdkit_lucene_spark.operators.build import InvertedIndex
 RESULT_SCHEMA = "query_id int, rank int, doc_id long, score_q long"
 
 
-def _make_decode_blocks(codec: str = "varbyte", with_ord: bool = False):
+def _make_decode_blocks(
+    codec: str = "varbyte", with_ord: bool = False, term_ids: dict | None = None
+):
     """Arrow-batched block decode: postings blocks → (term, doc_id, tf,
     dl[, seg_ord]) — seg_ord carried through when decoding a segmented
-    view so tombstoned versions can be dropped downstream."""
+    view so tombstoned versions can be dropped downstream.
+
+    With ``term_ids`` (a driver-side term → int32 map over the query's
+    term set), the kernel emits a ``tid`` int column instead of a
+    string: one dict lookup per BLOCK, ``np.full`` per posting — the
+    hot scoring stream then never materializes per-row Python/Arrow
+    strings and the weight join keys on ints."""
 
     def _decode_blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -57,11 +65,14 @@ def _make_decode_blocks(codec: str = "varbyte", with_ord: bool = False):
                 docs_l.append(delta_decode(int(first), bytes(db), int(n), codec))
                 tfs_l.append(decode_ints(bytes(tb), codec).astype(np.int32))
                 dls_l.append(decode_ints(bytes(lb), codec).astype(np.int32))
-                terms_l.append(np.repeat(np.asarray([term], dtype=object), int(n)))
+                if term_ids is None:
+                    terms_l.append(np.repeat(np.asarray([term], dtype=object), int(n)))
+                else:
+                    terms_l.append(np.full(int(n), term_ids[term], dtype=np.int32))
                 if with_ord:
                     ords_l.append(np.full(int(n), int(so), dtype=np.int32))
             out = {
-                "term": np.concatenate(terms_l),
+                ("term" if term_ids is None else "tid"): np.concatenate(terms_l),
                 "doc_id": np.concatenate(docs_l),
                 "tf": np.concatenate(tfs_l),
                 "dl": np.concatenate(dls_l),
@@ -73,7 +84,9 @@ def _make_decode_blocks(codec: str = "varbyte", with_ord: bool = False):
     return _decode_blocks
 
 
-def decoded_postings(index: InvertedIndex, terms: list[str]) -> DataFrame:
+def decoded_postings(
+    index: InvertedIndex, terms: list[str], term_ids: dict | None = None
+) -> DataFrame:
     """Decode postings for the given terms only — LIVE versions only.
 
     The ``isin`` filter is pushed into the parquet scan (PushedFilters),
@@ -82,22 +95,26 @@ def decoded_postings(index: InvertedIndex, terms: list[str]) -> DataFrame:
     On a segmented view with tombstones, decoded rows keep their
     segment ordinal and dead versions (ordinal < the tombstone's) are
     dropped with a broadcast join against the delta-scale kill map.
-    """
+    ``term_ids`` switches the term column to the int fast path (see
+    :func:`_make_decode_blocks`)."""
     blocks = index.postings.filter(F.col("term").isin(list(set(terms))))
     codec = getattr(index, "codec", "varbyte")
     kill = getattr(index, "kill_map", None)
+    tcol = "term string" if term_ids is None else "tid int"
+    tname = tcol.split()[0]
     if kill is None:
         return blocks.mapInPandas(
-            _make_decode_blocks(codec), schema="term string, doc_id long, tf int, dl int"
+            _make_decode_blocks(codec, term_ids=term_ids),
+            schema=f"{tcol}, doc_id long, tf int, dl int",
         )
     flat = blocks.mapInPandas(
-        _make_decode_blocks(codec, with_ord=True),
-        schema="term string, doc_id long, tf int, dl int, seg_ord int",
+        _make_decode_blocks(codec, with_ord=True, term_ids=term_ids),
+        schema=f"{tcol}, doc_id long, tf int, dl int, seg_ord int",
     )
     return (
         flat.join(F.broadcast(kill), "doc_id", "left")
         .filter(F.col("kill_ord").isNull() | (F.col("seg_ord") >= F.col("kill_ord")))
-        .select("term", "doc_id", "tf", "dl")
+        .select(tname, "doc_id", "tf", "dl")
     )
 
 
@@ -176,15 +193,28 @@ def _bm25_scored(
     # (query, doc) shuffle rows stay ~24 bytes instead of dragging a
     # term string + two longs through the exchange (measured ~15% off
     # the scored stage at sf0.1)
-    qdf = F.broadcast(spark.createDataFrame(qw[["query_id", "term", "w"]]))
+    # int term-id fast path for the hot ranked stream: the scoring join
+    # only needs term IDENTITY, so the decode kernel emits int32 tids
+    # and no per-row strings cross Arrow or the join. with_matched
+    # keeps real terms (collect_set feeds the syntax/boolean trees).
+    if with_matched:
+        term_ids, jkey = None, "term"
+        qcols = qw[["query_id", "term", "w"]]
+    else:
+        term_ids = {t: i for i, t in enumerate(terms)}
+        jkey = "tid"
+        qcols = qw.assign(tid=qw["term"].map(term_ids).astype("int32"))[
+            ["query_id", "tid", "w"]
+        ]
+    qdf = F.broadcast(spark.createDataFrame(qcols))
     qmeta = F.broadcast(
         spark.createDataFrame(
             qw[["query_id", "n_terms", "k"]].drop_duplicates("query_id")
         )
     )
-    flat = decoded_postings(index, terms)
+    flat = decoded_postings(index, terms, term_ids=term_ids)
     scored = (
-        flat.join(qdf, "term")
+        flat.join(qdf, jkey)
         .withColumn(
             "contrib",
             F.col("w")
