@@ -958,6 +958,15 @@ def _ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap="30 minutes").orderBy("user_id", "session_start")
 
 
+def _td_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance weights toward the lang='en'
+    target slice (quantize-before-sum law)."""
+    from org_rdkit_lucene_spark.functions.text import importance_weights
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return importance_weights(docs).orderBy("doc_id")
+
+
 def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IndexSearcher.explain analog: per-term quantized BM25
     contributions for every top-k hit of the disjunctive workload."""
@@ -1040,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_identifiers_lexicon": _q_identifiers_lexicon,
         "q9_explain": _q_explain,
         "q1_sorted_by_field": _q_sorted_by_field,
+        "td_importance_weights": _td_importance_weights,
     }
 
 
@@ -1182,4 +1192,5 @@ def oracle_sql() -> dict[str, str]:
         "t3_identifiers_lexicon": _t3_oracle_identifiers(),
         "q9_explain": sqlgen.explain_sql(DISJ_QUERIES),
         "q1_sorted_by_field": sqlgen.sorted_search_sql(DISJ_QUERIES),
+        "td_importance_weights": sqlgen.importance_weights_sql(),
     }

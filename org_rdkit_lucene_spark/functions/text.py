@@ -410,3 +410,88 @@ def contamination_check(
         .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
         .withColumn("is_contaminated", (F.col("n_hits") >= min_hits).cast("int"))
     )
+
+
+IMPORTANCE_N_BUCKETS = 4096
+IMPORTANCE_NGRAM_N = 2
+# per-bucket log-ratio quantum: components are quantized to int64
+# BEFORE the per-doc sum, so Spark partition sums and the oracle's
+# sequential sums agree exactly (the k-means exact-int centroid law)
+IMPORTANCE_QUANT = 1_000_000_000
+
+
+def importance_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    target_langs: tuple = ("en",),
+    n: int = IMPORTANCE_NGRAM_N,
+    n_buckets: int = IMPORTANCE_N_BUCKETS,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed n-gram bucket counts estimate a target distribution (docs
+    whose ``lang`` is in ``target_langs``) and the raw distribution
+    (all docs); each doc's weight is the sum over its n-grams of the
+    bucket log-likelihood ratio ln(p_target / p_raw) with add-one
+    smoothing → ``(doc_id, n_grams, weight_q)``. High weight = looks
+    like the target slice; the resampling step keeps top weights.
+
+    Determinism law: the per-bucket log-ratio is quantized to int64 at
+    1e-9 BEFORE the per-doc sum (order-independent integer addition →
+    Spark partition sums == DuckDB sequential sums, the same law as
+    the k-means centroid means). Buckets hash via the engine-portable
+    md5-hex-prefix idiom shared with SimHash/ANN-LSH.
+
+    Scale shape — the honest two-pass DSIR design: pass 1 aggregates
+    the exploded n-gram stream into ``n_buckets`` rows (map-side
+    partials; a 4096-row table no matter the corpus size), pass 2
+    re-streams the n-grams against the BROADCAST bucket-weight table
+    and groupBys doc_id. No self-join, no skew (buckets are uniform by
+    construction), both shuffles are on natural keys."""
+    from org_rdkit_lucene_spark.operators.dedup import shingles_column
+
+    tgt = F.col("lang").isin(*target_langs)
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tgt.alias("is_tgt"),
+        F.explode(shingles_column(content_col, n)).alias("g"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+    bt = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.count_if(F.col("is_tgt")).alias("tgt_cnt"),
+    )
+    tot = bt.agg(
+        F.sum("raw_cnt").alias("raw_total"), F.sum("tgt_cnt").alias("tgt_total")
+    )
+    bw = bt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            F.log(
+                ((F.col("tgt_cnt") + F.lit(1.0)) / (F.col("tgt_total") + F.lit(float(n_buckets))))
+                / ((F.col("raw_cnt") + F.lit(1.0)) / (F.col("raw_total") + F.lit(float(n_buckets))))
+            )
+            * F.lit(float(IMPORTANCE_QUANT))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w_q"),
+    )
+    dw = (
+        grams.join(F.broadcast(bw), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("w_q").alias("weight_q"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(dw, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("weight_q", F.lit(0)).cast("long").alias("weight_q"),
+        )
+    )

@@ -1744,3 +1744,51 @@ def pii_docs_cte(mod: int = 7, table: str = "documents") -> str:
               ELSE text END AS text
   FROM {table}
 )"""
+
+
+def importance_weights_sql(
+    target_langs: tuple = ("en",),
+    n: int = 2,
+    n_buckets: int = 4096,
+    quant: int = 10**9,
+) -> str:
+    """Twin of text.importance_weights (DSIR hashed n-gram importance
+    resampling weights): identical bucket hash (md5-hex-prefix), an
+    identically-parenthesized smoothed log-ratio, and the
+    quantize-before-sum law (int64 bucket weights summed per doc)."""
+    langs = ", ".join(f"'{l}'" for l in target_langs)
+    fb = float(n_buckets)
+    return f"""
+WITH grams AS (
+  SELECT doc_id, lang IN ({langs}) AS is_tgt, unnest({_shingles(n)}) AS g
+  FROM documents
+),
+b AS (
+  SELECT doc_id, is_tgt,
+         CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT % {n_buckets} AS BIGINT) AS bucket
+  FROM grams
+),
+bt AS (
+  SELECT bucket, count(*)::BIGINT AS raw_cnt,
+         (count(*) FILTER (WHERE is_tgt))::BIGINT AS tgt_cnt
+  FROM b GROUP BY 1
+),
+tot AS (
+  SELECT sum(raw_cnt)::BIGINT AS raw_total, sum(tgt_cnt)::BIGINT AS tgt_total
+  FROM bt
+),
+bw AS (
+  SELECT bucket,
+         CAST(floor(ln(((tgt_cnt + 1.0) / (tgt_total + {fb}))
+                       / ((raw_cnt + 1.0) / (raw_total + {fb})))
+                    * {float(quant)} + 0.5) AS BIGINT) AS w_q
+  FROM bt, tot
+),
+dw AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_grams, sum(w_q)::BIGINT AS weight_q
+  FROM b JOIN bw USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(n_grams, 0)::BIGINT AS n_grams,
+       coalesce(weight_q, 0)::BIGINT AS weight_q
+FROM documents d LEFT JOIN dw USING (doc_id) ORDER BY doc_id"""

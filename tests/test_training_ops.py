@@ -673,3 +673,38 @@ def test_semdedup_law_and_cap(spark):
                       max_cluster_size=1).toPandas()
     assert capped["is_semdup"].sum() == 0
     assert len(capped) == len(rows)  # capped members keep their assignment row
+
+
+def test_importance_weights_prefer_target_slice(spark):
+    """DSIR law: docs sharing the target slice's n-grams weigh higher
+    than out-of-slice docs; short/empty docs get zero rows-contrib."""
+    from org_rdkit_lucene_spark.functions.text import importance_weights
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox sleeps under the old tree", "en"),
+        (2, "a quick brown fox jumps over a lazy dog today", "fr"),  # en-like text
+        (3, "der hund und die katze und das haus hier bleibt", "de"),
+        (4, "le chat est dans la maison et les arbres hauts", "fr"),
+        (5, "x", "en"),  # 1 token < bigram n -> no grams
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    out = (
+        importance_weights(docs, target_langs=("en",))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 6
+    assert out.loc[5, "n_grams"] == 0 and out.loc[5, "weight_q"] == 0
+    # en-vocabulary docs (incl. the mislabeled en-like doc 2) outrank
+    # the de/fr-vocabulary docs
+    assert min(out.loc[[0, 1, 2], "weight_q"]) > max(out.loc[[3, 4], "weight_q"])
+    # determinism: second run bit-identical
+    again = (
+        importance_weights(docs, target_langs=("en",))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert (again["weight_q"] == out["weight_q"]).all()
