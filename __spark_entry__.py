@@ -967,6 +967,25 @@ def _td_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(docs).orderBy("doc_id")
 
 
+def _q_add_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexWriter.addIndexes analog: two indexes built over disjoint
+    halves of the documents table are merged WITHOUT re-tokenizing;
+    the merged index must answer the disjunctive workload exactly like
+    the full-corpus oracle (merge law: byte-identical to a rebuild)."""
+    from org_rdkit_lucene_spark.streaming.incremental import add_indexes
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    ids = corpus.select("ext_id").toPandas()["ext_id"]
+    cut = int(ids.median())
+    cfg = IndexConfig(build_partitions=8, hot_term_df=1024, n_salts=4)
+    base = tempfile.mkdtemp(prefix="orls_addidx_")
+    a, b, m = (os.path.join(base, s) for s in ("a", "b", "m"))
+    build_index(spark, corpus.filter(F.col("ext_id") <= cut), cfg, a, id_col="ext_id")
+    build_index(spark, corpus.filter(F.col("ext_id") > cut), cfg, b, id_col="ext_id")
+    merged = add_indexes(spark, [a, b], cfg, m)
+    return search(merged, DISJ_QUERIES, mode="disjunctive")
+
+
 def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IndexSearcher.explain analog: per-term quantized BM25
     contributions for every top-k hit of the disjunctive workload."""
@@ -1050,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_explain": _q_explain,
         "q1_sorted_by_field": _q_sorted_by_field,
         "td_importance_weights": _td_importance_weights,
+        "b2_add_indexes": _q_add_indexes,
     }
 
 
@@ -1193,4 +1213,7 @@ def oracle_sql() -> dict[str, str]:
         "q9_explain": sqlgen.explain_sql(DISJ_QUERIES),
         "q1_sorted_by_field": sqlgen.sorted_search_sql(DISJ_QUERIES),
         "td_importance_weights": sqlgen.importance_weights_sql(),
+        # merge law: add_indexes(halves) ≡ full rebuild, so the plain
+        # full-corpus BM25 oracle is the exact twin
+        "b2_add_indexes": sqlgen.bm25_topk_sql(DISJ_QUERIES, "disjunctive"),
     }

@@ -712,6 +712,146 @@ def compact(
     )
 
 
+def add_indexes(
+    spark: SparkSession, index_dirs: list[str], cfg: IndexConfig, out_dir: str
+) -> InvertedIndex:
+    """Merge complete on-disk indexes into one monolithic index WITHOUT
+    re-tokenizing — the ``IndexWriter.addIndexes(Directory...)`` analog
+    (the reference writes its index through exactly that writer
+    surface; Lucene bulk-adopts foreign segments). Unlike Lucene there
+    is NO doc renumbering: this engine's doc_ids are external keys, so
+    inputs must be disjoint — both doc_id sets and natural keys are
+    checked exactly, and a collision raises instead of silently
+    merging versions (that is the upsert path's job).
+
+    The result is byte-identical to a from-scratch batch build over
+    the concatenated corpus (tested): flat rows are unioned from the
+    inputs' manifest-referenced runs, merged stats use the EXACT
+    integer totals (Σtotal_dl / Σn — the same arithmetic law segment
+    merges obey), and stage 3/4 encoding is deterministic given
+    (flat, cfg, avgdl).
+
+    Scale shape: skips the stage a rebuild pays for — tokenize + SPIMI
+    runs over the full corpus. What runs is one flat-union write, one
+    lexicon groupBy, and the postings encode (the same two shuffles a
+    resumed build pays); docmeta/docmap unions are scan+write with no
+    shuffle. stats.json commits LAST (os.replace) so a crash mid-merge
+    never leaves a dir that loads as a complete index."""
+    import functools
+
+    import pyarrow.parquet as pq
+
+    if len(index_dirs) < 2:
+        raise ValueError("add_indexes needs at least two source indexes")
+    idxs = [InvertedIndex.load(spark, d, cfg) for d in index_dirs]
+    codecs = {ix.codec for ix in idxs}
+    if codecs != {cfg.codec}:
+        raise ValueError(f"codec mismatch: sources {sorted(codecs)} vs cfg {cfg.codec!r}")
+
+    n_sum = sum(ix.n_docs for ix in idxs)
+    union_map = functools.reduce(
+        DataFrame.unionByName, [ix.docmap for ix in idxs]
+    )
+    agg = union_map.agg(
+        F.count_distinct("doc_id").alias("n_ids"),
+        F.count_distinct("repo", "path", "commit").alias("n_keys"),
+    ).collect()[0]
+    if int(agg["n_ids"]) != n_sum or int(agg["n_keys"]) != n_sum:
+        raise ValueError(
+            f"source indexes overlap: {n_sum} docs but {agg['n_ids']} distinct "
+            f"doc_ids / {agg['n_keys']} distinct keys — add_indexes does not "
+            "merge versions (use the upsert/segment path for that)"
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    # stage 1 analog: one merged flat run, manifest-recorded (compact()
+    # convention — the run is re-bucketed by the OUT config's partition
+    # count so a later resume/compaction sees a coherent layout)
+    run_name = "run-merge"
+    flat_path = os.path.join(out_dir, "flat", run_name)
+    union_flat = functools.reduce(
+        DataFrame.unionByName, [ix.flat.select(*FLAT_COLS) for ix in idxs]
+    ).withColumn(
+        "build_part",
+        F.pmod(F.xxhash64("doc_id"), F.lit(cfg.build_partitions)).cast("int"),
+    )
+    union_flat.write.mode("overwrite").parquet(flat_path)
+    _write_manifest(
+        out_dir,
+        {
+            "completed_parts": list(range(cfg.build_partitions)),
+            "part_lineage": {
+                str(i): {"run_dir": run_name} for i in range(cfg.build_partitions)
+            },
+            "n_parts": cfg.build_partitions,
+            "finalized": True,
+        },
+    )
+    flat = spark.read.parquet(flat_path).select(*FLAT_COLS).persist()
+
+    # docmap + docmeta unions (per-doc rows are already final)
+    functools.reduce(DataFrame.unionByName, [ix.docmap for ix in idxs]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "docmap.parquet"))
+    functools.reduce(
+        DataFrame.unionByName,
+        [
+            ix.docmeta.select(
+                "doc_id", "repo", "path", "commit", "lang", "sha256", "doc_len"
+            )
+            for ix in idxs
+        ],
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "docmeta.parquet"))
+
+    # exact merged stats — identical floats to a full rebuild
+    n_docs = n_sum
+    total_dl = sum(ix.total_dl for ix in idxs)
+    avgdl = (total_dl / n_docs) if n_docs else 0.0
+    max_doc_id = max(ix.max_doc_id for ix in idxs)
+
+    # stage 3: lexicon (same expression as the batch build)
+    lexicon_path = os.path.join(out_dir, "lexicon.parquet")
+    lex = flat.groupBy("term").agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    lex = lex.withColumn(
+        "idf",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+    )
+    lex.write.mode("overwrite").parquet(lexicon_path)
+
+    # stage 4: postings (identical hot/cold policy as the batch build)
+    hot_tbl = pq.read_table(
+        lexicon_path, columns=["term"], filters=[("df", ">=", cfg.hot_term_df)]
+    )
+    blocks = encode_postings(
+        flat, cfg, avgdl, max_doc_id, hot_tbl.column("term").to_pylist()
+    )
+    blocks.write.mode("overwrite").parquet(os.path.join(out_dir, "postings.parquet"))
+    flat.unpersist()
+
+    tmp = os.path.join(out_dir, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "n_docs": n_docs,
+                "total_dl": total_dl,
+                "avgdl": avgdl,
+                "max_doc_id": max_doc_id,
+                "codec": cfg.codec,
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(out_dir, "stats.json"))
+    return InvertedIndex(
+        spark, out_dir, n_docs, avgdl, cfg,
+        total_dl=total_dl, max_doc_id=max_doc_id, codec=cfg.codec,
+    )
+
+
 def delete_docs_by_key(
     spark: SparkSession,
     base_index_dir: str,

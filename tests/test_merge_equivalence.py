@@ -105,3 +105,52 @@ def test_resume_skips_completed_parts(spark, tiny_corpus, tmp_path):
     idx = build_index(spark, tiny_corpus, cfg, d)
     assert idx is not None
     assert _read_manifest(d)["finalized"]
+
+
+def test_add_indexes_byte_identical_to_full_build(spark, tiny_pdf, tmp_path):
+    """IndexWriter.addIndexes analog: two indexes built over disjoint
+    halves, merged WITHOUT re-tokenizing, must be byte-identical to a
+    from-scratch build over the concatenated corpus — postings bytes,
+    lexicon (idf from the exact merged N), docmeta, and stats."""
+    from org_rdkit_lucene_spark.streaming.incremental import add_indexes
+
+    pdf = tiny_pdf.copy()
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    half = len(pdf) // 2
+    cfg = IndexConfig(build_partitions=4, hot_term_df=40, n_salts=4)
+    a = build_index(spark, spark.createDataFrame(pdf.iloc[:half]), cfg,
+                    str(tmp_path / "a"), id_col="ext_id")
+    b = build_index(spark, spark.createDataFrame(pdf.iloc[half:]), cfg,
+                    str(tmp_path / "b"), id_col="ext_id")
+    merged = add_indexes(spark, [str(tmp_path / "a"), str(tmp_path / "b")],
+                         cfg, str(tmp_path / "m"))
+    full = build_index(spark, spark.createDataFrame(pdf), cfg,
+                       str(tmp_path / "full"), id_col="ext_id")
+    _assert_identical(merged, full)
+    assert (merged.n_docs, merged.total_dl, merged.avgdl, merged.max_doc_id) == (
+        full.n_docs, full.total_dl, full.avgdl, full.max_doc_id
+    )
+    # and the merged index answers queries identically to the rebuild
+    from org_rdkit_lucene_spark.operators.query import search
+
+    qs = [(1, "merg join spark", 10), (2, "hash table scan", 10)]
+    got = search(merged, qs).toPandas().sort_values(["query_id", "rank"])
+    want = search(full, qs).toPandas().sort_values(["query_id", "rank"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_add_indexes_rejects_overlap(spark, tiny_pdf, tmp_path):
+    """No silent version merging: overlapping doc keys raise (the
+    upsert/segment path owns versioning)."""
+    from org_rdkit_lucene_spark.streaming.incremental import add_indexes
+
+    pdf = tiny_pdf.copy()
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    cfg = IndexConfig(build_partitions=2, hot_term_df=10**9, n_salts=1)
+    build_index(spark, spark.createDataFrame(pdf.iloc[:120]), cfg,
+                str(tmp_path / "o1"), id_col="ext_id")
+    build_index(spark, spark.createDataFrame(pdf.iloc[100:]), cfg,
+                str(tmp_path / "o2"), id_col="ext_id")
+    with pytest.raises(ValueError, match="overlap"):
+        add_indexes(spark, [str(tmp_path / "o1"), str(tmp_path / "o2")],
+                    cfg, str(tmp_path / "om"))
