@@ -967,6 +967,15 @@ def _td_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(docs).orderBy("doc_id")
 
 
+def _td_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained add-one bigram LM negative log-likelihood per doc
+    (CCNet-style perplexity quality filter, exact-int sum law)."""
+    from org_rdkit_lucene_spark.functions.text import lm_perplexity_scores
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return lm_perplexity_scores(docs).orderBy("doc_id")
+
+
 def _q_add_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IndexWriter.addIndexes analog: two indexes built over disjoint
     halves of the documents table are merged WITHOUT re-tokenizing;
@@ -1070,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_sorted_by_field": _q_sorted_by_field,
         "td_importance_weights": _td_importance_weights,
         "b2_add_indexes": _q_add_indexes,
+        "td_lm_perplexity": _td_lm_perplexity,
     }
 
 
@@ -1216,4 +1226,5 @@ def oracle_sql() -> dict[str, str]:
         # merge law: add_indexes(halves) ≡ full rebuild, so the plain
         # full-corpus BM25 oracle is the exact twin
         "b2_add_indexes": sqlgen.bm25_topk_sql(DISJ_QUERIES, "disjunctive"),
+        "td_lm_perplexity": sqlgen.lm_perplexity_sql(),
     }

@@ -495,3 +495,75 @@ def importance_weights(
             F.coalesce("weight_q", F.lit(0)).cast("long").alias("weight_q"),
         )
     )
+
+
+def lm_perplexity_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 filter
+    corpora by LM perplexity; here the LM is a self-trained add-one
+    bigram model, the deterministic mechanism rather than a shipped
+    KenLM binary): per doc, the summed log-likelihood of its bigrams
+    under P(w2|w1) = (c2(w1 w2) + 1) / (c1(w1) + V) with corpus-wide
+    counts and vocabulary size V → ``(doc_id, n_bigrams, nll_q)``
+    where nll_q = Σ -ln P per bigram occurrence, each term quantized
+    to int64 at 1e-9 BEFORE the sum (order-independent — the k-means /
+    DSIR exact-sum law). Low nll_q per bigram ≈ fluent under the
+    corpus distribution; filters typically drop the high-perplexity
+    tail.
+
+    Scale shape: counts are two natural-key groupBys (unigram, bigram
+    — uniform-ish keys with a hot head); the scoring join streams the
+    per-doc bigram multiset (pre-aggregated per (doc, bigram), a
+    UNIFORM composite key) against the count tables on their natural
+    keys — hot-token skew on those joins is AQE skew-join territory,
+    and both count tables shrink to the distinct-gram scale. No
+    broadcast of anything corpus-sized, no self-join."""
+    from org_rdkit_lucene_spark.operators.dedup import shingles_column
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_column(content_col)).alias("w"),
+    )
+    c1 = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_column(content_col, 2)).alias("g"),
+    )
+    c2 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    dg = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n_occ"))
+    scored = (
+        dg.join(c2, "g")
+        .withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+        .join(c1, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll_q",
+            F.floor(
+                -F.log(
+                    (F.col("c2") + F.lit(1.0))
+                    / (F.col("c1") + F.col("v").cast("double"))
+                )
+                * F.lit(1.0e9)
+                + F.lit(0.5)
+            ).cast("long")
+            * F.col("n_occ"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_bigrams"),
+            F.sum("nll_q").alias("nll_q"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("nll_q", F.lit(0)).cast("long").alias("nll_q"),
+        )
+    )

@@ -1792,3 +1792,39 @@ SELECT d.doc_id::BIGINT AS doc_id,
        coalesce(n_grams, 0)::BIGINT AS n_grams,
        coalesce(weight_q, 0)::BIGINT AS weight_q
 FROM documents d LEFT JOIN dw USING (doc_id) ORDER BY doc_id"""
+
+
+def lm_perplexity_sql(quant: int = 10**9) -> str:
+    """Twin of text.lm_perplexity_scores (self-trained add-one bigram
+    LM): same token/shingle laws, same -ln((c2+1)/(c1+V)) shape, and
+    the quantize-per-distinct-bigram-then-multiply-by-occurrences law
+    (exact int64 arithmetic after the single ln)."""
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS w FROM documents
+),
+c1 AS (SELECT w, count(*)::BIGINT AS c1 FROM tok GROUP BY 1),
+vocab AS (SELECT count(*)::BIGINT AS v FROM c1),
+grams AS (
+  SELECT doc_id, unnest({_shingles(2)}) AS g FROM documents
+),
+c2 AS (SELECT g, count(*)::BIGINT AS c2 FROM grams GROUP BY 1),
+dg AS (SELECT doc_id, g, count(*)::BIGINT AS n_occ FROM grams GROUP BY 1, 2),
+sc AS (
+  SELECT dg.doc_id,
+         CAST(floor(-ln((c2 + 1.0) / (c1.c1 + (SELECT v FROM vocab)::DOUBLE))
+                    * {float(quant)} + 0.5) AS BIGINT) * n_occ AS nll_q,
+         n_occ
+  FROM dg
+  JOIN c2 USING (g)
+  JOIN c1 ON split_part(dg.g, ' ', 1) = c1.w
+),
+dw AS (
+  SELECT doc_id, sum(n_occ)::BIGINT AS n_bigrams, sum(nll_q)::BIGINT AS nll_q
+  FROM sc GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(nll_q, 0)::BIGINT AS nll_q
+FROM documents d LEFT JOIN dw USING (doc_id) ORDER BY doc_id"""

@@ -708,3 +708,29 @@ def test_importance_weights_prefer_target_slice(spark):
         .toPandas().set_index("doc_id").sort_index()
     )
     assert (again["weight_q"] == out["weight_q"]).all()
+
+
+def test_lm_perplexity_prefers_frequent_bigrams(spark):
+    """Bigram-LM law: docs made of corpus-frequent bigrams score a
+    lower per-bigram NLL than a doc of one-off bigrams; gram-free docs
+    get (0, 0); repeat runs are bit-identical."""
+    from org_rdkit_lucene_spark.functions.text import lm_perplexity_scores
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, common, "en"),
+        (1, common, "en"),
+        (2, common, "en"),
+        (3, "zork blart quux fnord glorp wibble snark jabber", "en"),
+        (4, "w", "en"),  # single token -> no bigrams
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    out = lm_perplexity_scores(docs).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[4, "n_bigrams"] == 0 and out.loc[4, "nll_q"] == 0
+    per = out["nll_q"] / out["n_bigrams"].replace(0, 1)
+    assert per.loc[0] == per.loc[1] == per.loc[2]
+    assert per.loc[0] < per.loc[3]  # frequent bigrams -> lower NLL
+    again = lm_perplexity_scores(docs).toPandas().set_index("doc_id").sort_index()
+    assert (again["nll_q"] == out["nll_q"]).all()
