@@ -976,6 +976,15 @@ def _td_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity_scores(docs).orderBy("doc_id")
 
 
+def _td_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2021):
+    merged per-doc spans of 8-token windows occurring >= 2 times."""
+    from org_rdkit_lucene_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return duplicate_spans(docs, k=8, min_df=2).orderBy("doc_id", "span_start")
+
+
 def _q_add_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IndexWriter.addIndexes analog: two indexes built over disjoint
     halves of the documents table are merged WITHOUT re-tokenizing;
@@ -1080,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_importance_weights": _td_importance_weights,
         "b2_add_indexes": _q_add_indexes,
         "td_lm_perplexity": _td_lm_perplexity,
+        "td_dup_spans": _td_dup_spans,
     }
 
 
@@ -1227,4 +1237,5 @@ def oracle_sql() -> dict[str, str]:
         # full-corpus BM25 oracle is the exact twin
         "b2_add_indexes": sqlgen.bm25_topk_sql(DISJ_QUERIES, "disjunctive"),
         "td_lm_perplexity": sqlgen.lm_perplexity_sql(),
+        "td_dup_spans": sqlgen.dup_spans_sql(k=8, min_df=2),
     }

@@ -209,6 +209,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): find,
+    per doc, the merged token spans covered by k-token windows that
+    occur >= ``min_df`` times in the corpus (within-doc repeats count).
+    Training pipelines CUT these spans rather than drop whole docs.
+
+    Returns ``(doc_id, span_start, span_end, n_windows)`` — 0-based
+    token offsets, ``span_end`` exclusive, one row per maximal merged
+    span, where overlapping-or-adjacent duplicate windows
+    ``[pos, pos+k)`` merge into one span (adjacency: a window starting
+    exactly at the previous span's end extends it).
+
+    Scale shape: the k-gram explode is linear (k x token volume); dup
+    detection is one groupBy on the md5 gram digest (uniform key, no
+    skew); the occurrence join back is keyed on the same digest —
+    boilerplate grams make it hot, which is AQE-skew-join territory,
+    and the dup side is pre-aggregated to one row per gram. The span
+    merge is a per-doc window (bounded by doc length), pure Catalyst:
+    a window [pos, pos+k) starts a new island iff pos > running
+    max(pos + k) over all earlier duplicate windows of the doc."""
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(shingles_column(content_col, k)).alias("pos", "g"),
+    ).select("doc_id", "pos", F.md5("g").alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .filter(F.col("gdf") >= min_df)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "new_isl",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("new_isl").over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "span_start",
+            "span_end",
+            "n_windows",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (Arrow kernel — 64-bit fingerprints)
 

@@ -1828,3 +1828,40 @@ SELECT d.doc_id::BIGINT AS doc_id,
        coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
        coalesce(nll_q, 0)::BIGINT AS nll_q
 FROM documents d LEFT JOIN dw USING (doc_id) ORDER BY doc_id"""
+
+
+def dup_spans_sql(k: int = 8, min_df: int = 2) -> str:
+    """Twin of dedup.duplicate_spans (ExactSubstr-style duplicate-span
+    detection): same tokenizer/shingle laws, same md5 gram digest, and
+    the identical island-merge law — a duplicate window [pos, pos+k)
+    starts a new span iff pos > running max(pos + k) over the doc's
+    earlier duplicate windows (0-based positions, span_end exclusive)."""
+    sh = _shingles(k)
+    return f"""
+WITH g0 AS (
+  SELECT doc_id, unnest({sh}) AS g,
+         generate_subscripts({sh}, 1) - 1 AS pos
+  FROM documents
+),
+g AS (SELECT doc_id, pos, md5(g) AS gh FROM g0),
+dup AS (SELECT gh FROM g GROUP BY 1 HAVING count(*) >= {min_df}),
+hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(
+             max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS new_isl
+  FROM hits
+),
+i AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM m
+)
+SELECT doc_id::BIGINT AS doc_id,
+       min(pos)::BIGINT AS span_start,
+       (max(pos) + {k})::BIGINT AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM i GROUP BY doc_id, island
+ORDER BY doc_id, span_start"""

@@ -734,3 +734,38 @@ def test_lm_perplexity_prefers_frequent_bigrams(spark):
     assert per.loc[0] < per.loc[3]  # frequent bigrams -> lower NLL
     again = lm_perplexity_scores(docs).toPandas().set_index("doc_id").sort_index()
     assert (again["nll_q"] == out["nll_q"]).all()
+
+
+def test_duplicate_spans_merge_law(spark):
+    """ExactSubstr span law: overlapping/adjacent duplicate 8-token
+    windows merge into one maximal span; unique text yields no rows;
+    within-doc repeats count toward min_df; positions are 0-based with
+    exclusive span_end."""
+    from org_rdkit_lucene_spark.operators.dedup import duplicate_spans
+
+    boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    uniq0 = "one two three four five six seven eight nine ten"
+    uniq1 = "red orange yellow green blue indigo violet umber ochre teal"
+    rows = [
+        # doc 0: boiler at offset 0 (10 tokens -> windows 0..2 merge)
+        (0, boiler + " " + uniq0),
+        (1, uniq1 + " " + boiler),  # boiler at offset 10
+        (2, "lone words nothing shared here at all everything distinct"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = duplicate_spans(docs, k=8, min_df=2).toPandas()
+    out = out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    assert set(out["doc_id"]) == {0, 1}
+    d0 = out[out.doc_id == 0].iloc[0]
+    # boiler = 10 tokens -> dup windows at pos 0,1,2 merge to [0, 10)
+    assert (d0.span_start, d0.span_end, d0.n_windows) == (0, 10, 3)
+    d1 = out[out.doc_id == 1].iloc[0]
+    assert (d1.span_start, d1.span_end, d1.n_windows) == (10, 20, 3)
+    # within-doc repetition alone reaches min_df=2
+    solo = spark.createDataFrame(pd.DataFrame(
+        [(7, boiler + " filler " + boiler)], columns=["doc_id", "text"]))
+    out2 = duplicate_spans(solo, k=8, min_df=2).toPandas()
+    assert len(out2) >= 1 and set(out2["doc_id"]) == {7}
+    again = duplicate_spans(docs, k=8, min_df=2).toPandas()
+    again = again.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+    assert again.equals(out)
