@@ -70,6 +70,42 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return out
 
 
+def varbyte_decode_many(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY VByte buffers in one vectorized pass →
+    ``(values, counts)`` where ``values`` is the concatenation of every
+    buffer's decoded uint64s and ``counts[i]`` is buffer i's value
+    count. Bit-identical to per-buffer :func:`varbyte_decode`
+    (concatenation is safe: every value terminates inside its own
+    buffer — validated). This is the WAND kernel's hot decode: one
+    numpy pass per sweep-batch instead of one per block (~45µs of
+    fixed per-call overhead × 100s of thousands of blocks dominated
+    batch-query latency)."""
+    n_bufs = len(bufs)
+    if n_bufs == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(x) for x in bufs), dtype=np.int64, count=n_bufs)
+    b = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n_bufs, dtype=np.int64)
+    is_last = (b & 0x80) == 0
+    ends = np.cumsum(lens)
+    nz = lens > 0
+    if not is_last[ends[nz] - 1].all():
+        raise ValueError("truncated varbyte stream")
+    group = np.concatenate(([0], np.cumsum(is_last)[:-1]))
+    n_vals = int(is_last.sum())
+    starts_of_group = np.concatenate(([0], np.flatnonzero(is_last)[:-1] + 1))
+    pos_in_group = np.arange(b.size) - starts_of_group[group]
+    contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << (
+        pos_in_group.astype(np.uint64) * np.uint64(7)
+    )
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(out, group, contrib)
+    cum_last = np.concatenate(([0], np.cumsum(is_last)))
+    counts = cum_last[ends] - cum_last[ends - lens]
+    return out, counts
+
+
 CODECS = ("varbyte", "for")
 
 
@@ -91,6 +127,19 @@ def decode_ints(buf: bytes, codec: str = "varbyte") -> np.ndarray:
     if codec == "for":
         return for_decode(buf)
     raise ValueError(f"unknown codec {codec!r}")
+
+
+def decode_ints_many(bufs: list[bytes], codec: str = "varbyte") -> tuple[np.ndarray, np.ndarray]:
+    """Many-buffer :func:`decode_ints` → (concatenated values, counts).
+    VByte takes the one-pass vectorized path; FOR (self-describing
+    header per buffer) decodes per buffer."""
+    if codec == "varbyte":
+        return varbyte_decode_many(bufs)
+    parts = [decode_ints(x, codec) for x in bufs]
+    counts = np.fromiter((len(p) for p in parts), dtype=np.int64, count=len(parts))
+    if not parts:
+        return np.empty(0, dtype=np.uint64), counts
+    return np.concatenate(parts), counts
 
 
 def delta_encode(sorted_ids: np.ndarray, codec: str = "varbyte") -> tuple[int, bytes]:

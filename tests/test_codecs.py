@@ -47,3 +47,32 @@ def test_single_and_boundaries():
     for x in [0, 1, 127, 128, 16383, 16384, 2**62]:
         v = np.array([x], dtype=np.uint64)
         assert np.array_equal(varbyte_decode(varbyte_encode(v)), v)
+
+
+def test_varbyte_decode_many_parity():
+    """decode_ints_many == per-buffer decode_ints, bit-identical,
+    including empty buffers and multi-byte values."""
+    import numpy as np
+    from org_rdkit_lucene_spark.functions.codecs import (
+        decode_ints,
+        decode_ints_many,
+        encode_ints,
+    )
+
+    rng = np.random.default_rng(7)
+    for codec in ("varbyte", "for"):
+        bufs, expect = [], []
+        for _ in range(137):
+            n = int(rng.integers(0, 40))
+            v = rng.integers(0, 2**40, size=n).astype(np.uint64)
+            bufs.append(encode_ints(v, codec))
+            expect.append(v)
+        vals, counts = decode_ints_many(bufs, codec)
+        assert counts.tolist() == [len(e) for e in expect]
+        off = 0
+        for buf, e in zip(bufs, expect):
+            got = vals[off : off + len(e)]
+            assert (got == decode_ints(buf, codec)).all()
+            assert (got == e).all()
+            off += len(e)
+    assert decode_ints_many([], "varbyte")[0].size == 0
