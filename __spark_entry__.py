@@ -985,6 +985,19 @@ def _td_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, k=8, min_df=2).orderBy("doc_id", "span_start")
 
 
+MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+MIX_BUDGET = 20_000
+
+
+def _td_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget data mixing: per-language budgets,
+    docs taken in (md5(text), doc_id) order until the budget fills."""
+    from org_rdkit_lucene_spark.functions.text import token_budget_mix
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return token_budget_mix(docs, MIX_WEIGHTS, MIX_BUDGET).orderBy("doc_id")
+
+
 def _q_add_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IndexWriter.addIndexes analog: two indexes built over disjoint
     halves of the documents table are merged WITHOUT re-tokenizing;
@@ -1090,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b2_add_indexes": _q_add_indexes,
         "td_lm_perplexity": _td_lm_perplexity,
         "td_dup_spans": _td_dup_spans,
+        "td_token_budget_mix": _td_token_budget_mix,
     }
 
 
@@ -1238,4 +1252,5 @@ def oracle_sql() -> dict[str, str]:
         "b2_add_indexes": sqlgen.bm25_topk_sql(DISJ_QUERIES, "disjunctive"),
         "td_lm_perplexity": sqlgen.lm_perplexity_sql(),
         "td_dup_spans": sqlgen.dup_spans_sql(k=8, min_df=2),
+        "td_token_budget_mix": sqlgen.token_budget_mix_sql(MIX_WEIGHTS, MIX_BUDGET),
     }

@@ -567,3 +567,56 @@ def lm_perplexity_scores(
             F.coalesce("nll_q", F.lit(0)).cast("long").alias("nll_q"),
         )
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Deterministic token-budget data mixing — the "assemble a
+    training mix" step after curation: stratum s (language / source /
+    domain) gets ``budget_s = floor(budget_tokens * weights[s])``
+    tokens; within a stratum docs are taken in (md5(text), doc_id)
+    order (a content-derived deterministic shuffle — NOT corpus order,
+    which would bias the mix toward whatever sorted first) while the
+    INCLUSIVE running token total stays <= budget_s. Strata missing
+    from ``weights`` get budget 0.
+
+    Returns ``(doc_id, stratum, n_tokens, cum_tokens, kept)`` for
+    EVERY input doc (kept = made the budget), so downstream can audit
+    what the mix dropped.
+
+    Scale shape: one window per stratum (strata are few — the
+    partition is as skewed as the mix itself; at 100 TB a per-stratum
+    window is a range-partitioned sort on (h, doc_id), Spark's
+    standard distributed sort, not a single-task funnel); the budget
+    table is driver-sized and broadcast. No self-joins, no collects."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    budgets = spark.createDataFrame(
+        [(s, int(budget_tokens * w)) for s, w in sorted(weights.items())],
+        "stratum string, budget long",
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        F.size(tokens_column(content_col)).cast("long").alias("n_tokens"),
+        F.md5(F.col(content_col)).alias("h"),
+    )
+    w = Window.partitionBy("stratum").orderBy("h", "doc_id")
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(F.broadcast(budgets), "stratum", "left")
+        .select(
+            "doc_id",
+            "stratum",
+            "n_tokens",
+            "cum_tokens",
+            (F.col("cum_tokens") <= F.coalesce("budget", F.lit(0))).alias("kept"),
+        )
+    )

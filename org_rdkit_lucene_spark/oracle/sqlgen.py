@@ -1865,3 +1865,31 @@ SELECT doc_id::BIGINT AS doc_id,
        count(*)::BIGINT AS n_windows
 FROM i GROUP BY doc_id, island
 ORDER BY doc_id, span_start"""
+
+
+def token_budget_mix_sql(weights: dict[str, float], budget_tokens: int,
+                         stratum_col: str = "lang") -> str:
+    """Twin of text.token_budget_mix: same tokenizer length, md5 order
+    law, inclusive running-total budget cut, missing-stratum budget 0."""
+    toks = duckdb_tokens_sql("text")
+    rows = ", ".join(
+        f"""('{s.replace("'", "''")}', {int(budget_tokens * w)})"""
+        for s, w in sorted(weights.items())
+    )
+    return f"""
+WITH budgets(stratum, budget) AS (VALUES {rows}),
+base AS (
+  SELECT doc_id::BIGINT AS doc_id, {stratum_col} AS stratum,
+         len({toks})::BIGINT AS n_tokens, md5(text) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, stratum, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY stratum ORDER BY h, doc_id)::BIGINT
+           AS cum_tokens
+  FROM base
+)
+SELECT doc_id, stratum, n_tokens, cum_tokens,
+       cum_tokens <= coalesce(budget, 0) AS kept
+FROM c LEFT JOIN budgets USING (stratum)
+ORDER BY doc_id"""

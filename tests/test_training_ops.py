@@ -769,3 +769,37 @@ def test_duplicate_spans_merge_law(spark):
     again = duplicate_spans(docs, k=8, min_df=2).toPandas()
     again = again.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
     assert again.equals(out)
+
+
+def test_token_budget_mix_law(spark):
+    """Mix law: per-stratum budgets honored with INCLUSIVE running
+    totals in (md5(text), doc_id) order; strata missing from weights
+    keep nothing; every input doc appears exactly once."""
+    from org_rdkit_lucene_spark.functions.text import token_budget_mix
+
+    rows = [
+        (0, "a b c d", "en"),       # 4 tokens each
+        (1, "e f g h", "en"),
+        (2, "i j k l", "en"),
+        (3, "m n o p", "fr"),
+        (4, "q r s t", "xx"),       # stratum not in weights
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    out = (
+        token_budget_mix(docs, {"en": 0.8, "fr": 0.2}, 10)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert len(out) == 5
+    # en budget = 8 -> exactly two 4-token docs fit (md5 order decides which)
+    en = out[out.stratum == "en"]
+    assert en["kept"].sum() == 2
+    kept_cums = sorted(en[en.kept]["cum_tokens"])
+    assert kept_cums == [4, 8]
+    # fr budget = 2 < 4 tokens -> nothing kept (inclusive law)
+    assert not out.loc[3, "kept"]
+    assert not out.loc[4, "kept"]  # missing stratum -> budget 0
+    again = (
+        token_budget_mix(docs, {"en": 0.8, "fr": 0.2}, 10)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert (again["kept"] == out["kept"]).all()
