@@ -998,6 +998,15 @@ def _td_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mix(docs, MIX_WEIGHTS, MIX_BUDGET).orderBy("doc_id")
 
 
+def _td_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-length quantiles (nearest-rank law) —
+    the curation-threshold picker."""
+    from org_rdkit_lucene_spark.functions.text import length_quantiles
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return length_quantiles(docs).orderBy("stratum")
+
+
 def _q_add_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IndexWriter.addIndexes analog: two indexes built over disjoint
     halves of the documents table are merged WITHOUT re-tokenizing;
@@ -1104,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_lm_perplexity": _td_lm_perplexity,
         "td_dup_spans": _td_dup_spans,
         "td_token_budget_mix": _td_token_budget_mix,
+        "td_length_quantiles": _td_length_quantiles,
     }
 
 
@@ -1253,4 +1263,5 @@ def oracle_sql() -> dict[str, str]:
         "td_lm_perplexity": sqlgen.lm_perplexity_sql(),
         "td_dup_spans": sqlgen.dup_spans_sql(k=8, min_df=2),
         "td_token_budget_mix": sqlgen.token_budget_mix_sql(MIX_WEIGHTS, MIX_BUDGET),
+        "td_length_quantiles": sqlgen.length_quantiles_sql(),
     }

@@ -620,3 +620,47 @@ def token_budget_mix(
             (F.col("cum_tokens") <= F.coalesce("budget", F.lit(0))).alias("kept"),
         )
     )
+
+
+def length_quantiles(
+    docs: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """EXACT per-stratum token-length quantiles under the nearest-rank
+    law: quantile q = the value at 0-based rank floor(q·(n-1)) in
+    (n_tokens, doc_id) order — deterministic and cross-engine (unlike
+    ``percentile_approx``, whose sketch is engine-specific). The
+    pipeline use: pick corpus-wide length-filter thresholds per
+    language/source before curation.
+
+    Returns ``(stratum, n_docs, p<q*100>...)``. Scale shape: one
+    window sort per stratum (range-partitioned distributed sort) and
+    one groupBy — strata are few; no collects."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        F.size(tokens_column(content_col)).cast("long").alias("n_tokens"),
+        F.col(id_col).alias("doc_id"),
+    )
+    w = Window.partitionBy("stratum").orderBy("n_tokens", "doc_id")
+    r = base.select(
+        "stratum",
+        "n_tokens",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count("*").over(Window.partitionBy("stratum")).alias("cnt"),
+    )
+    aggs = [F.max("cnt").cast("long").alias("n_docs")]
+    for q in qs:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor(F.lit(q) * (F.col("cnt") - 1)),
+                    F.col("n_tokens"),
+                )
+            ).cast("long").alias(f"p{int(round(q * 100))}")
+        )
+    return r.groupBy("stratum").agg(*aggs)

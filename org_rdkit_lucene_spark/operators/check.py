@@ -1,0 +1,192 @@
+"""Index integrity checking — Lucene ``CheckIndex`` analog.
+
+The reference ships Lucene 3.6.1, whose ``CheckIndex`` tool walks an
+index's segments validating doc counts, postings monotonicity and
+per-term statistics; the engine's equivalent validates the on-disk
+layout this package writes (stats.json / lexicon / postings / docmeta /
+docmap) against the same class of invariants.
+
+All checks are distributed aggregations over the index tables — only
+per-check scalars reach the driver. ``deep=True`` additionally decodes
+every posting block (the thorough mode, like CheckIndex without
+``-fast``): doc ids must be strictly increasing inside each block and
+inside the block's declared [first_doc, last_doc] envelope, and the
+decoded tf sums must reproduce the lexicon's collection frequencies.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from org_rdkit_lucene_spark.functions.codecs import decode_ints_many
+
+
+def _deep_kernel(codec: str):
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            n_per = pdf["n"].to_numpy(np.int64)
+            gaps, gap_counts = decode_ints_many(
+                [bytes(x) for x in pdf["doc_bytes"]], codec
+            )
+            tfs, tf_counts = decode_ints_many(
+                [bytes(x) for x in pdf["tf_bytes"]], codec
+            )
+            counts_ok = bool(
+                (gap_counts == n_per - 1).all() and (tf_counts == n_per).all()
+            )
+            # gaps strictly positive <=> doc ids strictly increasing
+            monotonic_ok = bool((gaps > 0).all()) if gaps.size else True
+            # last_doc envelope: first + sum(gaps per block) == last_doc
+            bnd = np.concatenate(([0], np.cumsum(gap_counts)))
+            csum = np.concatenate(([0], np.cumsum(gaps.astype(np.int64))))
+            spans = csum[bnd[1:]] - csum[bnd[:-1]]
+            range_ok = bool(
+                (
+                    pdf["first_doc"].to_numpy(np.int64) + spans
+                    == pdf["last_doc"].to_numpy(np.int64)
+                ).all()
+            )
+            # per-term decoded tf sums (cf reconstruction)
+            tf_bnd = np.concatenate(([0], np.cumsum(tf_counts)))
+            tf_csum = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+            block_tf = tf_csum[tf_bnd[1:]] - tf_csum[tf_bnd[:-1]]
+            out = pd.DataFrame(
+                {
+                    "term": pdf["term"],
+                    "block_tf": block_tf,
+                    "counts_ok": counts_ok,
+                    "monotonic_ok": monotonic_ok,
+                    "range_ok": range_ok,
+                }
+            )
+            yield out
+
+    return kernel
+
+
+def check_index(index, deep: bool = False) -> pd.DataFrame:
+    """Validate an :class:`InvertedIndex`'s on-disk invariants
+    (``CheckIndex`` analog). Returns a driver-sized pandas DataFrame
+    ``(check, passed, detail)`` — one row per invariant; ``passed``
+    all-True means the index is internally consistent.
+
+    Shallow checks (metadata aggregations only):
+
+    - stats.n_docs == |docmeta| == |docmap|; doc_ids distinct, in
+      [0, stats.max_doc_id]
+    - stats.total_dl == Σ docmeta.doc_len and avgdl = total_dl/N
+    - lexicon/postings term sets identical; per-term Σ block n == df
+    - per-term blocks non-overlapping and ordered (prev last_doc <
+      next first_doc in block_id order); first_doc <= last_doc, n >= 1
+    - idf reproduces ln(1 + (N - df + .5)/(df + .5)) bit-for-bit
+
+    ``deep=True`` adds the decode pass: per-block gap/tf payload counts
+    match n, doc ids strictly increase into exactly [first_doc,
+    last_doc], and per-term decoded Σtf == lexicon cf.
+    """
+    rows: list[tuple[str, bool, str]] = []
+
+    def add(name: str, passed: bool, detail: str = "") -> None:
+        rows.append((name, bool(passed), detail))
+
+    n_meta, max_id, n_distinct, min_id, sum_dl = (
+        index.docmeta.agg(
+            F.count("*"),
+            F.max("doc_id"),
+            F.countDistinct("doc_id"),
+            F.min("doc_id"),
+            F.sum("doc_len"),
+        ).collect()[0]
+    )
+    n_map = index.docmap.count()
+    add("doc_count", n_meta == index.n_docs == n_map,
+        f"stats={index.n_docs} docmeta={n_meta} docmap={n_map}")
+    add("doc_ids_distinct", n_distinct == n_meta, f"distinct={n_distinct}")
+    add("doc_id_range", min_id >= 0 and max_id == index.max_doc_id,
+        f"min={min_id} max={max_id} stats_max={index.max_doc_id}")
+    add("total_dl", int(sum_dl or 0) == index.total_dl
+        and (n_meta == 0 or index.avgdl == index.total_dl / n_meta),
+        f"sum_dl={sum_dl} stats_total_dl={index.total_dl} avgdl={index.avgdl}")
+
+    agg = (
+        index.postings.groupBy("term")
+        .agg(F.sum("n").alias("sum_n"))
+        .join(index.lexicon.select("term", "df", "cf", "idf"), "term", "full")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum(F.when(F.col("sum_n").isNull() | F.col("df").isNull(), 1)
+                  .otherwise(0)).alias("orphans"),
+            F.sum(F.when(F.col("sum_n") != F.col("df"), 1).otherwise(0)).alias("df_bad"),
+        )
+        .collect()[0]
+    )
+    add("term_sets_match", agg["orphans"] == 0, f"orphans={agg['orphans']}")
+    add("df_matches_blocks", (agg["df_bad"] or 0) == 0, f"bad={agg['df_bad']}")
+
+    w = Window.partitionBy("term").orderBy("block_id")
+    blk = (
+        index.postings.select("term", "block_id", "first_doc", "last_doc", "n")
+        .withColumn("prev_last", F.lag("last_doc").over(w))
+        .agg(
+            F.sum(F.when(F.col("first_doc") > F.col("last_doc"), 1).otherwise(0)).alias("bad_env"),
+            F.sum(F.when(F.col("n") < 1, 1).otherwise(0)).alias("bad_n"),
+            F.sum(F.when(F.col("prev_last") >= F.col("first_doc"), 1).otherwise(0)).alias("overlap"),
+        )
+        .collect()[0]
+    )
+    add("block_envelopes", (blk["bad_env"] or 0) == 0 and (blk["bad_n"] or 0) == 0,
+        f"bad_env={blk['bad_env']} bad_n={blk['bad_n']}")
+    add("blocks_ordered", (blk["overlap"] or 0) == 0, f"overlap={blk['overlap']}")
+
+    n = index.n_docs
+    idf_bad = (
+        index.lexicon.withColumn(
+            "idf_expect",
+            F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + F.lit(0.5))
+                  / (F.col("df") + F.lit(0.5))),
+        )
+        .filter(F.col("idf") != F.col("idf_expect"))
+        .count()
+    )
+    add("idf_law", idf_bad == 0, f"bad={idf_bad}")
+
+    if deep:
+        codec = getattr(index, "codec", "varbyte")
+        dec = index.postings.select(
+            "term", "n", "first_doc", "last_doc", "doc_bytes", "tf_bytes"
+        ).mapInPandas(
+            _deep_kernel(codec),
+            schema="term string, block_tf long, counts_ok boolean, "
+                   "monotonic_ok boolean, range_ok boolean",
+        )
+        deep_agg = (
+            dec.groupBy("term")
+            .agg(
+                F.sum("block_tf").alias("sum_tf"),
+                F.min("counts_ok").alias("counts_ok"),
+                F.min("monotonic_ok").alias("monotonic_ok"),
+                F.min("range_ok").alias("range_ok"),
+            )
+            .join(index.lexicon.select("term", "cf"), "term")
+            .agg(
+                F.sum(F.when(F.col("sum_tf") != F.col("cf"), 1).otherwise(0)).alias("cf_bad"),
+                F.min("counts_ok").alias("counts_ok"),
+                F.min("monotonic_ok").alias("monotonic_ok"),
+                F.min("range_ok").alias("range_ok"),
+            )
+            .collect()[0]
+        )
+        add("deep_payload_counts", bool(deep_agg["counts_ok"]), "")
+        add("deep_docs_monotonic", bool(deep_agg["monotonic_ok"]), "")
+        add("deep_block_ranges", bool(deep_agg["range_ok"]), "")
+        add("deep_cf_matches", (deep_agg["cf_bad"] or 0) == 0,
+            f"bad={deep_agg['cf_bad']}")
+
+    return pd.DataFrame(rows, columns=["check", "passed", "detail"])

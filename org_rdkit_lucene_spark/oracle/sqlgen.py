@@ -1893,3 +1893,30 @@ SELECT doc_id, stratum, n_tokens, cum_tokens,
        cum_tokens <= coalesce(budget, 0) AS kept
 FROM c LEFT JOIN budgets USING (stratum)
 ORDER BY doc_id"""
+
+
+def length_quantiles_sql(qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                         stratum_col: str = "lang") -> str:
+    """Twin of text.length_quantiles: the identical nearest-rank law
+    (rank floor(q*(n-1)) in (n_tokens, doc_id) order) — exact, no
+    sketch, so both engines agree to the integer."""
+    toks = duckdb_tokens_sql("text")
+    cols = ",\n       ".join(
+        f"max(CASE WHEN rn = floor({q} * (cnt - 1)) THEN n_tokens END)::BIGINT"
+        f" AS p{int(round(q * 100))}"
+        for q in qs
+    )
+    return f"""
+WITH base AS (
+  SELECT {stratum_col} AS stratum, len({toks})::BIGINT AS n_tokens, doc_id
+  FROM documents
+),
+r AS (
+  SELECT stratum, n_tokens,
+         row_number() OVER (PARTITION BY stratum ORDER BY n_tokens, doc_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY stratum) AS cnt
+  FROM base
+)
+SELECT stratum, max(cnt)::BIGINT AS n_docs,
+       {cols}
+FROM r GROUP BY stratum ORDER BY stratum"""

@@ -1,0 +1,44 @@
+"""CheckIndex analog: a freshly built index passes every invariant
+(shallow + deep decode pass); a tampered stats.json is caught."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from org_rdkit_lucene_spark.config import IndexConfig
+from org_rdkit_lucene_spark.operators.build import InvertedIndex, build_index
+from org_rdkit_lucene_spark.operators.check import check_index
+from org_rdkit_lucene_spark.sources.fixtures import make_corpus_pdf
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("chk_idx"))
+    corpus = spark.createDataFrame(make_corpus_pdf(n_docs=250, seed=3))
+    return build_index(spark, corpus, IndexConfig(build_partitions=4), d)
+
+
+def test_fresh_index_passes_all_checks(small_index):
+    out = check_index(small_index, deep=True)
+    failed = out[~out.passed]
+    assert failed.empty, failed.to_string()
+    # deep mode ran: decode-backed invariants present
+    assert {"deep_cf_matches", "deep_docs_monotonic"} <= set(out.check)
+
+
+def test_tampered_stats_detected(spark, small_index, tmp_path):
+    d = str(tmp_path / "tampered")
+    shutil.copytree(small_index.index_dir, d)
+    p = os.path.join(d, "stats.json")
+    stats = json.load(open(p))
+    stats["n_docs"] += 7
+    stats["total_dl"] += 13
+    json.dump(stats, open(p, "w"))
+    idx = InvertedIndex.load(spark, d)
+    out = check_index(idx).set_index("check")
+    assert not out.loc["doc_count", "passed"]
+    assert not out.loc["total_dl", "passed"]
+    # untampered invariants still pass
+    assert out.loc["blocks_ordered", "passed"]

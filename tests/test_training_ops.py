@@ -803,3 +803,24 @@ def test_token_budget_mix_law(spark):
         .toPandas().set_index("doc_id").sort_index()
     )
     assert (again["kept"] == out["kept"]).all()
+
+
+def test_length_quantiles_nearest_rank_law(spark):
+    """Exact nearest-rank quantiles: value at 0-based rank
+    floor(q*(n-1)) in (n_tokens, doc_id) order — checked against a
+    hand-computed stratum."""
+    from org_rdkit_lucene_spark.functions.text import length_quantiles
+
+    rows = [(i, " ".join(["tok"] * (i + 1)), "en") for i in range(10)]  # 1..10 tokens
+    rows += [(100, "a b c", "fr")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    out = (
+        length_quantiles(docs, qs=(0.5, 0.9))
+        .toPandas().set_index("stratum").sort_index()
+    )
+    # en: n=10, sorted lengths 1..10; p50 -> rank floor(.5*9)=4 -> 5;
+    # p90 -> rank floor(.9*9)=8 -> 9
+    assert out.loc["en", "n_docs"] == 10
+    assert out.loc["en", "p50"] == 5 and out.loc["en", "p90"] == 9
+    # single-doc stratum: every quantile is that doc's length
+    assert out.loc["fr", "p50"] == 3 and out.loc["fr", "p90"] == 3
