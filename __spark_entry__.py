@@ -58,6 +58,7 @@ from org_rdkit_lucene_spark.operators.query import (
     hit_counts,
     max_scores,
     search_sorted,
+    search_multi_field,
     more_like_this,
     search,
     search_snippets,
@@ -92,6 +93,12 @@ PHRASE_QUERIES = [
     (23, "merge part window", 3),
 ]
 PAGE_QUERY = (31, "merge join spark", 10)
+MF_QUERIES = [
+    (41, "merge join src3", 10),
+    (42, "src7 window", 10),
+    (43, "hash scan", 5),
+]
+MF_FIELD_BOOSTS = [("text", 1.0), ("source", 2.0)]
 BLOCKLIST = [3, 7, 11, 42]
 LOOKUP_DOC_ID = 42
 EXACT_ANCHOR_DOC_ID = 7
@@ -116,6 +123,23 @@ def _index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
 def _corpus_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     _index_for(spark, sf_dir)
     return _CORPUS_CACHE[os.path.abspath(sf_dir)]
+
+
+_SRC_INDEX_CACHE: dict[str, InvertedIndex] = {}
+
+
+def _source_index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Second per-field index (the Lucene one-index-per-field model):
+    same doc ids, body = the ``source`` column."""
+    key = os.path.abspath(sf_dir)
+    if key not in _SRC_INDEX_CACHE:
+        corpus = documents_as_corpus(spark, sf_dir).withColumn(
+            "content", F.col("repo")  # repo carries the source value
+        )
+        d = tempfile.mkdtemp(prefix="orls_idx_src_")
+        cfg = IndexConfig(build_partitions=8, n_salts=8)
+        _SRC_INDEX_CACHE[key] = build_index(spark, corpus, cfg, d, id_col="ext_id")
+    return _SRC_INDEX_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -998,6 +1022,17 @@ def _td_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mix(docs, MIX_WEIGHTS, MIX_BUDGET).orderBy("doc_id")
 
 
+def _q3_multi_field_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True multi-field scored search (MultiFieldQueryParser-with-
+    boosts analog): text field boost 1.0 + source field boost 2.0,
+    one index per field, per-field BM25 summed."""
+    fields = [
+        (_index_for(spark, sf_dir), MF_FIELD_BOOSTS[0][1]),
+        (_source_index_for(spark, sf_dir), MF_FIELD_BOOSTS[1][1]),
+    ]
+    return search_multi_field(fields, MF_QUERIES)
+
+
 def _td_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language token-length quantiles (nearest-rank law) —
     the curation-threshold picker."""
@@ -1114,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_dup_spans": _td_dup_spans,
         "td_token_budget_mix": _td_token_budget_mix,
         "td_length_quantiles": _td_length_quantiles,
+        "q3_multi_field_bm25": _q3_multi_field_bm25,
     }
 
 
@@ -1264,4 +1300,5 @@ def oracle_sql() -> dict[str, str]:
         "td_dup_spans": sqlgen.dup_spans_sql(k=8, min_df=2),
         "td_token_budget_mix": sqlgen.token_budget_mix_sql(MIX_WEIGHTS, MIX_BUDGET),
         "td_length_quantiles": sqlgen.length_quantiles_sql(),
+        "q3_multi_field_bm25": sqlgen.multi_field_bm25_sql(MF_QUERIES, MF_FIELD_BOOSTS),
     }

@@ -1785,6 +1785,62 @@ def search_snippets(
 WAND_ROUTE_MIN_CANDIDATES = LOCAL_TOPK_MIN_CANDIDATES
 
 
+def search_multi_field(
+    fields: list[tuple[InvertedIndex, float]],
+    queries: list[tuple[int, str, int]],
+) -> DataFrame:
+    """TRUE multi-field scored search — the MultiFieldQueryParser-with-
+    boosts analog (``ChemicalIndex.java:482-485`` builds the parser
+    over every discovered field with a per-field boost map; Lucene
+    scores each field's postings independently and sums): one
+    InvertedIndex per field (the Lucene one-inverted-index-per-field
+    model), each field's BM25 scored stream (its OWN df/idf/avgdl
+    statistics) scaled by its boost, summed per (query, doc), ranked
+    under the K2 law. A doc matching in ANY field is a candidate
+    (SHOULD across fields). Complements :func:`search_name_or_key`,
+    which is the coord-scored Q3 slice.
+
+    Scale shape: per field, exactly the single-field scored stream
+    (pushed term scan + one broadcast weight join); the cross-field
+    sum is one groupBy on (query_id, doc_id) — a uniform composite
+    key. The adaptive two-stage rank uses the summed per-field
+    candidate bounds (a doc can enter once per field)."""
+    parts = []
+    est_total = 0
+    n_docs_max = 0
+    dec = None
+    for idx_f, boost in fields:
+        qt = tokenize_queries(queries, idx_f.cfg.tokenizer)
+        if len(qt) == 0:
+            continue
+        scored_f, est_f = _bm25_scored(idx_f, qt)
+        parts.append(
+            scored_f.select(
+                "query_id",
+                "doc_id",
+                (F.col("score_raw") * F.lit(float(boost))).alias("score_raw"),
+                "k",
+            )
+        )
+        est_total += est_f["disjunctive"] or 0
+        n_docs_max = max(n_docs_max, idx_f.n_docs)
+        dec = idx_f.cfg.bm25.score_decimals if dec is None else dec
+    if not parts:
+        return fields[0][0].spark.createDataFrame([], RESULT_SCHEMA)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy("query_id", "doc_id").agg(
+        F.sum("score_raw").alias("score_raw"), F.max("k").alias("k")
+    )
+    return rank_topk(
+        scored,
+        dec,
+        est_candidates=min(est_total, n_docs_max * len(fields)),
+        max_k=max(k for _, _, k in queries),
+    )
+
+
 def search_auto(
     index: InvertedIndex,
     queries: list[tuple[int, str, int]],

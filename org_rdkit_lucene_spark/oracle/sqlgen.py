@@ -1920,3 +1920,70 @@ r AS (
 SELECT stratum, max(cnt)::BIGINT AS n_docs,
        {cols}
 FROM r GROUP BY stratum ORDER BY stratum"""
+
+
+def multi_field_bm25_sql(
+    queries: list[tuple[int, str, int]],
+    fields: list[tuple[str, float]],
+) -> str:
+    """Twin of operators/query.search_multi_field: one full BM25 CTE
+    chain per field (its OWN df/idf/avgdl statistics over the derived
+    (doc_id, text) view), each field's per-doc sum scaled by its boost
+    AFTER the sum (engine order), cross-field SHOULD union summed per
+    (query, doc), K2 rank + quantization. ``fields`` =
+    [(text_expr_sql, boost)] where text_expr is selected from
+    documents as the field body (e.g. "text", "source")."""
+    toks_of = duckdb_tokens_sql("text")
+    chains, unions = [], []
+    for i, (expr, boost) in enumerate(fields):
+        p = f"f{i}"
+        chains.append(f"""{p}docs AS (SELECT doc_id, {expr} AS text FROM documents),
+{p}tok AS (SELECT doc_id, unnest({toks_of}) AS term FROM {p}docs),
+{p}tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM {p}tok GROUP BY 1, 2),
+{p}dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM {p}tok GROUP BY 1),
+{p}n AS (SELECT count(*)::DOUBLE AS n FROM {p}docs),
+{p}avg AS (
+  SELECT sum(coalesce({p}dl.dl, 0)) / (SELECT n FROM {p}n) AS avgdl
+  FROM {p}docs LEFT JOIN {p}dl USING (doc_id)
+),
+{p}df AS (SELECT term, count(*)::DOUBLE AS df FROM {p}tf GROUP BY 1),
+{p}scored AS (
+  SELECT q.query_id, {p}tf.doc_id,
+         sum(q.qtf * ln(1.0 + ((SELECT n FROM {p}n) - {p}df.df + 0.5) / ({p}df.df + 0.5))
+             * {p}tf.tf * {P.k1 + 1.0}
+             / ({p}tf.tf + {P.k1} * (1.0 - {P.b} + {P.b} * {p}dl.dl / (SELECT avgdl FROM {p}avg)))
+         ) * {float(boost)} AS score_raw,
+         max(q.k) AS k
+  FROM {p}tf
+  JOIN q USING (term)
+  JOIN {p}df USING (term)
+  JOIN {p}dl USING (doc_id)
+  GROUP BY 1, 2
+)""")
+        unions.append(f"SELECT * FROM {p}scored")
+    chain_sql = ",\n".join(chains)
+    union_sql = " UNION ALL ".join(unions)
+    return f"""
+WITH q(query_id, term, qtf, n_terms, k) AS (
+  VALUES
+    {_values_qterms(queries)}
+),
+{chain_sql},
+allsc AS ({union_sql}),
+comb AS (
+  SELECT query_id, doc_id, sum(score_raw) AS score_raw, max(k) AS k
+  FROM allsc GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score_raw * {_QUANT} + 0.5) AS BIGINT) AS score_q, k,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(floor(score_raw * {_QUANT} + 0.5) AS BIGINT) DESC, doc_id ASC
+         ) AS rnk
+  FROM comb
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score_q
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank"""

@@ -195,3 +195,45 @@ def test_search_sorted_by_doc_len(small_index, queries_pdf):
         assert (mm["sort_key"] == mm["doc_len"]).all()
         keys = list(zip(-g["sort_key"], g["doc_id"]))
         assert keys == sorted(keys)
+
+
+def test_multi_field_single_field_reduction(small_index, queries_pdf):
+    """search_multi_field([(idx, 1.0)]) must equal plain disjunctive
+    search — the boost-sum law degenerates to single-field BM25."""
+    from org_rdkit_lucene_spark.operators.query import search, search_multi_field
+
+    qs = [(int(r.query_id), r.text, int(r.k)) for r in queries_pdf.itertuples()][:6]
+    a = search(small_index, qs, "disjunctive").toPandas()
+    b = search_multi_field([(small_index, 1.0)], qs).toPandas()
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_multi_field_boost_law(spark, small_index, tmp_path):
+    """A second field (constant marker body per doc half) with a large
+    boost must dominate ranking: docs whose field-2 body matches the
+    query outrank all text-only matches."""
+    from org_rdkit_lucene_spark.config import IndexConfig
+    from org_rdkit_lucene_spark.operators.build import build_index
+    from org_rdkit_lucene_spark.operators.query import search_multi_field
+
+    import pandas as pd
+
+    corpus = small_index.docmeta.select("doc_id", "repo", "path", "commit", "lang")
+    pdf = corpus.toPandas()
+    pdf["content"] = ["alpha" if i % 2 else "beta" for i in pdf["doc_id"]]
+    pdf = pdf.rename(columns={"doc_id": "ext_id"})
+    f2 = build_index(
+        spark,
+        spark.createDataFrame(pdf),
+        IndexConfig(build_partitions=2),
+        str(tmp_path / "f2"),
+        id_col="ext_id",
+    )
+    qs = [(1, "merg alpha", 8)]
+    out = search_multi_field([(small_index, 1.0), (f2, 10.0)], qs).toPandas()
+    assert len(out) == 8
+    # every returned doc matched 'alpha' in field 2 (odd doc ids) —
+    # the boosted field dominates any text-only score
+    assert (out["doc_id"] % 2 == 1).all()
