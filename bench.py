@@ -213,10 +213,14 @@ def run_level(
         # 100 TB scale claims, so their throughput is tracked per round
         # like the BM25 paths (one timed run each at this level)
         if td_dir:
-            from org_rdkit_lucene_spark.functions.text import curate_corpus
+            from org_rdkit_lucene_spark.functions.text import (
+                curate_corpus,
+                lm_perplexity_scores,
+            )
             from org_rdkit_lucene_spark.operators.ann import ivf_cosine_topk
             from org_rdkit_lucene_spark.operators.dedup import (
                 dedup_clusters,
+                duplicate_spans,
                 minhash_lsh_pairs,
                 simhash_fingerprints,
             )
@@ -240,6 +244,10 @@ def run_level(
                      minhash_lsh_pairs(docs, "doc_id", "text"), docs=docs)),
                 ("td_curation",
                  lambda: curate_corpus(docs, min_quality_q=550_000)),
+                ("td_dup_spans",
+                 lambda: duplicate_spans(docs, k=8, min_df=2)),
+                ("td_lm_perplexity",
+                 lambda: lm_perplexity_scores(docs)),
             ]:
                 t = time.time()
                 hits = fn().count()

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from org_rdkit_lucene_spark.functions.tokenizer import tokens_column
+from org_rdkit_lucene_spark.functions.tokenizer import bind_array, tokens_column
 
 # deterministic per-language stopword marker sets (heuristic n-gram/
 # stopword language ID — the mechanism, not a trained model)
@@ -141,16 +141,24 @@ def winnow_fingerprints(
     """
     toks = tokens_column(content_col)
     # 60-bit signed-safe token hash: first 15 hex chars of md5
-    hs = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
-    n = F.size(hs)
-    w = F.least(F.lit(window), n)
-    mins = F.when(n <= 0, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - w + 1),
-            lambda i: F.array_min(F.slice(hs, i, window)),
-        )
+    hashed = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
-    fps = F.array_distinct(mins)
+
+    # hash array BOUND once (bind_array): slicing an unbound hash
+    # expression inside the per-window transform re-hashes every token
+    # per window position — quadratic per doc
+    def _mins(hs: Column) -> Column:
+        n = F.size(hs)
+        w = F.least(F.lit(window), n)
+        return F.when(n <= 0, F.array()).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - w + 1),
+                lambda i: F.array_min(F.slice(hs, i, window)),
+            )
+        )
+
+    fps = F.array_distinct(bind_array(hashed, _mins))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(fps).cast("long").alias("n_fingerprints"),
@@ -300,16 +308,24 @@ def repetition_scores(
     s = F.array_sort(lines)
     n = F.size(s)
     d = F.size(F.array_distinct(s))
+    # sorted array BOUND once (bind_array): element_at over an unbound
+    # sort expression re-sorts per position — quadratic per doc
     dup_chars = F.aggregate(
-        F.transform(
-            F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
-                F.array().cast("array<int>")
+        bind_array(
+            s,
+            lambda sb: F.transform(
+                F.when(F.size(sb) > 0, F.sequence(F.lit(1), F.size(sb))).otherwise(
+                    F.array().cast("array<int>")
+                ),
+                lambda i: F.when(
+                    ((i > 1) & (F.element_at(sb, i) == F.element_at(sb, i - 1)))
+                    | (
+                        (i < F.size(sb))
+                        & (F.element_at(sb, i) == F.element_at(sb, i + 1))
+                    ),
+                    F.length(F.element_at(sb, i)).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
             ),
-            lambda i: F.when(
-                ((i > 1) & (F.element_at(s, i) == F.element_at(s, i - 1)))
-                | ((i < n) & (F.element_at(s, i) == F.element_at(s, i + 1))),
-                F.length(F.element_at(s, i)).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,

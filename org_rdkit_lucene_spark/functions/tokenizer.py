@@ -253,3 +253,19 @@ def tokenize_query_terms(
     """Driver-side query tokenization (query sets are small — reference
     parses queries on the caller thread too, ``ChemicalIndex.java:618``)."""
     return [tokenize_text(q, profile) for q in queries]
+
+
+def bind_array(arr: Column, fn) -> Column:
+    """Evaluate ``arr`` ONCE per row and pass the bound VALUE into
+    ``fn`` — Catalyst binds a higher-order function's lambda argument
+    as a NamedLambdaVariable (a value), whereas a plain column
+    reference splices the whole expression TREE, which codegen then
+    re-evaluates at every reference. Referencing a derived array (the
+    tokenizer chain, a per-token hash array, a sorted copy) inside a
+    per-element ``transform`` lambda therefore re-runs the derivation
+    per element — measured 15× on the shingle explode at sf0.1 (and
+    quadratic for rolling-window minima). Wrapping as
+    ``transform(array(arr), a -> fn(a))[1]`` keeps everything a pure
+    expression (no exchange, no projection barrier) with ``arr``
+    evaluated exactly once."""
+    return F.element_at(F.transform(F.array(arr), fn), 1)
