@@ -149,13 +149,21 @@ def tokens_column(col: Column | str, profile: TokenizerProfile = DEFAULT_PROFILE
         )
     if profile.ngram > 1:
         n = profile.ngram
-        grams = F.when(F.size(arr) < n, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - (n - 1)),
-                lambda i: F.array_join(F.slice(arr, i, n), "␟"),
-            )
+        # token array BOUND once (bind_array): slicing the unbound
+        # split/filter chain inside the per-gram transform re-runs it
+        # per gram position
+        arr = bind_array(
+            arr,
+            lambda a: F.concat(
+                a,
+                F.when(F.size(a) < n, F.array().cast("array<string>")).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(a) - (n - 1)),
+                        lambda i: F.array_join(F.slice(a, i, n), "␟"),
+                    )
+                ),
+            ),
         )
-        arr = F.concat(arr, grams)
     return arr
 
 
