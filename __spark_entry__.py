@@ -1013,6 +1013,15 @@ MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
 MIX_BUDGET = 20_000
 
 
+def _td_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr CUT step: remove corpus-duplicated 8-token spans,
+    emit the surviving token stream's digest per doc."""
+    from org_rdkit_lucene_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return remove_duplicate_spans(docs, k=8, min_df=2).orderBy("doc_id")
+
+
 def _td_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token-budget data mixing: per-language budgets,
     docs taken in (md5(text), doc_id) order until the budget fills."""
@@ -1150,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_token_budget_mix": _td_token_budget_mix,
         "td_length_quantiles": _td_length_quantiles,
         "q3_multi_field_bm25": _q3_multi_field_bm25,
+        "td_dup_span_removal": _td_dup_span_removal,
     }
 
 
@@ -1301,4 +1311,5 @@ def oracle_sql() -> dict[str, str]:
         "td_token_budget_mix": sqlgen.token_budget_mix_sql(MIX_WEIGHTS, MIX_BUDGET),
         "td_length_quantiles": sqlgen.length_quantiles_sql(),
         "q3_multi_field_bm25": sqlgen.multi_field_bm25_sql(MF_QUERIES, MF_FIELD_BOOSTS),
+        "td_dup_span_removal": sqlgen.remove_dup_spans_sql(k=8, min_df=2),
     }

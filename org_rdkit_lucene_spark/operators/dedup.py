@@ -506,3 +506,59 @@ def dedup_clusters(
         "cluster_id",
         (F.col("doc_id") != F.col("cluster_id")).alias("is_duplicate"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """The CUT step of ExactSubstr dedup (Lee et al. 2021 remove the
+    duplicated substring, not the document): drop every token position
+    covered by a :func:`duplicate_spans` span and emit the surviving
+    token stream's digest — ``(doc_id, n_tokens, n_tokens_kept,
+    kept_sha256)`` with kept_sha256 = sha256 of the space-joined kept
+    tokens in order ('' hash when nothing survives).
+
+    Scale shape: duplicate_spans' plan plus a covered-position explode
+    (Σ span lengths ≤ token volume), one anti-join on the uniform
+    (doc_id, pos) key, and one per-doc groupBy whose ordered
+    reassembly is sort_array over collect_list (bounded by doc
+    length). Pure Catalyst."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_column(content_col)).alias("pos", "w"),
+    )
+    spans = duplicate_spans(df, id_col, content_col, k=k, min_df=min_df)
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("pos"),
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.size(tokens_column(content_col)).cast("long").alias("n_tokens"),
+        )
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+            F.sha2(F.coalesce("kept_text", F.lit("")), 256).alias("kept_sha256"),
+        )
+    )

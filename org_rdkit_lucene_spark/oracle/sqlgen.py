@@ -1987,3 +1987,59 @@ SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
        CAST(doc_id AS BIGINT) AS doc_id, score_q
 FROM ranked WHERE rnk <= k
 ORDER BY query_id, rank"""
+
+
+def remove_dup_spans_sql(k: int = 8, min_df: int = 2) -> str:
+    """Twin of dedup.remove_duplicate_spans: the dup_spans CTE chain,
+    covered positions expanded per span, token positions anti-joined,
+    surviving tokens re-joined in order and sha256'd ('' hash when
+    nothing survives) — identical token / shingle / digest laws."""
+    sh = _shingles(k)
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH g0 AS (
+  SELECT doc_id, unnest({sh}) AS g,
+         generate_subscripts({sh}, 1) - 1 AS pos
+  FROM documents
+),
+g AS (SELECT doc_id, pos, md5(g) AS gh FROM g0),
+dup AS (SELECT gh FROM g GROUP BY 1 HAVING count(*) >= {min_df}),
+hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(
+             max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS new_isl
+  FROM hits
+),
+i AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM m
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {k} AS e
+  FROM i GROUP BY doc_id, island
+),
+cov AS (SELECT doc_id, unnest(range(s, e)) AS pos FROM spans),
+tokp AS (
+  SELECT doc_id, unnest({toks}) AS w,
+         generate_subscripts({toks}, 1) - 1 AS pos
+  FROM documents
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM tokp t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens_kept,
+         string_agg(w, ' ' ORDER BY pos) AS kept_text
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       len({toks})::BIGINT AS n_tokens,
+       coalesce(n_tokens_kept, 0)::BIGINT AS n_tokens_kept,
+       sha256(coalesce(kept_text, '')) AS kept_sha256
+FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""

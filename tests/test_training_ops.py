@@ -824,3 +824,28 @@ def test_length_quantiles_nearest_rank_law(spark):
     assert out.loc["en", "p50"] == 5 and out.loc["en", "p90"] == 9
     # single-doc stratum: every quantile is that doc's length
     assert out.loc["fr", "p50"] == 3 and out.loc["fr", "p90"] == 3
+
+
+def test_remove_duplicate_spans_cut_law(spark):
+    """The ExactSubstr CUT step: covered positions drop, survivors keep
+    order; a fully-duplicated doc keeps nothing (sha256(''))."""
+    import hashlib
+
+    from org_rdkit_lucene_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = "alpha bravo charlie delta echo foxtrot golf hotel"  # exactly 8 tokens
+    rows = [
+        (0, boiler + " tail one two"),
+        (1, boiler),                      # fully covered -> nothing kept
+        (2, "all unique words here nothing shared at all ok"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = (
+        remove_duplicate_spans(docs, k=8, min_df=2)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "n_tokens"] == 11 and out.loc[0, "n_tokens_kept"] == 3
+    assert out.loc[0, "kept_sha256"] == hashlib.sha256(b"tail one two").hexdigest()
+    assert out.loc[1, "n_tokens_kept"] == 0
+    assert out.loc[1, "kept_sha256"] == hashlib.sha256(b"").hexdigest()
+    assert out.loc[2, "n_tokens_kept"] == out.loc[2, "n_tokens"]
