@@ -46,10 +46,12 @@ import time
 DEFAULTS = {
     "build": {"partitions": 32, "id_col": None},
     "search": {"mode": "disjunctive", "engine": "dataframe"},
+    "check": {"deep": False},
 }
 REQUIRED = {
     "build": ["corpus", "index_dir"],
     "search": ["index_dir", "queries"],
+    "check": ["index_dir"],
 }
 
 
@@ -125,6 +127,12 @@ def main() -> None:
         help="dataframe | wand kernel | auto (cost-based route) "
              "| syntax (+/-/phrase/field:/term*/term~) | boolean (AND/OR/parens)",
     )
+    c = sub.add_parser("check")
+    c.add_argument("--config", default=None, help="JSON job config with ${var} substitution")
+    c.add_argument("--index-dir", dest="index_dir", default=None)
+    c.add_argument("--deep", action="store_true", default=None,
+                   help="also decode every posting block (CheckIndex thorough mode)")
+
     args = ap.parse_args()
 
     config = load_config(args.config) if args.config else None
@@ -157,6 +165,23 @@ def main() -> None:
             "n_docs": idx.n_docs if idx else None,
             "seconds": round(sec, 3),
             "files_per_sec": round(idx.n_docs / sec, 1) if idx and sec > 0 else None,
+        }
+    elif args.cmd == "check":
+        # the on-disk invariant validator — CheckIndex analog run via
+        # spark-submit, mirroring Lucene's `java ... CheckIndex <dir>`
+        from org_rdkit_lucene_spark.operators.check import check_index
+
+        idx = InvertedIndex.load(spark, opts["index_dir"])
+        t0 = time.time()
+        rep = check_index(idx, deep=bool(opts["deep"]))
+        out = {
+            "cmd": "check",
+            "index_dir": opts["index_dir"],
+            "deep": bool(opts["deep"]),
+            "passed": bool(rep["passed"].all()),
+            "seconds": round(time.time() - t0, 3),
+            "checks": {r.check: bool(r.passed) for r in rep.itertuples()},
+            "details": {r.check: r.detail for r in rep.itertuples() if not r.passed},
         }
     else:
         from org_rdkit_lucene_spark.operators.query import search_boolean, search_syntax

@@ -12,7 +12,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

@@ -134,3 +134,17 @@ def test_more_like_this_plan_contracts(small_index, small_corpus):
     assert audit.count_nodes(df, "BatchEvalPython") == 0
     assert audit.count_nodes(df, "SortMergeJoin") == 0
     assert audit.count_nodes(df, "CartesianProduct") == 0
+
+
+def test_shingles_bind_once_in_plan(docs_df):
+    """bind_array regression guard: the tokenizer chain (its split)
+    must appear ONCE in the optimized shingle plan. Before binding,
+    size()/slice() references spliced the whole chain per use and
+    codegen re-ran it per shingle position (measured 15x at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    from org_rdkit_lucene_spark.operators.dedup import shingles_column
+
+    df = docs_df.select(F.explode(shingles_column("text", 8)).alias("g"))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") <= 2, plan

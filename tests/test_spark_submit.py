@@ -85,8 +85,16 @@ def submitted(tmp_path_factory):
     )
     assert r3.returncode == 0, r3.stderr[-3000:]
     bool_out = json.loads(r3.stdout.strip().splitlines()[-1])
+
+    # CheckIndex analog through the same submitted surface
+    r4 = subprocess.run(
+        common + [job, "check", "--index-dir", idx_dir, "--deep"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp),
+    )
+    assert r4.returncode == 0, r4.stderr[-3000:]
+    check_out = json.loads(r4.stdout.strip().splitlines()[-1])
     return {"build": build_out, "search": search_out, "boolean": bool_out,
-            "corpus": corpus_path}
+            "check": check_out, "corpus": corpus_path}
 
 
 def test_submit_build_finalizes(submitted):
@@ -126,3 +134,12 @@ def test_submit_boolean_matches_inprocess(spark, submitted, tmp_path):
     assert [
         (r["query_id"], r["rank"], r["doc_id"], r["score_q"]) for r in got
     ] == list(map(tuple, want[["query_id", "rank", "doc_id", "score_q"]].to_numpy()))
+
+
+def test_submit_check_passes(submitted):
+    """spark-submit job.py check --deep: every invariant green on the
+    just-built index (Lucene's `java ... CheckIndex <dir>` analog)."""
+    rep = submitted["check"]
+    assert rep["deep"] and rep["passed"], rep
+    assert "deep_cf_matches" in rep["checks"]
+    assert rep["details"] == {}
