@@ -1013,6 +1013,22 @@ MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
 MIX_BUDGET = 20_000
 
 
+def _q1_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed PhraseQuery (positional postings, no stored bodies):
+    exact analyzed-adjacency matches ranked by occurrence count."""
+    from org_rdkit_lucene_spark.operators.positions import (
+        build_positions,
+        search_phrase_positions,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    corpus = documents_as_corpus(spark, sf_dir)
+    pos = build_positions(
+        spark, corpus, idx.index_dir, content_col="content", id_col="ext_id"
+    )
+    return search_phrase_positions(pos, PHRASE_QUERIES)
+
+
 def _td_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr CUT step: remove corpus-duplicated 8-token spans,
     emit the surviving token stream's digest per doc."""
@@ -1160,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_length_quantiles": _td_length_quantiles,
         "q3_multi_field_bm25": _q3_multi_field_bm25,
         "td_dup_span_removal": _td_dup_span_removal,
+        "q1_phrase_positions": _q1_phrase_positions,
     }
 
 
@@ -1312,4 +1329,5 @@ def oracle_sql() -> dict[str, str]:
         "td_length_quantiles": sqlgen.length_quantiles_sql(),
         "q3_multi_field_bm25": sqlgen.multi_field_bm25_sql(MF_QUERIES, MF_FIELD_BOOSTS),
         "td_dup_span_removal": sqlgen.remove_dup_spans_sql(k=8, min_df=2),
+        "q1_phrase_positions": sqlgen.phrase_positions_sql(PHRASE_QUERIES),
     }

@@ -2043,3 +2043,54 @@ SELECT d.doc_id::BIGINT AS doc_id,
        coalesce(n_tokens_kept, 0)::BIGINT AS n_tokens_kept,
        sha256(coalesce(kept_text, '')) AS kept_sha256
 FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+
+
+def phrase_positions_sql(queries: list[tuple[int, str, int]]) -> str:
+    """Twin of positions.search_phrase_positions (indexed PhraseQuery):
+    the analyzed position stream as a CTE, one n-way positions join per
+    phrase (t_{i}.p = t_1.p + i-1 over the SAME token law), occurrence
+    counts, rank by (n_occ DESC, doc_id ASC) bounded by k — exact
+    integers end to end."""
+    from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
+
+    toks = duckdb_tokens_sql("text")
+    blocks = []
+    for qid, text, k in queries:
+        words = tokenize_text(text)
+        if not words:
+            continue
+
+        def _q(s: str) -> str:
+            return s.replace("'", "''")
+
+        joins = " ".join(
+            f"JOIN posi t{i + 1} ON t{i + 1}.doc_id = t1.doc_id "
+            f"AND t{i + 1}.p = t1.p + {i} AND t{i + 1}.term = '{_q(w)}'"
+            for i, w in enumerate(words[1:], start=1)
+        )
+        blocks.append(
+            f"SELECT {qid} AS query_id, t1.doc_id, count(*)::BIGINT AS n_occ, "
+            f"{k} AS k FROM posi t1 {joins} "
+            f"WHERE t1.term = '{_q(words[0])}' GROUP BY 1, 2"
+        )
+    union = " UNION ALL ".join(blocks) if blocks else (
+        "SELECT 0 AS query_id, 0 AS doc_id, 0::BIGINT AS n_occ, 0 AS k WHERE 1=0"
+    )
+    return f"""
+WITH posi AS (
+  SELECT doc_id, unnest({toks}) AS term,
+         generate_subscripts({toks}, 1) - 1 AS p
+  FROM documents
+),
+occ AS ({union}),
+ranked AS (
+  SELECT query_id, doc_id, n_occ, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY n_occ DESC, doc_id ASC
+         ) AS rnk
+  FROM occ
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, n_occ
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank"""

@@ -845,3 +845,31 @@ def test_regexp_single_term_equals_plain_search(small_index, syn_corpus):
         .toPandas().sort_values("rank").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_phrase_positions_law(spark, tmp_path):
+    """Indexed PhraseQuery law: analyzed adjacency (w_i at p+i-1), exact
+    occurrence counts, repeated-word phrases, count DESC / doc ASC rank."""
+    import pandas as pd
+
+    from org_rdkit_lucene_spark.operators.positions import (
+        build_positions,
+        search_phrase_positions,
+    )
+
+    rows = [
+        (0, "alpha beta gamma alpha beta"),   # "alpha beta" x2
+        (1, "beta alpha beta gamma"),         # "alpha beta" x1
+        (2, "alpha gamma beta"),              # never adjacent
+        (3, "echo echo echo"),                # "echo echo" x2 (overlapping)
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "content"]))
+    pos = build_positions(spark, docs, str(tmp_path / "pidx"))
+    out = search_phrase_positions(
+        pos, [(1, "alpha beta", 10), (2, "echo echo", 10), (3, "gamma delta", 10)]
+    ).toPandas()
+    q1 = out[out.query_id == 1].sort_values("rank")
+    assert list(zip(q1.doc_id, q1.n_occ)) == [(0, 2), (1, 1)]
+    q2 = out[out.query_id == 2]
+    assert list(zip(q2.doc_id, q2.n_occ)) == [(3, 2)]
+    assert (out.query_id != 3).all()  # no adjacency anywhere -> no rows
