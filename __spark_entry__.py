@@ -1029,6 +1029,29 @@ def _q1_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_phrase_positions(pos, PHRASE_QUERIES)
 
 
+SLOP_POS_QUERIES = [
+    (51, "merge window", 2, 5),
+    (52, "table scan", 0, 5),
+    (53, "hash part value", 3, 5),
+]
+
+
+def _q1_slop_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed sloppy phrase (span-near) over positional postings:
+    ordered words within n-1+slop, qualifying-tuple counts."""
+    from org_rdkit_lucene_spark.operators.positions import (
+        build_positions,
+        search_slop_positions,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    corpus = documents_as_corpus(spark, sf_dir)
+    pos = build_positions(
+        spark, corpus, idx.index_dir, content_col="content", id_col="ext_id"
+    )
+    return search_slop_positions(pos, SLOP_POS_QUERIES)
+
+
 def _td_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr CUT step: remove corpus-duplicated 8-token spans,
     emit the surviving token stream's digest per doc."""
@@ -1177,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_multi_field_bm25": _q3_multi_field_bm25,
         "td_dup_span_removal": _td_dup_span_removal,
         "q1_phrase_positions": _q1_phrase_positions,
+        "q1_slop_positions": _q1_slop_positions,
     }
 
 
@@ -1330,4 +1354,5 @@ def oracle_sql() -> dict[str, str]:
         "q3_multi_field_bm25": sqlgen.multi_field_bm25_sql(MF_QUERIES, MF_FIELD_BOOSTS),
         "td_dup_span_removal": sqlgen.remove_dup_spans_sql(k=8, min_df=2),
         "q1_phrase_positions": sqlgen.phrase_positions_sql(PHRASE_QUERIES),
+        "q1_slop_positions": sqlgen.slop_positions_sql(SLOP_POS_QUERIES),
     }

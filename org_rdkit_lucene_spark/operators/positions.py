@@ -122,3 +122,71 @@ def search_phrase_positions(
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", F.col("n_occ").cast("long").alias("n_occ"))
     )
+
+
+def search_slop_positions(
+    positions: DataFrame,
+    queries: list[tuple[int, str, int, int]],
+    profile=None,
+) -> DataFrame:
+    """Indexed SLOPPY phrase (PhraseQuery.setSlop / span-near analog)
+    over the positional postings: queries = [(query_id, text, slop,
+    k)]; doc d matches when its analyzed stream holds the phrase words
+    IN ORDER at positions p1 < … < pn with span (pn - p1) <= n-1+slop
+    — the engine's existing ``_slop_match`` law, evaluated index-side
+    with no stored bodies. ``n_spans`` counts ALL qualifying ordered
+    position tuples (a deterministic integer; overlaps count), ranked
+    DESC then doc_id ASC, bounded by k.
+
+    Plan per query: pushed per-term scans joined on doc_id with the
+    order and span inequalities as join filters — the span bound is
+    applied at EVERY step (p_i - p1 <= bound), not just the last, so
+    intermediate tuple growth stays bounded by the window size."""
+    from org_rdkit_lucene_spark.functions.tokenizer import DEFAULT_PROFILE
+
+    prof = profile or DEFAULT_PROFILE
+    spark = positions.sparkSession
+    parts = []
+    for qid, text, slop, k in queries:
+        words = tokenize_text(text, prof)
+        if not words:
+            continue
+        bound = len(words) - 1 + max(0, int(slop))
+        base = positions.filter(F.col("term") == words[0]).select(
+            "doc_id", F.col("pos").alias("p1"), F.col("pos").alias("prev")
+        )
+        for w in words[1:]:
+            nxt = positions.filter(F.col("term") == w).select(
+                F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+            )
+            base = base.join(
+                nxt,
+                (F.col("doc_id") == F.col("d2"))
+                & (F.col("p2") > F.col("prev"))
+                & (F.col("p2") - F.col("p1") <= F.lit(bound)),
+            ).select("doc_id", "p1", F.col("p2").alias("prev"))
+        parts.append(
+            base.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"))
+            .select(
+                F.lit(qid).cast("int").alias("query_id"),
+                "doc_id",
+                "n_spans",
+                F.lit(k).cast("int").alias("k"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, n_spans long"
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_spans"), F.asc("doc_id"))
+    return (
+        u.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select(
+            "query_id", "rank", "doc_id", F.col("n_spans").cast("long").alias("n_spans")
+        )
+    )

@@ -2094,3 +2094,55 @@ SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
        CAST(doc_id AS BIGINT) AS doc_id, n_occ
 FROM ranked WHERE rnk <= k
 ORDER BY query_id, rank"""
+
+
+def slop_positions_sql(queries: list[tuple[int, str, int, int]]) -> str:
+    """Twin of positions.search_slop_positions: per query an n-way
+    positions join with the order (p_i > p_{i-1}) and span
+    (p_i - p1 <= n-1+slop) inequalities, qualifying-tuple counts,
+    rank (n_spans DESC, doc_id ASC) bounded by k."""
+    from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
+
+    toks = duckdb_tokens_sql("text")
+    blocks = []
+    for qid, text, slop, k in queries:
+        words = tokenize_text(text)
+        if not words:
+            continue
+
+        def _q(s: str) -> str:
+            return s.replace("'", "''")
+
+        bound = len(words) - 1 + max(0, int(slop))
+        joins = " ".join(
+            f"JOIN posi t{i + 1} ON t{i + 1}.doc_id = t1.doc_id "
+            f"AND t{i + 1}.term = '{_q(w)}' AND t{i + 1}.p > t{i}.p "
+            f"AND t{i + 1}.p - t1.p <= {bound}"
+            for i, w in enumerate(words[1:], start=1)
+        )
+        blocks.append(
+            f"SELECT {qid} AS query_id, t1.doc_id, count(*)::BIGINT AS n_spans, "
+            f"{k} AS k FROM posi t1 {joins} "
+            f"WHERE t1.term = '{_q(words[0])}' GROUP BY 1, 2"
+        )
+    union = " UNION ALL ".join(blocks) if blocks else (
+        "SELECT 0 AS query_id, 0 AS doc_id, 0::BIGINT AS n_spans, 0 AS k WHERE 1=0"
+    )
+    return f"""
+WITH posi AS (
+  SELECT doc_id, unnest({toks}) AS term,
+         generate_subscripts({toks}, 1) - 1 AS p
+  FROM documents
+),
+occ AS ({union}),
+ranked AS (
+  SELECT query_id, doc_id, n_spans, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY n_spans DESC, doc_id ASC
+         ) AS rnk
+  FROM occ
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, n_spans
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank"""

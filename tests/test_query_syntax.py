@@ -873,3 +873,30 @@ def test_phrase_positions_law(spark, tmp_path):
     q2 = out[out.query_id == 2]
     assert list(zip(q2.doc_id, q2.n_occ)) == [(3, 2)]
     assert (out.query_id != 3).all()  # no adjacency anywhere -> no rows
+
+
+def test_slop_positions_law(spark, tmp_path):
+    """Indexed span-near law: ordered words within span n-1+slop;
+    slop=0 reduces to adjacency; tuple counts include overlaps."""
+    import pandas as pd
+
+    from org_rdkit_lucene_spark.operators.positions import (
+        build_positions,
+        search_slop_positions,
+    )
+
+    rows = [
+        (0, "alpha x beta"),        # alpha..beta span 2 -> needs slop>=1
+        (1, "alpha beta"),          # adjacent
+        (2, "beta alpha"),          # wrong order
+        (3, "alpha x x x beta"),    # span 4 -> needs slop>=3
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "content"]))
+    pos = build_positions(spark, docs, str(tmp_path / "sidx"))
+    out0 = search_slop_positions(pos, [(1, "alpha beta", 0, 10)]).toPandas()
+    assert list(out0.doc_id) == [1]
+    out1 = search_slop_positions(pos, [(1, "alpha beta", 1, 10)]).toPandas()
+    assert sorted(out1.doc_id) == [0, 1]
+    out3 = search_slop_positions(pos, [(1, "alpha beta", 3, 10)]).toPandas()
+    assert sorted(out3.doc_id) == [0, 1, 3]
+    assert (out3.doc_id != 2).all()  # order matters
