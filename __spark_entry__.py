@@ -1029,6 +1029,17 @@ def _q1_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_phrase_positions(pos, PHRASE_QUERIES)
 
 
+TERM_VECTOR_DOC_IDS = [7, 42, 123]
+
+
+def _q7_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexReader.getTermFreqVector analog: per-doc (term, tf, df)."""
+    from org_rdkit_lucene_spark.operators.query import term_vectors
+
+    idx = _index_for(spark, sf_dir)
+    return term_vectors(idx, TERM_VECTOR_DOC_IDS).orderBy("doc_id", "term")
+
+
 SLOP_POS_QUERIES = [
     (51, "merge window", 2, 5),
     (52, "table scan", 0, 5),
@@ -1201,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_dup_span_removal": _td_dup_span_removal,
         "q1_phrase_positions": _q1_phrase_positions,
         "q1_slop_positions": _q1_slop_positions,
+        "q7_term_vectors": _q7_term_vectors,
     }
 
 
@@ -1355,4 +1367,5 @@ def oracle_sql() -> dict[str, str]:
         "td_dup_span_removal": sqlgen.remove_dup_spans_sql(k=8, min_df=2),
         "q1_phrase_positions": sqlgen.phrase_positions_sql(PHRASE_QUERIES),
         "q1_slop_positions": sqlgen.slop_positions_sql(SLOP_POS_QUERIES),
+        "q7_term_vectors": sqlgen.term_vectors_sql(TERM_VECTOR_DOC_IDS),
     }

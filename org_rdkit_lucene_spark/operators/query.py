@@ -1785,6 +1785,26 @@ def search_snippets(
 WAND_ROUTE_MIN_CANDIDATES = LOCAL_TOPK_MIN_CANDIDATES
 
 
+def term_vectors(index: InvertedIndex, doc_ids: list[int]) -> DataFrame:
+    """Per-doc term frequency vectors — the
+    ``IndexReader.getTermFreqVector`` analog (Lucene exposes a doc's
+    (term, tf) pairs for MLT / highlighting / similarity features;
+    :func:`more_like_this` consumes exactly this surface internally).
+    Returns ``(doc_id, term, tf, df)`` for the requested docs, df from
+    the lexicon so callers can weight without a second lookup.
+
+    Scale shape: a pushed ``doc_id IN (...)`` scan over the flat table
+    (doc-bounded output) + one broadcast-size lexicon join on the
+    returned docs' terms."""
+    ids = [int(d) for d in doc_ids]
+    tv = index.flat.filter(F.col("doc_id").isin(ids)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "term", F.col("tf").cast("long").alias("tf")
+    )
+    return tv.join(index.lexicon.select("term", "df"), "term", "left").select(
+        "doc_id", "term", "tf", F.col("df").cast("long").alias("df")
+    )
+
+
 def search_multi_field(
     fields: list[tuple[InvertedIndex, float]],
     queries: list[tuple[int, str, int]],

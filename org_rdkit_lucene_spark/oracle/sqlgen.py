@@ -2146,3 +2146,18 @@ SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
        CAST(doc_id AS BIGINT) AS doc_id, n_spans
 FROM ranked WHERE rnk <= k
 ORDER BY query_id, rank"""
+
+
+def term_vectors_sql(doc_ids: list[int]) -> str:
+    """Twin of query.term_vectors (getTermFreqVector analog): per-doc
+    (term, tf) with corpus df — same tokenizer, exact integers."""
+    toks = duckdb_tokens_sql("text")
+    ids = ", ".join(str(int(d)) for d in doc_ids)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT doc_id::BIGINT AS doc_id, term, tf, df
+FROM tf JOIN dfs USING (term)
+WHERE doc_id IN ({ids})
+ORDER BY doc_id, term"""
