@@ -1030,6 +1030,21 @@ def _q1_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TERM_VECTOR_DOC_IDS = [7, 42, 123]
+PIPELINE_LANGS = ("en", "fr")
+PIPELINE_MIN_QUALITY_Q = 550_000
+
+
+def _td_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end training-set assembly: curation
+    (dup > lang > quality) then per-language token-budget mix over
+    survivors — one DataFrame program, one verdict row per doc."""
+    from org_rdkit_lucene_spark.functions.text import training_mix_pipeline
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return training_mix_pipeline(
+        docs, MIX_WEIGHTS, MIX_BUDGET,
+        langs=PIPELINE_LANGS, min_quality_q=PIPELINE_MIN_QUALITY_Q,
+    ).orderBy("doc_id")
 
 
 def _q7_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1213,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_phrase_positions": _q1_phrase_positions,
         "q1_slop_positions": _q1_slop_positions,
         "q7_term_vectors": _q7_term_vectors,
+        "td_pipeline": _td_pipeline,
     }
 
 
@@ -1368,4 +1384,8 @@ def oracle_sql() -> dict[str, str]:
         "q1_phrase_positions": sqlgen.phrase_positions_sql(PHRASE_QUERIES),
         "q1_slop_positions": sqlgen.slop_positions_sql(SLOP_POS_QUERIES),
         "q7_term_vectors": sqlgen.term_vectors_sql(TERM_VECTOR_DOC_IDS),
+        "td_pipeline": sqlgen.training_mix_pipeline_sql(
+            MIX_WEIGHTS, MIX_BUDGET,
+            langs=PIPELINE_LANGS, min_quality_q=PIPELINE_MIN_QUALITY_Q,
+        ),
     }

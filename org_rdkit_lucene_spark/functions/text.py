@@ -680,3 +680,61 @@ def length_quantiles(
             ).cast("long").alias(f"p{int(round(q * 100))}")
         )
     return r.groupBy("stratum").agg(*aggs)
+
+
+def training_mix_pipeline(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    langs: tuple[str, ...] = ("en",),
+    min_quality_q: int = 600_000,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """The COMPOSED end-to-end training-set assembly a pretraining
+    pipeline actually runs, as one DataFrame program: curation
+    (exact-dedup > language allowlist > quality threshold,
+    :func:`curate_corpus`) followed by the per-stratum token-budget
+    mix (:func:`token_budget_mix`) over the curation survivors.
+    Per-doc verdict with the full precedence chain:
+
+        dup > lang > quality > budget > keep
+
+    → ``(doc_id, kept, reason, n_tokens)``; kept = 1 iff the doc
+    survives curation AND fits its stratum's budget.
+
+    Scale shape: curation is the fused one-scan program + one digest
+    shuffle; the mix adds one per-stratum window over SURVIVORS only;
+    the final assembly is two doc_id joins (uniform key). No stage
+    re-reads content more than the fused operators already do."""
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(content_col).alias("text"),
+        F.col(stratum_col).alias("stratum"),
+    )
+    cur = curate_corpus(base, "doc_id", "text", min_quality_q, langs)
+    surv = base.join(cur.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
+    mix = token_budget_mix(
+        surv, weights, budget_tokens,
+        id_col="doc_id", content_col="text", stratum_col="stratum",
+    )
+    ntok = base.select(
+        "doc_id", F.size(tokens_column("text")).cast("long").alias("n_tokens")
+    )
+    out = (
+        cur.join(mix.select("doc_id", F.col("kept").alias("_budget_ok")), "doc_id", "left")
+        .join(ntok, "doc_id")
+        .withColumn(
+            "reason2",
+            F.when(F.col("reason") != "keep", F.col("reason")).otherwise(
+                F.when(F.col("_budget_ok"), F.lit("keep")).otherwise(F.lit("budget"))
+            ),
+        )
+    )
+    return out.select(
+        "doc_id",
+        (F.col("reason2") == "keep").cast("int").alias("kept"),
+        F.col("reason2").alias("reason"),
+        "n_tokens",
+    )

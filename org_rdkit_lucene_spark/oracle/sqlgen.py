@@ -1459,11 +1459,10 @@ ORDER BY query_id, facet"""
     )
 
 
-def curate_corpus_sql(min_quality_q: int = 600_000, langs: tuple = ("en",),
-                      table: str = "documents", extra_cte: str = "") -> str:
-    """Fused curation-decision twin: same dedup-keeper window, lang
-    CASE chain, quality arithmetic, and reason precedence as
-    :func:`curate_corpus` (dup > lang > quality > keep)."""
+def _curate_ctes(min_quality_q: int, langs: tuple, table: str) -> str:
+    """The curation-decision CTE chain ending in ``cur(doc_id, keep,
+    reason)`` — shared by :func:`curate_corpus_sql` and the composed
+    :func:`training_mix_pipeline_sql`."""
     from org_rdkit_lucene_spark.functions.text import LANGS, STOPWORDS
 
     toks = duckdb_tokens_sql("text")
@@ -1480,10 +1479,7 @@ def curate_corpus_sql(min_quality_q: int = 600_000, langs: tuple = ("en",),
         cond = " AND ".join(f"c_{lang} >= c_{LANGS[j]}" for j in range(i + 1, len(LANGS)))
         chain = f"CASE WHEN {cond} THEN '{lang}' ELSE {chain} END"
     allow = ", ".join(f"'{l}'" for l in langs)
-    pre = f"{extra_cte}," if extra_cte else ""
-    return f"""
-WITH {pre}
-m AS (
+    return f"""m AS (
   SELECT doc_id,
          sha256(text) AS content_hash,
          len({toks}) AS n_toks,
@@ -1508,16 +1504,30 @@ dec AS (
          CAST(floor((0.3 * least(1.0, n_toks / 100.0) + 0.4 * (1.0 - punct_ratio)
                      + 0.3 * stop_ratio) * 1000000 + 0.5) AS BIGINT) AS quality_q
   FROM r
-)
-SELECT doc_id::BIGINT AS doc_id,
-       (CASE WHEN is_dup THEN 0
-             WHEN pred_lang NOT IN ({allow}) THEN 0
-             WHEN quality_q < {int(min_quality_q)} THEN 0 ELSE 1 END)::INT AS keep,
-       CASE WHEN is_dup THEN 'dup'
-            WHEN pred_lang NOT IN ({allow}) THEN 'lang'
-            WHEN quality_q < {int(min_quality_q)} THEN 'quality'
-            ELSE 'keep' END AS reason
-FROM dec ORDER BY doc_id"""
+),
+cur AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         (CASE WHEN is_dup THEN 0
+               WHEN pred_lang NOT IN ({allow}) THEN 0
+               WHEN quality_q < {int(min_quality_q)} THEN 0 ELSE 1 END)::INT AS keep,
+         CASE WHEN is_dup THEN 'dup'
+              WHEN pred_lang NOT IN ({allow}) THEN 'lang'
+              WHEN quality_q < {int(min_quality_q)} THEN 'quality'
+              ELSE 'keep' END AS reason
+  FROM dec
+)"""
+
+
+def curate_corpus_sql(min_quality_q: int = 600_000, langs: tuple = ("en",),
+                      table: str = "documents", extra_cte: str = "") -> str:
+    """Fused curation-decision twin: same dedup-keeper window, lang
+    CASE chain, quality arithmetic, and reason precedence as
+    :func:`curate_corpus` (dup > lang > quality > keep)."""
+    pre = f"{extra_cte}," if extra_cte else ""
+    return f"""
+WITH {pre}
+{_curate_ctes(min_quality_q, langs, table)}
+SELECT doc_id, keep, reason FROM cur ORDER BY doc_id"""
 
 
 def snippets_sql(queries: list[tuple[int, str, int]], radius: int = 40,
@@ -2161,3 +2171,50 @@ SELECT doc_id::BIGINT AS doc_id, term, tf, df
 FROM tf JOIN dfs USING (term)
 WHERE doc_id IN ({ids})
 ORDER BY doc_id, term"""
+
+
+def training_mix_pipeline_sql(
+    weights: dict[str, float],
+    budget_tokens: int,
+    langs: tuple = ("en",),
+    min_quality_q: int = 600_000,
+    stratum_col: str = "lang",
+) -> str:
+    """Twin of text.training_mix_pipeline (the composed pipeline):
+    the shared curation CTE chain, the token-budget mix run over the
+    curation SURVIVORS only, and the full precedence law
+    dup > lang > quality > budget > keep."""
+    toks = duckdb_tokens_sql("text")
+    rows = ", ".join(
+        f"""('{s.replace("'", "''")}', {int(budget_tokens * w)})"""
+        for s, w in sorted(weights.items())
+    )
+    return f"""
+WITH {_curate_ctes(min_quality_q, langs, "documents")},
+surv AS (SELECT d.* FROM documents d JOIN cur USING (doc_id) WHERE cur.keep = 1),
+budgets(stratum, budget) AS (VALUES {rows}),
+mixbase AS (
+  SELECT doc_id, {stratum_col} AS stratum,
+         len({toks})::BIGINT AS n_tokens, md5(text) AS h
+  FROM surv
+),
+mixc AS (
+  SELECT doc_id, stratum, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY stratum ORDER BY h, doc_id)::BIGINT
+           AS cum_tokens
+  FROM mixbase
+),
+mix AS (
+  SELECT doc_id, cum_tokens <= coalesce(budget, 0) AS budget_ok
+  FROM mixc LEFT JOIN budgets USING (stratum)
+),
+ntok AS (SELECT doc_id::BIGINT AS doc_id, len({toks})::BIGINT AS n_tokens
+         FROM documents)
+SELECT cur.doc_id,
+       (CASE WHEN cur.reason != 'keep' THEN 0
+             WHEN mix.budget_ok THEN 1 ELSE 0 END)::INT AS kept,
+       CASE WHEN cur.reason != 'keep' THEN cur.reason
+            WHEN mix.budget_ok THEN 'keep' ELSE 'budget' END AS reason,
+       ntok.n_tokens
+FROM cur LEFT JOIN mix USING (doc_id) JOIN ntok USING (doc_id)
+ORDER BY cur.doc_id"""

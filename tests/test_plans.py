@@ -148,3 +148,24 @@ def test_shingles_bind_once_in_plan(docs_df):
     df = docs_df.select(F.explode(shingles_column("text", 8)).alias("g"))
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") <= 2, plan
+
+
+def test_phrase_positions_scan_pushes_terms(spark, tmp_path):
+    """Each positional phrase side must reach the parquet scan as a
+    pushed term = 'w' filter (the .prx term seek analog) and stay free
+    of row-wise Python."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from org_rdkit_lucene_spark.operators.positions import (
+        build_positions,
+        search_phrase_positions,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "content": ["alpha beta gamma", "beta alpha"]})
+    )
+    pos = build_positions(spark, docs, str(tmp_path / "pp"))
+    df = search_phrase_positions(pos, [(1, "alpha beta", 5)])
+    assert audit.has_pushed_term_filter(df, "term")
+    assert audit.count_nodes(df, "BatchEvalPython") == 0

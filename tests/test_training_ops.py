@@ -849,3 +849,35 @@ def test_remove_duplicate_spans_cut_law(spark):
     assert out.loc[1, "n_tokens_kept"] == 0
     assert out.loc[1, "kept_sha256"] == hashlib.sha256(b"").hexdigest()
     assert out.loc[2, "n_tokens_kept"] == out.loc[2, "n_tokens"]
+
+
+def test_training_mix_pipeline_precedence(spark):
+    """Composed pipeline law: dup > lang > quality > budget > keep,
+    and the budget stage sees ONLY curation survivors."""
+    from org_rdkit_lucene_spark.functions.text import training_mix_pipeline
+
+    good = "the quick brown fox and the lazy dog in a field of dreams " * 4
+    rows = [
+        (0, good, "en"),
+        (1, good, "en"),                      # exact dup of 0 -> 'dup'
+        (2, "el los las una y es que bueno " * 8, "es"),  # -> 'lang'
+        # English-detectable (stopword present) but punctuation-heavy
+        # and short -> fails the quality threshold, not the lang gate
+        (3, "the @@@@@@@@ ######## !!!!!!!! %%%%%%%% ^^^^^^^^", "en"),
+        (4, good + " extra tokens here", "en"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    out = (
+        training_mix_pipeline(
+            docs, {"en": 1.0}, budget_tokens=60,
+            langs=("en",), min_quality_q=500_000,
+        )
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[1, "reason"] == "dup"
+    assert out.loc[2, "reason"] == "lang"
+    assert out.loc[3, "reason"] == "quality"
+    # docs 0 and 4 survive curation; budget 60 fits one ~48-token doc
+    surv = out.loc[[0, 4]]
+    assert set(surv["reason"]) == {"keep", "budget"}
+    assert (out["kept"] == (out["reason"] == "keep").astype(int)).all()
