@@ -846,6 +846,18 @@ def _td_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _td_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ / ADC ANN: per-subspace k-means codebooks, code-table
+    approximate scoring, exact re-rank of the top candidates."""
+    from org_rdkit_lucene_spark.operators.ann import ivfpq_cosine_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivfpq_cosine_topk(
+        emb, _ann_query_vecs(spark, sf_dir), k=ANN_K,
+        m=4, n_centroids=8, n_iters=2, n_candidates=64,
+    ).orderBy("query_id", "rank")
+
+
 def _td_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic spherical k-means clustering of the embedding
     table (2 Lloyd rounds; exact-int centroid-mean law)."""
@@ -1182,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "td_ann_cosine_topk": _td_ann_cosine_topk,
         "td_ann_lsh_topk": _td_ann_lsh_topk,
         "td_ann_ivf_topk": _td_ann_ivf_topk,
+        "td_ann_ivfpq_topk": _td_ann_ivfpq_topk,
         "td_kmeans": _td_kmeans,
         "td_semdedup": _td_semdedup,
         "td_cosine_dup_pairs": _td_cosine_dup_pairs,
@@ -1306,6 +1319,10 @@ def oracle_sql() -> dict[str, str]:
         "td_ann_cosine_topk": sqlgen.ann_cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
         "td_ann_lsh_topk": sqlgen.ann_lsh_topk_sql(ANN_QUERY_IDS, ANN_K, n_planes=6),
         "td_ann_ivf_topk": sqlgen.ann_ivf_topk_sql(ANN_QUERY_IDS, ANN_K, 16, 4),
+        "td_ann_ivfpq_topk": sqlgen.ann_ivfpq_topk_sql(
+            ANN_QUERY_IDS, ANN_K, m=4, n_centroids=8, n_iters=2,
+            n_candidates=64, dim=64,
+        ),
         "td_kmeans": sqlgen.kmeans_sql(n_clusters=8, n_iters=2),
         "td_semdedup": sqlgen.semdedup_sql(
             n_clusters=8,

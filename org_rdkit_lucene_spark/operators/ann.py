@@ -399,7 +399,8 @@ def kmeans_embeddings(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Deterministic spherical k-means over the embedding column —
     Lloyd's algorithm with every source of cross-engine divergence
     pinned, so the SQL twin reproduces the identical clustering:
@@ -458,4 +459,107 @@ def kmeans_embeddings(
                 np.float64
             )
 
-    return ivf_assignments(emb, cmat, id_col, vec_col).orderBy("vec_id")
+    final = ivf_assignments(emb, cmat, id_col, vec_col).orderBy("vec_id")
+    if return_centroids:
+        return final, cmat
+    return final
+
+
+def ivfpq_cosine_topk(
+    emb: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 10,
+    m: int = 4,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    n_candidates: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (IVF-PQ's ADC scoring, the memory-
+    compressed scale path beyond IVF): embeddings split into ``m``
+    contiguous subvectors; a spherical k-means codebook per subspace
+    (the shared exact-int centroid law, :func:`kmeans_embeddings`)
+    turns every vector into m small codes; the approximate similarity
+    is a CODE-TABLE sum — per query, a driver-side m×n_centroids table
+    of quantized subspace cosines (int64, 1e-6 per term), summed over
+    the vector's codes with NO access to the original floats. The top
+    ``n_candidates`` per query by (approx DESC, vec_id ASC) are then
+    exactly re-ranked by full-vector quantized cosine (score DESC,
+    vec_id ASC). ``n_candidates`` >= corpus size makes the result
+    EXACTLY the brute-force top-k (identity-tested).
+
+    Scale shape: codebooks are driver metadata (m·k'·(d/m) floats);
+    the PQ code table is m small int columns per vector (the ~d/m·32×
+    compression that lets 100 TB of vectors fit a candidate pass);
+    scoring is one broadcast join on (sub, cid) + one (query, vec)
+    groupBy; only n_candidates full vectors per query are ever
+    re-read. Assumes subvectors are not all-zero (cosine undefined)."""
+    spark = emb.sparkSession
+    dim = len(query_vecs[0][1])
+    bounds = [round(j * dim / m) for j in range(m + 1)]
+
+    code_parts = []
+    tables: list[tuple[int, int, int, int]] = []  # (query_id, sub, cid, simq)
+    for j in range(m):
+        a, b = bounds[j], bounds[j + 1]
+        sub = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), a + 1, b - a).alias("embedding"),
+        )
+        asg_j, cmat_j = kmeans_embeddings(
+            sub, n_clusters=n_centroids, n_iters=n_iters, return_centroids=True
+        )
+        code_parts.append(asg_j.select("vec_id", F.lit(j).alias("sub"), "cid"))
+        cn = _normalize(cmat_j)
+        for qid, v in query_vecs:
+            qj = _normalize(np.asarray(v, dtype=np.float64)[a:b][None, :])[0]
+            simq = np.floor(cn @ qj * QUANT + 0.5).astype(np.int64)
+            tables.extend(
+                (int(qid), j, int(c), int(s)) for c, s in enumerate(simq)
+            )
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionByName(p)
+    tb = F.broadcast(
+        spark.createDataFrame(tables, "query_id long, sub int, cid long, simq long")
+    )
+    approx = (
+        codes.join(tb, ["sub", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("simq").alias("approx"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    cand = (
+        approx.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= n_candidates)
+        .select("query_id", "vec_id")
+    )
+
+    # exact re-rank of the candidates (same law as ivf_cosine_topk)
+    vecs = emb.select(F.col(id_col).alias("vec_id"), vec_col)
+    cv = cand.join(vecs, "vec_id").select("query_id", "vec_id", vec_col)
+    qmap = {qid: _normalize(np.array([v], dtype=np.float64))[0] for qid, v in query_vecs}
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            qarr = np.array([qmap[q] for q in pdf["query_id"]])
+            sims = (mat * qarr).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(np.int64),
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "cos_q": np.floor(sims * QUANT + 0.5).astype(np.int64),
+                }
+            )
+
+    scored = cv.mapInPandas(score, schema="query_id long, vec_id long, cos_q long")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_q")
+    )

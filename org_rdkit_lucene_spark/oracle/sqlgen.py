@@ -1570,50 +1570,54 @@ ORDER BY query_id, rank"""
     )
 
 
-def _kmeans_ctes(n_clusters: int, n_iters: int, table: str) -> tuple[list[str], str]:
-    """The unrolled k-means CTE chain shared by kmeans_sql and
-    semdedup_sql — returns (ctes, final_assignment_cte_name)."""
-    ctes = [f"""e AS (
+def _kmeans_ctes(n_clusters: int, n_iters: int, table: str,
+                 prefix: str = "") -> tuple[list[str], str]:
+    """The unrolled k-means CTE chain shared by kmeans_sql,
+    semdedup_sql and the IVF-PQ twin — returns (ctes,
+    final_assignment_cte_name). ``prefix`` namespaces every CTE name
+    so several chains (one per PQ subspace) coexist in one statement."""
+    p = prefix
+    ctes = [f"""{p}e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
   FROM {table}
-)""", """qv AS (
+)""", f"""{p}qv AS (
   SELECT vec_id, pos, CAST(floor(u * 1000000000 + 0.5) AS BIGINT) AS q
   FROM (
     SELECT vec_id,
            unnest(list_transform(ev, x -> x / sqrt(list_dot_product(ev, ev)))) AS u,
            generate_subscripts(ev, 1) AS pos
-    FROM e)
-)""", f"""cent0 AS (
-  SELECT vec_id AS cid, ev AS cv FROM e WHERE vec_id < {n_clusters}
+    FROM {p}e)
+)""", f"""{p}cent0 AS (
+  SELECT vec_id AS cid, ev AS cv FROM {p}e WHERE vec_id < {n_clusters}
 )"""]
 
     def asg_cte(i: int, cent: str) -> str:
-        return f"""asg{i} AS (
+        return f"""{p}asg{i} AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (
              PARTITION BY e.vec_id
              ORDER BY {_cos_q_sql("e.ev", "c.cv")} DESC, c.cid ASC
            ) AS rn
-    FROM e CROSS JOIN {cent} c
+    FROM {p}e e CROSS JOIN {cent} c
   ) WHERE rn = 1
 )"""
 
     for i in range(n_iters):
-        ctes.append(asg_cte(i, f"cent{i}"))
-        ctes.append(f"""sums{i} AS (
+        ctes.append(asg_cte(i, f"{p}cent{i}"))
+        ctes.append(f"""{p}sums{i} AS (
   SELECT cid, pos, sum(q) AS s, count(*) AS n
-  FROM asg{i} JOIN qv USING (vec_id) GROUP BY 1, 2
+  FROM {p}asg{i} JOIN {p}qv USING (vec_id) GROUP BY 1, 2
 )""")
-        ctes.append(f"""cent{i + 1} AS (
+        ctes.append(f"""{p}cent{i + 1} AS (
   SELECT cid, list((s / 1000000000.0) / n ORDER BY pos) AS cv
-  FROM sums{i} GROUP BY cid
+  FROM {p}sums{i} GROUP BY cid
   UNION ALL
-  SELECT c.cid, c.cv FROM cent{i} c
-  WHERE c.cid NOT IN (SELECT cid FROM sums{i})
+  SELECT c.cid, c.cv FROM {p}cent{i} c
+  WHERE c.cid NOT IN (SELECT cid FROM {p}sums{i})
 )""")
-    ctes.append(asg_cte(n_iters, f"cent{n_iters}"))
-    return ctes, f"asg{n_iters}"
+    ctes.append(asg_cte(n_iters, f"{p}cent{n_iters}"))
+    return ctes, f"{p}asg{n_iters}"
 
 
 def kmeans_sql(n_clusters: int = 8, n_iters: int = 2,
@@ -2218,3 +2222,82 @@ SELECT cur.doc_id,
        ntok.n_tokens
 FROM cur LEFT JOIN mix USING (doc_id) JOIN ntok USING (doc_id)
 ORDER BY cur.doc_id"""
+
+
+def ann_ivfpq_topk_sql(
+    query_vec_ids: list[int],
+    k: int = 10,
+    m: int = 4,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    n_candidates: int = 64,
+    dim: int = 64,
+) -> str:
+    """Twin of operators/ann.ivfpq_cosine_topk (IVF-PQ / ADC): one
+    prefixed k-means CTE chain per subspace (the shared exact-int
+    centroid law), PQ codes = each chain's final assignment, approx =
+    Σ over subspaces of the quantized subspace cosine between the
+    query's subvector and the code's centroid, top-``n_candidates``
+    by (approx DESC, vec_id ASC), exact full-vector re-rank."""
+    ids = ", ".join(str(int(q)) for q in query_vec_ids)
+    bounds = [round(j * dim / m) for j in range(m + 1)]
+    ctes: list[str] = []
+    sim_selects = []
+    for j in range(m):
+        a, b = bounds[j], bounds[j + 1]
+        sub_tbl = f"(SELECT vec_id, embedding[{a + 1}:{b}] AS embedding FROM embeddings)"
+        chain, final = _kmeans_ctes(n_centroids, n_iters, sub_tbl, prefix=f"s{j}")
+        ctes.extend(chain)
+        ctes.append(
+            f"qs{j} AS (SELECT vec_id AS query_id, "
+            f"list_transform(embedding[{a + 1}:{b}], x -> CAST(x AS DOUBLE)) AS qv "
+            f"FROM embeddings WHERE vec_id IN ({ids}))"
+        )
+        sim_selects.append(
+            f"SELECT q.query_id, a.vec_id, {_cos_q_sql('q.qv', 'c.cv')} AS simq "
+            f"FROM {final} a JOIN s{j}cent{n_iters} c ON c.cid = a.cid "
+            f"CROSS JOIN qs{j} q"
+        )
+    ctes.append("sims AS (" + " UNION ALL ".join(sim_selects) + ")")
+    ctes.append(
+        """apx AS (
+  SELECT query_id, vec_id, sum(simq) AS approx
+  FROM sims GROUP BY 1, 2
+)"""
+    )
+    ctes.append(
+        f"""cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY approx DESC, vec_id ASC
+           ) AS crn
+    FROM apx
+  ) WHERE crn <= {int(n_candidates)}
+)"""
+    )
+    ctes.append(
+        "fe AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        "AS ev FROM embeddings)"
+    )
+    ctes.append(
+        f"qf AS (SELECT vec_id AS query_id, list_transform(embedding, "
+        f"x -> CAST(x AS DOUBLE)) AS qv FROM embeddings WHERE vec_id IN ({ids}))"
+    )
+    ctes.append(
+        f"""exact AS (
+  SELECT c.query_id, c.vec_id, {_cos_q_sql("q.qv", "f.ev")} AS cos_q
+  FROM cand c JOIN fe f USING (vec_id) JOIN qf q USING (query_id)
+)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+ranked AS (
+  SELECT query_id, vec_id, cos_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_q DESC, vec_id ASC) AS rnk
+  FROM exact
+)
+SELECT query_id::BIGINT AS query_id, CAST(rnk AS INTEGER) AS rank,
+       vec_id::BIGINT AS vec_id, cos_q
+FROM ranked WHERE rnk <= {int(k)} ORDER BY query_id, rank"""

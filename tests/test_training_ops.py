@@ -881,3 +881,35 @@ def test_training_mix_pipeline_precedence(spark):
     surv = out.loc[[0, 4]]
     assert set(surv["reason"]) == {"keep", "budget"}
     assert (out["kept"] == (out["reason"] == "keep").astype(int)).all()
+
+
+def test_ivfpq_exact_in_the_limit(spark):
+    """IVF-PQ law: with n_candidates >= corpus size the exact re-rank
+    covers everything, so the result equals brute-force cosine top-k;
+    with a small candidate budget, recall@k stays useful (>0.5)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from org_rdkit_lucene_spark.operators.ann import cosine_topk, ivfpq_cosine_topk
+
+    rng = np.random.default_rng(9)
+    vecs = [(i, rng.standard_normal(16).tolist()) for i in range(120)]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    emb = spark.createDataFrame(vecs, schema)
+    queries = [(0, vecs[0][1]), (5, vecs[5][1])]
+    want = cosine_topk(emb, queries, k=10).toPandas()
+    want = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    got = ivfpq_cosine_topk(
+        emb, queries, k=10, m=4, n_centroids=8, n_iters=2, n_candidates=500
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.equals(want)
+    small = ivfpq_cosine_topk(
+        emb, queries, k=10, m=4, n_centroids=8, n_iters=2, n_candidates=30
+    ).toPandas()
+    for qid in (0, 5):
+        w = set(want[want.query_id == qid]["vec_id"])
+        g = set(small[small.query_id == qid]["vec_id"])
+        assert len(w & g) / len(w) > 0.5
