@@ -714,9 +714,14 @@ def build_index(
     if not os.path.exists(os.path.join(docmap_path, "_SUCCESS")):
         t0 = time.time()
         if validate_pk:
-            total = corpus.count()
+            # ONE column-pruned aggregation job (count + distinct-count
+            # together) instead of two corpus scans
             key = [id_col] if id_col else ["repo", "path", "commit"]
-            distinct = corpus.select(*key).distinct().count()
+            row = corpus.select(*key).agg(
+                F.count(F.lit(1)).alias("total"),
+                F.countDistinct(*key).alias("distinct"),
+            ).collect()[0]
+            total, distinct = int(row["total"]), int(row["distinct"])
             if total != distinct:
                 raise ValueError(
                     f"primary key {key} not unique: {total} rows, {distinct} keys"
@@ -735,13 +740,23 @@ def build_index(
     # id IS the row — no join needed (shuffling the full content column
     # on the natural key was pure overhead); only assigned-rank ids
     # require the corpus⨝docmap shuffle.
+    # sha256(content) is computed HERE (the P4 invariant column) so it
+    # materializes during the stage-1 pass that already reads every
+    # content byte and lands in the persisted rows — stage 2 (docmeta)
+    # then never re-reads the corpus or re-hashes.
     if id_col:
         corpus_ids = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
         if id_col != "doc_id":  # don't drop the column we just created
             corpus_ids = corpus_ids.drop(id_col)
-        corpus_ids = corpus_ids.persist()
+        corpus_ids = corpus_ids.withColumn(
+            "sha256", F.sha2(F.col("content"), 256)
+        ).persist()
     else:
-        corpus_ids = corpus.join(docmap, ["repo", "path", "commit"]).persist()
+        corpus_ids = (
+            corpus.join(docmap, ["repo", "path", "commit"])
+            .withColumn("sha256", F.sha2(F.col("content"), 256))
+            .persist()
+        )
 
     # -- stage 1: SPIMI flat runs (resumable)
     t0 = time.time()
@@ -772,8 +787,7 @@ def build_index(
         obs = Observation("corpus_stats")
         docmeta = (
             corpus_ids.select(
-                "doc_id", "repo", "path", "commit", "lang",
-                F.sha2(F.col("content"), 256).alias("sha256"),
+                "doc_id", "repo", "path", "commit", "lang", "sha256"
             )
             .join(dl, "doc_id", "left")
             .withColumn("doc_len", F.coalesce(F.col("doc_len"), F.lit(0)))
