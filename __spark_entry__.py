@@ -835,7 +835,8 @@ def _td_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _td_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     return lsh_cosine_topk(
-        emb, _ann_query_vecs(spark, sf_dir), k=ANN_K, n_planes=6, seed=42
+        emb, _ann_query_vecs(spark, sf_dir), k=ANN_K, n_planes=6, seed=42,
+        probe_hamming=1,
     ).orderBy("query_id", "rank")
 
 
@@ -1317,7 +1318,9 @@ def oracle_sql() -> dict[str, str]:
             table="rep_documents", extra_cte=sqlgen.rep_docs_cte()
         ),
         "td_ann_cosine_topk": sqlgen.ann_cosine_topk_sql(ANN_QUERY_IDS, ANN_K),
-        "td_ann_lsh_topk": sqlgen.ann_lsh_topk_sql(ANN_QUERY_IDS, ANN_K, n_planes=6),
+        "td_ann_lsh_topk": sqlgen.ann_lsh_topk_sql(
+            ANN_QUERY_IDS, ANN_K, n_planes=6, probe_hamming=1
+        ),
         "td_ann_ivf_topk": sqlgen.ann_ivf_topk_sql(ANN_QUERY_IDS, ANN_K, 16, 4),
         "td_ann_ivfpq_topk": sqlgen.ann_ivfpq_topk_sql(
             ANN_QUERY_IDS, ANN_K, m=4, n_centroids=8, n_iters=2,

@@ -256,6 +256,49 @@ def run_level(
                 csv_rows.append((cores, name, "training_data", 0, round(wall * 1000, 1), hits))
             out["training_ops"] = td
 
+            # ANN quality tracking: recall@k of every approximate path
+            # against the exact brute force, so approximation drift is a
+            # graded number per round, not a claim
+            from org_rdkit_lucene_spark.operators.ann import (
+                cosine_topk,
+                ivf_cosine_topk,
+                ivfpq_cosine_topk,
+                lsh_cosine_topk,
+            )
+
+            qvecs_r = sorted(
+                (int(r["vec_id"]), list(r["embedding"]))
+                for r in emb.limit(8).collect()
+            )
+            k_r = 10
+            exact = cosine_topk(emb, qvecs_r, k=k_r).toPandas()
+            want = {
+                q: set(g["vec_id"]) for q, g in exact.groupby("query_id")
+            }
+
+            def recall(df) -> float:
+                got = df.toPandas()
+                hits_n, tot = 0, 0
+                for q, w in want.items():
+                    g = set(got[got.query_id == q]["vec_id"])
+                    hits_n += len(w & g)
+                    tot += len(w)
+                return round(hits_n / max(tot, 1), 4)
+
+            rec = {
+                "ann_lsh_recall_at_10": recall(
+                    lsh_cosine_topk(emb, qvecs_r, k=k_r, n_planes=8,
+                                    probe_hamming=2)),
+                "ann_ivf_recall_at_10": recall(
+                    ivf_cosine_topk(emb, qvecs_r, k=k_r, n_centroids=16, nprobe=4)),
+                "ann_ivfpq_recall_at_10": recall(
+                    ivfpq_cosine_topk(emb, qvecs_r, k=k_r, m=4, n_centroids=8,
+                                      n_iters=2, n_candidates=64)),
+            }
+            out["ann_recall"] = rec
+            for name, v in rec.items():
+                csv_rows.append((cores, name, "ann_recall", 0, v, k_r * len(want)))
+
         out["csv_rows"] = csv_rows
         shutil.rmtree(idx_dir, ignore_errors=True)
     finally:
@@ -315,7 +358,8 @@ def main() -> None:
         extra_rows = [
             (c, q, t, r + n_prev, w, h) for c, q, t, r, w, h in high2["csv_rows"]
         ]
-        for key in ("queries", "query_total_sec", "query_p95_sec", "training_ops"):
+        for key in ("queries", "query_total_sec", "query_p95_sec", "training_ops",
+                    "ann_recall"):
             if key in high:
                 high2[key] = high[key]
         high2["csv_rows"] = high["csv_rows"] + extra_rows
@@ -354,6 +398,7 @@ def main() -> None:
         },
         "query_p95_sec": high["query_p95_sec"],
         "training_ops": high.get("training_ops", {}),
+        "ann_recall": high.get("ann_recall", {}),
         "scaling": scaling,
     }
 
@@ -384,6 +429,9 @@ Per-query best-of-{repeats} seconds at 4N: {json.dumps(high["queries"])}
 
 Training-data operator wall seconds at 4N (one run each, sf={sf}
 documents/embeddings tables): {json.dumps(high.get("training_ops", {}))}
+
+ANN recall@10 vs exact brute force (8 corpus-vector queries, sf={sf}
+embeddings): {json.dumps(high.get("ann_recall", {}))}
 
 Timed build preceded by an EXCLUDED small pilot build that absorbs
 JIT compilation + python worker spawn (the reference also excludes

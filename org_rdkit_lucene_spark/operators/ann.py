@@ -100,27 +100,49 @@ def lsh_bucket_ids(
     return emb.select(id_col, vec_col).mapInPandas(kernel, schema="vec_id long, bucket long")
 
 
+def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """MULTIPROBE mask set: every XOR mask flipping <= probe_hamming of
+    the n_planes sign bits, in deterministic (popcount, value) order —
+    the classic multiprobe-LSH neighborhood (a vector near a hyperplane
+    lands on either side; probing adjacent buckets recovers it). Shared
+    law between the engine and the SQL twin."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, max(0, probe_hamming) + 1):
+        masks.extend(
+            sum(1 << b for b in bits) for bits in combinations(range(n_planes), r)
+        )
+    return masks
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query_vecs: list[tuple[int, list[float]]],
     k: int = 10,
     n_planes: int = 12,
     seed: int = 42,
+    probe_hamming: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine within the query's LSH bucket.
-    Recall measured against :func:`cosine_topk` in tests; at scale the
-    bucket join prunes the corpus scan to matching buckets."""
+    """Approximate top-k: exact cosine within the query's LSH bucket
+    NEIGHBORHOOD — with ``probe_hamming`` > 0, all buckets within that
+    Hamming distance of the query's bucket are probed (multiprobe LSH:
+    recall recovered without extra tables). Recall measured against
+    :func:`cosine_topk` in tests and tracked per round by bench; at
+    scale the bucket join prunes the corpus scan to matching buckets
+    (probe count Σ C(n_planes, i) stays driver-sized)."""
     spark = emb.sparkSession
     dim = len(query_vecs[0][1])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
+    masks = probe_masks(n_planes, probe_hamming)
     qrows = []
     for qid, v in query_vecs:
         signs = (np.asarray(v, dtype=np.float64) @ planes) > 0
         bucket = int((signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum())
-        qrows.append((qid, bucket))
+        qrows.extend((qid, bucket ^ m) for m in masks)
     qb = F.broadcast(spark.createDataFrame(qrows, "query_id long, bucket long"))
     buckets = lsh_bucket_ids(emb, dim, n_planes, seed, id_col, vec_col)
     cand_ids = buckets.join(qb, "bucket").select(

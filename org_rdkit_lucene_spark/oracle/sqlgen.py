@@ -1046,12 +1046,19 @@ def _bucket_expr(vec_sql: str, planes) -> str:
 
 
 def ann_lsh_topk_sql(
-    query_vec_ids: list[int], k: int = 10, dim: int = 64, n_planes: int = 12, seed: int = 42
+    query_vec_ids: list[int], k: int = 10, dim: int = 64, n_planes: int = 12,
+    seed: int = 42, probe_hamming: int = 0,
 ) -> str:
     """Twin of operators/ann.lsh_cosine_topk with corpus vectors as
-    queries: exact cosine re-rank within the query's LSH bucket."""
+    queries: exact cosine re-rank within the query's LSH bucket
+    NEIGHBORHOOD (multiprobe: the shared ``probe_masks`` XOR-mask law
+    expands each query bucket to every bucket within
+    ``probe_hamming``)."""
+    from org_rdkit_lucene_spark.operators.ann import probe_masks
+
     planes = _plane_matrix(dim, n_planes, seed)
     ids = ", ".join(str(i) for i in query_vec_ids)
+    masks = ", ".join(f"({m})" for m in probe_masks(n_planes, probe_hamming))
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
@@ -1062,7 +1069,9 @@ b AS (
          {_bucket_expr("ev", planes)} AS bucket
   FROM e
 ),
-q AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM b WHERE vec_id IN ({ids})),
+masks(m) AS (VALUES {masks}),
+q0 AS (SELECT vec_id AS query_id, ev AS qv, bucket FROM b WHERE vec_id IN ({ids})),
+q AS (SELECT query_id, qv, xor(bucket, m) AS bucket FROM q0 CROSS JOIN masks),
 cand AS (SELECT q.query_id, q.qv, b.vec_id, b.ev FROM q JOIN b USING (bucket)),
 scored AS (
   SELECT query_id, vec_id,

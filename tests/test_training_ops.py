@@ -913,3 +913,30 @@ def test_ivfpq_exact_in_the_limit(spark):
         w = set(want[want.query_id == qid]["vec_id"])
         g = set(small[small.query_id == qid]["vec_id"])
         assert len(w & g) / len(w) > 0.5
+
+
+def test_lsh_multiprobe_recall_monotone(spark):
+    """Multiprobe law: probe_hamming=0 candidates are a subset of
+    probe_hamming=1's for every query, and recall vs exact brute force
+    weakly improves with the probe radius."""
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((300, 16))
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(300), "embedding": [v.tolist() for v in base]})
+    )
+    q = [(0, base[0].tolist()), (9, base[9].tolist())]
+    exact = cosine_topk(emb, q, k=10).toPandas()
+    r = {}
+    prev_hits = None
+    for ph in (0, 1, 2):
+        got = lsh_cosine_topk(emb, q, k=10, n_planes=8, probe_hamming=ph).toPandas()
+        hits = sum(
+            len(set(got[got.query_id == qid]["vec_id"])
+                & set(exact[exact.query_id == qid]["vec_id"]))
+            for qid in (0, 9)
+        )
+        r[ph] = hits
+        if prev_hits is not None:
+            assert hits >= prev_hits
+        prev_hits = hits
+    assert r[2] > r[0]  # wider probes must actually add recall here
