@@ -517,12 +517,18 @@ def ivfpq_cosine_topk(
     scoring is one broadcast join on (sub, cid) + one (query, vec)
     groupBy; only n_candidates full vectors per query are ever
     re-read. Assumes subvectors are not all-zero (cosine undefined)."""
-    spark = emb.sparkSession
     dim = len(query_vecs[0][1])
-    bounds = [round(j * dim / m) for j in range(m + 1)]
+    codes, books, bounds = _fit_pq(emb, dim, m, n_centroids, n_iters, id_col, vec_col)
+    return _pq_search(
+        emb, codes, books, bounds, query_vecs, k, n_candidates, id_col, vec_col
+    )
 
-    code_parts = []
-    tables: list[tuple[int, int, int, int]] = []  # (query_id, sub, cid, simq)
+
+def _fit_pq(emb, dim, m, n_centroids, n_iters, id_col, vec_col):
+    """Per-subspace codebook fit → (codes long-format DataFrame,
+    [codebook ndarray per subspace], bounds)."""
+    code_parts, books = [], []
+    bounds = [round(j * dim / m) for j in range(m + 1)]
     for j in range(m):
         a, b = bounds[j], bounds[j + 1]
         sub = emb.select(
@@ -533,16 +539,28 @@ def ivfpq_cosine_topk(
             sub, n_clusters=n_centroids, n_iters=n_iters, return_centroids=True
         )
         code_parts.append(asg_j.select("vec_id", F.lit(j).alias("sub"), "cid"))
-        cn = _normalize(cmat_j)
+        books.append(cmat_j)
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionByName(p)
+    return codes, books, bounds
+
+
+def _pq_search(emb, codes, books, bounds, query_vecs, k, n_candidates, id_col, vec_col):
+    """ADC scoring over PQ codes (in-memory or loaded from disk) +
+    exact re-rank — the shared back half of :func:`ivfpq_cosine_topk`
+    and :func:`pq_cosine_topk`."""
+    spark = emb.sparkSession
+    tables: list[tuple[int, int, int, int]] = []  # (query_id, sub, cid, simq)
+    for j, cmat_j in enumerate(books):
+        a, b = bounds[j], bounds[j + 1]
+        cn = _normalize(np.asarray(cmat_j, dtype=np.float64))
         for qid, v in query_vecs:
             qj = _normalize(np.asarray(v, dtype=np.float64)[a:b][None, :])[0]
             simq = np.floor(cn @ qj * QUANT + 0.5).astype(np.int64)
             tables.extend(
                 (int(qid), j, int(c), int(s)) for c, s in enumerate(simq)
             )
-    codes = code_parts[0]
-    for p in code_parts[1:]:
-        codes = codes.unionByName(p)
     tb = F.broadcast(
         spark.createDataFrame(tables, "query_id long, sub int, cid long, simq long")
     )
@@ -584,4 +602,77 @@ def ivfpq_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cos_q")
+    )
+
+
+PQ_CODES_NAME = "pq_codes.parquet"
+PQ_META_NAME = "pq_meta.json"
+
+
+def build_pq(
+    emb: DataFrame,
+    out_dir: str,
+    m: int = 4,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """PERSIST the PQ artifact — the at-scale shape (fit once, search
+    many): ``pq_codes.parquet`` (vec_id, sub, cid — m small ints per
+    vector, the ~(d/m)·32× compression) + ``pq_meta.json`` (codebooks
+    as exact float64 lists via repr round-trip, bounds, params).
+    Idempotent per directory; meta commits LAST (the stats-last
+    convention) so a crash mid-write never looks complete."""
+    import json
+    import os
+
+    dim = int(
+        emb.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    )
+    codes, books, bounds = _fit_pq(emb, dim, m, n_centroids, n_iters, id_col, vec_col)
+    os.makedirs(out_dir, exist_ok=True)
+    codes.write.mode("overwrite").parquet(os.path.join(out_dir, PQ_CODES_NAME))
+    meta = {
+        "m": m,
+        "dim": dim,
+        "n_centroids": n_centroids,
+        "n_iters": n_iters,
+        "bounds": bounds,
+        "codebooks": [c.tolist() for c in books],
+    }
+    tmp = os.path.join(out_dir, PQ_META_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, PQ_META_NAME))
+
+
+def load_pq(spark, pq_dir: str):
+    """Load a :func:`build_pq` artifact → (codes, books, bounds)."""
+    import json
+    import os
+
+    with open(os.path.join(pq_dir, PQ_META_NAME)) as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(os.path.join(pq_dir, PQ_CODES_NAME))
+    books = [np.asarray(c, dtype=np.float64) for c in meta["codebooks"]]
+    return codes, books, meta["bounds"]
+
+
+def pq_cosine_topk(
+    emb: DataFrame,
+    pq_dir: str,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_candidates: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search against a PERSISTED artifact (:func:`build_pq`) —
+    bit-identical to :func:`ivfpq_cosine_topk` over the same corpus
+    (codes are exact ints; codebooks round-trip exactly through JSON's
+    repr-shortest float64 serialization), without refitting."""
+    codes, books, bounds = load_pq(emb.sparkSession, pq_dir)
+    return _pq_search(
+        emb, codes, books, bounds, query_vecs, k, n_candidates, id_col, vec_col
     )

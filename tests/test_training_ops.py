@@ -940,3 +940,34 @@ def test_lsh_multiprobe_recall_monotone(spark):
             assert hits >= prev_hits
         prev_hits = hits
     assert r[2] > r[0]  # wider probes must actually add recall here
+
+
+def test_pq_persisted_identity(spark, tmp_path):
+    """build_pq -> load -> search must be bit-identical to the
+    in-memory ivfpq (codes exact ints; codebooks round-trip exactly
+    through JSON float64 repr)."""
+    from pyspark.sql import types as T
+
+    from org_rdkit_lucene_spark.operators.ann import (
+        build_pq,
+        ivfpq_cosine_topk,
+        pq_cosine_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, rng.standard_normal(16).tolist()) for i in range(90)]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    emb = spark.createDataFrame(vecs, schema)
+    q = [(2, vecs[2][1]), (7, vecs[7][1])]
+    want = ivfpq_cosine_topk(
+        emb, q, k=8, m=4, n_centroids=8, n_iters=2, n_candidates=32
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    d = str(tmp_path / "pq")
+    build_pq(emb, d, m=4, n_centroids=8, n_iters=2)
+    got = pq_cosine_topk(
+        emb, d, q, k=8, n_candidates=32
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.equals(want)
