@@ -266,9 +266,12 @@ def run_level(
                 lsh_cosine_topk,
             )
 
+            # fixed deterministic query set: limit() without an order is
+            # partition-layout-dependent, which would churn the query set
+            # (and the recall numbers) between rounds
             qvecs_r = sorted(
                 (int(r["vec_id"]), list(r["embedding"]))
-                for r in emb.limit(8).collect()
+                for r in emb.orderBy("vec_id").limit(8).collect()
             )
             k_r = 10
             exact = cosine_topk(emb, qvecs_r, k=k_r).toPandas()

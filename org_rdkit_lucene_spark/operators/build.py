@@ -22,6 +22,7 @@ expressions; no per-row Python.
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 import os
@@ -666,6 +667,24 @@ class InvertedIndex:
         return self.spark.read.parquet(os.path.join(self.index_dir, "metrics.parquet"))
 
     @property
+    def has_positions(self) -> bool:
+        return os.path.exists(
+            os.path.join(self.index_dir, "positions.parquet", "_SUCCESS")
+        )
+
+    @property
+    def positions(self) -> DataFrame:
+        """The OPTIONAL positional-postings artifact (term, doc_id, pos)
+        written by :func:`operators.positions.build_positions` — the
+        .prx analog, deliberately outside the postings/lexicon/docmeta
+        byte-equivalence contract. Same surface as
+        :attr:`SegmentedIndex.positions` so phrase paths are
+        polymorphic over monolithic and segmented indexes."""
+        return self.spark.read.parquet(
+            os.path.join(self.index_dir, "positions.parquet")
+        )
+
+    @property
     def flat(self) -> DataFrame:
         """The flat (doc_id, term, tf, dl) table this index was encoded
         from — manifest-referenced run dirs only. Kept after the build;
@@ -717,11 +736,33 @@ def build_index(
             # ONE column-pruned aggregation job (count + distinct-count
             # together) instead of two corpus scans
             key = [id_col] if id_col else ["repo", "path", "commit"]
+            # countDistinct over a STRUCT, not the bare columns: bare
+            # countDistinct silently DROPS rows where any key column is
+            # NULL, which made unique-but-NULL-keyed corpora fail the
+            # uniqueness check with a misleading message. NULL keys are
+            # rejected EXPLICITLY instead: every downstream natural-key
+            # join (docmap attachment, upsert resolution) uses
+            # null-unsafe equality, so a NULL-keyed row would silently
+            # vanish from the index — failing loud here is the contract.
             row = corpus.select(*key).agg(
                 F.count(F.lit(1)).alias("total"),
-                F.countDistinct(*key).alias("distinct"),
+                F.countDistinct(F.struct(*key)).alias("distinct"),
+                F.sum(
+                    F.when(
+                        functools.reduce(
+                            lambda a, b: a | b, [F.col(c).isNull() for c in key]
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_null"),
             ).collect()[0]
             total, distinct = int(row["total"]), int(row["distinct"])
+            if int(row["n_null"] or 0) > 0:
+                raise ValueError(
+                    f"primary key {key} contains NULLs in {row['n_null']} rows; "
+                    "natural-key joins are null-unsafe, so NULL-keyed docs "
+                    "cannot be indexed — filter or coalesce them first"
+                )
             if total != distinct:
                 raise ValueError(
                     f"primary key {key} not unique: {total} rows, {distinct} keys"

@@ -109,7 +109,11 @@ def check_index(index, deep: bool = False) -> pd.DataFrame:
     add("doc_count", n_meta == index.n_docs == n_map,
         f"stats={index.n_docs} docmeta={n_meta} docmap={n_map}")
     add("doc_ids_distinct", n_distinct == n_meta, f"distinct={n_distinct}")
-    add("doc_id_range", min_id >= 0 and max_id == index.max_doc_id,
+    # empty index: min/max aggregate to None — an empty index passes the
+    # range check iff its stats agree nothing was indexed
+    add("doc_id_range",
+        (min_id >= 0 and max_id == index.max_doc_id) if n_meta
+        else index.max_doc_id < 0,
         f"min={min_id} max={max_id} stats_max={index.max_doc_id}")
     add("total_dl", int(sum_dl or 0) == index.total_dl
         and (n_meta == 0 or index.avgdl == index.total_dl / n_meta),

@@ -124,6 +124,82 @@ def search_phrase_positions(
     )
 
 
+def phrase_ok_counts(
+    positions: DataFrame,
+    rows: list[tuple[int, str, int]],
+    profile=None,
+) -> DataFrame:
+    """Per-candidate phrase-clause satisfaction counts over the
+    positional postings — the verify stage :func:`operators.query.
+    search_syntax` uses when an index carries positions (Lucene's
+    parser runs PhraseQuery against the index, ``ChemicalIndex.java:
+    482-485``; stored bodies never move). ``rows`` =
+    ``[(query_id, phrase_text, slop)]``; returns ``(query_id, doc_id,
+    n_ok)`` where ``n_ok`` counts the query's phrase clauses the doc
+    satisfies under the analyzed-stream law: words in order at
+    positions ``p1 < … < pn`` with ``pn - p1 <= n-1+slop`` (``slop=0``
+    = exact adjacency, evaluated with the cheaper equality join). A
+    clause whose text analyzes to zero tokens is INERT — the parser
+    analog of Lucene dropping an empty PhraseQuery — so callers must
+    size their required counts over non-empty clauses only.
+
+    Plan: per clause, one pushed ``term = wi`` scan per word joined on
+    (doc_id, position arithmetic), DISTINCT existence per doc; clause
+    plans union and one groupBy counts satisfied clauses."""
+    from org_rdkit_lucene_spark.functions.tokenizer import DEFAULT_PROFILE
+
+    prof = profile or DEFAULT_PROFILE
+    spark = positions.sparkSession
+    parts = []
+    for i, (qid, text, slop) in enumerate(rows):
+        words = tokenize_text(text, prof)
+        if not words:
+            continue
+        if int(slop) <= 0:
+            base = positions.filter(F.col("term") == words[0]).select(
+                "doc_id", "pos"
+            )
+            for j, w in enumerate(words[1:], start=1):
+                nxt = positions.filter(F.col("term") == w).select(
+                    F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+                )
+                base = base.join(
+                    nxt,
+                    (F.col("doc_id") == F.col("d2"))
+                    & (F.col("p2") == F.col("pos") + j),
+                ).select("doc_id", "pos")
+        else:
+            bound = len(words) - 1 + int(slop)
+            base = positions.filter(F.col("term") == words[0]).select(
+                "doc_id", F.col("pos").alias("p1"), F.col("pos").alias("prev")
+            )
+            for w in words[1:]:
+                nxt = positions.filter(F.col("term") == w).select(
+                    F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+                )
+                base = base.join(
+                    nxt,
+                    (F.col("doc_id") == F.col("d2"))
+                    & (F.col("p2") > F.col("prev"))
+                    & (F.col("p2") - F.col("p1") <= F.lit(bound)),
+                ).select("doc_id", "p1", F.col("p2").alias("prev"))
+        parts.append(
+            base.select("doc_id").distinct().select(
+                F.lit(qid).cast("int").alias("query_id"),
+                "doc_id",
+                F.lit(i).cast("int").alias("ph"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], "query_id int, doc_id long, n_ok long")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("query_id", "doc_id").agg(
+        F.countDistinct("ph").cast("long").alias("n_ok")
+    )
+
+
 def search_slop_positions(
     positions: DataFrame,
     queries: list[tuple[int, str, int, int]],

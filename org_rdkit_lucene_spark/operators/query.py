@@ -681,6 +681,12 @@ REGEXP_EXPANSION_LIMIT = 256
 # groups, character classes. No backslash escapes, no anchors (we add
 # ``^...$`` ourselves), no ``/`` (ends the clause).
 _REGEXP_ALLOWED = _re.compile(r"^[a-z0-9.*+?|()\[\]{}\-_,]+$")
+# well-formed bounded-repeat group: {m}, {m,} or {m,n} — `{,n}` is the
+# portability trap (Python {0,n} / Java error / RE2 literal)
+_BRACE_RE = _re.compile(r"\{\d+(?:,\d*)?\}")
+# possessive quantifiers (*+ ++ ?+ {m,n}+): Java-only (and Python 3.11+),
+# RE2 rejects them — outside the portable subset
+_POSSESSIVE_RE = _re.compile(r"[*+?}]\+")
 
 _SYNTAX_RE = _re.compile(r'"([^"]*)"(?:~(\d+))?|(\+|-)?(\S+)')
 _FIELD_RE = _re.compile(r"^(repo|path|lang):(.+)$")
@@ -736,9 +742,22 @@ def regexp_regex(pattern: str) -> str:
 def _valid_regexp_clause(pattern: str) -> bool:
     """True iff the lowercased inner text of ``/…/`` is in the portable
     subset AND compiles — an uncompilable pattern degrades to a plain
-    word instead of failing the query."""
+    word instead of failing the query.
+
+    Portability is checked structurally, not just via Python ``re``:
+    Python accepts forms the other two engines DIVERGE on — ``{,3}``
+    compiles under Python (≡ ``{0,3}``) but java.util.regex throws and
+    RE2 treats it as a literal, and possessive quantifiers (``a++``,
+    ``a*+``, ``{2}+``) compile on Python 3.11+ but not under RE2 — so
+    every ``{`` must open an explicit ``{m}``/``{m,}``/``{m,n}`` group
+    and a quantifier may not be followed by ``+``."""
     if not _REGEXP_ALLOWED.match(pattern):
         return False
+    if _POSSESSIVE_RE.search(pattern):
+        return False
+    for m in _re.finditer(r"\{", pattern):
+        if not _BRACE_RE.match(pattern, m.start()):
+            return False
     try:
         _re.compile(regexp_regex(pattern))
     except _re.error:
@@ -1126,20 +1145,40 @@ def search_syntax(
     index: InvertedIndex,
     corpus_with_ids: DataFrame | None,
     queries: list[tuple[int, str, int]],
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """Q1 with query syntax. Scoring terms = required + optional + the
     tokens of each phrase (phrases contribute to the score like the
     two-phase prefilter, ChemicalIndex.java:697: verification only
     filters). A doc must match every required term and every phrase
-    term, match no excluded term, and contain each phrase verbatim.
-    ``corpus_with_ids`` (doc_id, content) is only needed when phrases
-    are present. ``"a b"~N`` sloppy phrases filter by the analyzed
-    token-stream window law (:func:`_slop_match`); their tokens are
-    must-pinned like exact-phrase tokens. ``field:value`` clauses over
-    {repo, path, lang} are
-    SHOULD clauses: each match adds FIELD_BOOST to the score, and a doc
-    matching only field clauses is still a candidate (subject to the
-    MUST/exclusion/phrase filters)."""
+    term, match no excluded term, and satisfy each phrase clause.
+    ``"a b"~N`` sloppy phrases filter by the analyzed token-stream
+    window law (:func:`_slop_match`); their tokens are must-pinned like
+    exact-phrase tokens. ``field:value`` clauses over {repo, path,
+    lang} are SHOULD clauses: each match adds FIELD_BOOST to the score,
+    and a doc matching only field clauses is still a candidate (subject
+    to the MUST/exclusion/phrase filters).
+
+    Phrase verification has two interchangeable backends:
+
+    - ``positions`` (a ``(term, doc_id, pos)`` positional-postings
+      DataFrame — ``index.positions`` or ``SegmentedIndex.positions``):
+      the INDEXED path, matching the reference's parser running
+      PhraseQuery against the index (``ChemicalIndex.java:482-485``).
+      Exact phrases use the analyzed-adjacency law (= slop 0 of the
+      shared span law); zero-token phrases are inert (Lucene's parser
+      drops an empty PhraseQuery). No stored bodies are read — at
+      100 TB the content column never moves for phrase queries.
+    - ``corpus_with_ids`` (doc_id, content): the fallback for indexes
+      without a positions artifact — exact phrases verify by verbatim
+      substring against the stored body, sloppy phrases by the
+      Arrow-batched ``_slop_match`` kernel. The two backends agree on
+      sloppy phrases exactly (same law, same stream); exact phrases
+      differ only on token-boundary cases (verbatim substring vs
+      analyzed adjacency), where the indexed law is the
+      reference-faithful one.
+
+    When ``positions`` is given, ``corpus_with_ids`` may be None."""
     spark = index.spark
     prof = index.cfg.tokenizer
     parsed = {qid: parse_query(text) for qid, text, _ in queries}
@@ -1274,6 +1313,32 @@ def search_syntax(
             .distinct()
         )
         scored = scored.join(ex_docs, ["query_id", "doc_id"], "left_anti")
+
+    # phrase + sloppy-phrase verification, indexed path: one positions
+    # existence check covers both clause kinds (exact = slop 0), the
+    # per-doc satisfied-clause count must equal the query's non-inert
+    # clause count, and no content column is touched.
+    if positions is not None and (phrase_rows or slop_rows):
+        from org_rdkit_lucene_spark.operators.positions import phrase_ok_counts
+
+        clause_rows = [(qid, ph, 0) for qid, ph in phrase_rows] + slop_rows
+        need_n = {qid: 0 for qid, _, _ in queries}
+        for qid, text, _slop in clause_rows:
+            if tokenize_text(text, prof):
+                need_n[qid] += 1
+        okc = phrase_ok_counts(positions, clause_rows, prof)
+        needp = F.broadcast(
+            spark.createDataFrame(
+                sorted(need_n.items()), "query_id int, n_clauses long"
+            )
+        )
+        scored = (
+            scored.join(okc, ["query_id", "doc_id"], "left")
+            .join(needp, "query_id")
+            .filter(F.coalesce(F.col("n_ok"), F.lit(0)) == F.col("n_clauses"))
+            .drop("n_ok", "n_clauses")
+        )
+        phrase_rows, slop_rows = [], []
 
     # phrase verification against the stored body (keeps the pre-filter
     # score; verification only filters). Phrase-less queries must pass

@@ -246,7 +246,11 @@ ORDER BY query_id, rank"""
     )
 
 
-def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "documents") -> str:
+def query_syntax_sql(
+    queries: list[tuple[int, str, int]],
+    table: str = "documents",
+    indexed_phrases: bool = False,
+) -> str:
     """Twin of operators/query.search_syntax (Q1 MultiFieldQueryParser
     analog): +term required, -term excluded, "a b" phrase (substring-
     verified, score unchanged), bare terms optional, field:value over
@@ -266,7 +270,13 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
     parity by construction). "a b"~N sloppy phrases filter via an
     n-way self-join over token positions — the same existence law as
     the engine's _slop_match (in-order, span <= n-1+slop, analyzed
-    stream)."""
+    stream).
+
+    ``indexed_phrases=True`` is the twin of the engine's positions
+    backend (search_syntax(..., positions=...)): exact phrases verify
+    as slop-0 entries of the SAME positions-join law (analyzed
+    adjacency; zero-token phrases inert) instead of verbatim
+    ``contains`` against the stored body."""
     from org_rdkit_lucene_spark.operators.query import (
         FIELD_BOOST,
         FUZZY_EXPANSION_LIMIT,
@@ -297,7 +307,13 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
         # same existence law as the engine's _slop_match (positions
         # p1 < ... < pn, span <= n-1+slop over the ANALYZED stream)
         n_sp = 0
-        for ph, slop in sorted(set(p["slop_phrases"])):
+        sp_clauses = list(sorted(set(p["slop_phrases"])))
+        if indexed_phrases:
+            # exact phrases join the positions machinery as slop-0
+            # clauses (duplicates kept — the engine counts each
+            # occurrence as its own clause)
+            sp_clauses = [(ph, 0) for ph in p["phrases"]] + sp_clauses
+        for ph, slop in sp_clauses:
             words = tokenize_text(ph)
             if not words:
                 continue  # zero-token slop phrase is inert
@@ -356,9 +372,12 @@ def query_syntax_sql(queries: list[tuple[int, str, int]], table: str = "document
         for w in p["excluded"]:
             for t in tokenize_text(w):
                 ex_rows.append(f"({qid}, '{t.replace(chr(39), chr(39)*2)}')")
-        for ph in p["phrases"]:
-            ph_rows.append(f"({qid}, '{ph.replace(chr(39), chr(39)*2)}')")
-        phn_rows.append(f"({qid}, {len(p['phrases'])})")
+        if indexed_phrases:
+            phn_rows.append(f"({qid}, 0)")  # contains-law disabled
+        else:
+            for ph in p["phrases"]:
+                ph_rows.append(f"({qid}, '{ph.replace(chr(39), chr(39)*2)}')")
+            phn_rows.append(f"({qid}, {len(p['phrases'])})")
 
     def vals(rows, arity):
         return ",\n    ".join(rows) if rows else "(" + ", ".join(["NULL"] * arity) + ")"
@@ -2068,12 +2087,18 @@ SELECT d.doc_id::BIGINT AS doc_id,
 FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
 
 
-def phrase_positions_sql(queries: list[tuple[int, str, int]]) -> str:
+def phrase_positions_sql(
+    queries: list[tuple[int, str, int]],
+    table: str = "documents",
+    extra_cte: str = "",
+) -> str:
     """Twin of positions.search_phrase_positions (indexed PhraseQuery):
     the analyzed position stream as a CTE, one n-way positions join per
     phrase (t_{i}.p = t_1.p + i-1 over the SAME token law), occurrence
     counts, rank by (n_occ DESC, doc_id ASC) bounded by k — exact
-    integers end to end."""
+    integers end to end. ``table``/``extra_cte`` let the twin run over
+    a derived corpus (e.g. ``upsert_docs_cte`` for the segmented
+    engine path)."""
     from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
 
     toks = duckdb_tokens_sql("text")
@@ -2099,11 +2124,12 @@ def phrase_positions_sql(queries: list[tuple[int, str, int]]) -> str:
     union = " UNION ALL ".join(blocks) if blocks else (
         "SELECT 0 AS query_id, 0 AS doc_id, 0::BIGINT AS n_occ, 0 AS k WHERE 1=0"
     )
+    head = f"WITH {extra_cte},\nposi AS (" if extra_cte else "WITH posi AS ("
     return f"""
-WITH posi AS (
+{head}
   SELECT doc_id, unnest({toks}) AS term,
          generate_subscripts({toks}, 1) - 1 AS p
-  FROM documents
+  FROM {table}
 ),
 occ AS ({union}),
 ranked AS (

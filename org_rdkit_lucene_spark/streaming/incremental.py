@@ -74,8 +74,18 @@ from org_rdkit_lucene_spark.operators.build import (
     _write_manifest,
     encode_postings,
 )
+from org_rdkit_lucene_spark.operators.positions import POSITIONS_NAME
 
 FLAT_COLS = ["doc_id", "term", "tf", "dl"]
+POSITIONS_SCHEMA = "term string, doc_id long, pos long"
+# hard budget for the driver-side kill map (16 bytes/pair ≈ 160 MB at
+# the cap — comfortably under driver/broadcast limits); the
+# maybe_compact(max_tombstone_frac) policy should fire long before this
+MAX_KILL_PAIRS = 10_000_000
+
+
+def _base_has_positions(base_dir: str) -> bool:
+    return os.path.exists(os.path.join(base_dir, POSITIONS_NAME, "_SUCCESS"))
 
 
 def segments_root(index_dir: str) -> str:
@@ -142,9 +152,20 @@ def build_segment(
     cfg: IndexConfig,
     id_col: str | None = "ext_id",
     base_index_dir: str | None = None,
+    with_positions: bool | None = None,
 ) -> None:
     """Encode one micro-batch of docs as a self-contained delta segment
     with delete-then-add upsert semantics (``ChemicalIndex.java:801``).
+
+    ``with_positions``: also write this segment's positional postings
+    (``positions.parquet``, same analyzed-stream law as
+    :func:`operators.positions.build_positions`) — the per-segment .prx
+    analog every Lucene segment carries (``ChemicalIndex.java:847``
+    delegates to ``IndexWriter.addDocument``, which writes positions
+    per flushed segment). Default ``None`` auto-detects: segments keep
+    positions current whenever the BASE index has a committed positions
+    artifact, so phrase/slop queries over a streamed or upserted index
+    stay index-only instead of falling back to stored-body scans.
 
     ``batch`` carries the corpus shape plus either an externally-
     supplied unique integer id (``id_col`` — the reference's
@@ -274,6 +295,21 @@ def build_segment(
     blocks.write.mode("overwrite").parquet(os.path.join(seg_dir, "postings.parquet"))
     flat.unpersist()
 
+    # per-segment positional postings (the .prx analog): one extra
+    # tokenize pass over the micro-batch content, written BEFORE the
+    # stats.json commit so a half-written segment is never visible
+    if with_positions is None:
+        with_positions = _base_has_positions(base_dir)
+    if with_positions:
+        from org_rdkit_lucene_spark.functions.tokenizer import tokens_column
+
+        ids.select(
+            F.col("doc_id"),
+            F.posexplode(tokens_column("content", cfg.tokenizer)).alias("pos", "term"),
+        ).select("term", "doc_id", F.col("pos").cast("long").alias("pos")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(seg_dir, POSITIONS_NAME))
+
     tmp = os.path.join(seg_dir, "stats.json.tmp")
     with open(tmp, "w") as f:
         json.dump(
@@ -357,6 +393,8 @@ def delete_docs(
         "overwrite").parquet(os.path.join(seg_dir, "flat.parquet"))
     _empty(spark, POSTINGS_SCHEMA).write.mode("overwrite").parquet(
         os.path.join(seg_dir, "postings.parquet"))
+    _empty(spark, POSITIONS_SCHEMA).write.mode("overwrite").parquet(
+        os.path.join(seg_dir, POSITIONS_NAME))
     tmp = os.path.join(seg_dir, "stats.json.tmp")
     with open(tmp, "w") as f:
         json.dump(
@@ -514,9 +552,29 @@ class SegmentedIndex:
     def kill_pairs(self) -> tuple[np.ndarray, np.ndarray] | None:
         """Driver-side (sorted doc_ids, kill_ords) for kernel use.
         Tombstone volume is bounded by stream volume since the last
-        compaction, so this is delta-scale by construction."""
+        compaction — and now STRUCTURALLY enforced, not just by
+        policy: past ``MAX_KILL_PAIRS`` tombstones this raises with a
+        compact() directive instead of silently materializing a
+        driver-OOM-sized map, and past the default ``maybe_compact``
+        fraction it warns that compaction is overdue."""
         if not self.has_deletes:
             return None
+        if self.n_tombstones > MAX_KILL_PAIRS:
+            raise RuntimeError(
+                f"{self.n_tombstones} tombstones exceed the driver-side "
+                f"kill-map budget ({MAX_KILL_PAIRS}); run compact() (or "
+                "maybe_compact()) before querying this view"
+            )
+        if self.tombstone_frac() > 0.2:
+            import warnings
+
+            warnings.warn(
+                f"tombstone fraction {self.tombstone_frac():.2f} exceeds the "
+                "default compaction policy (0.2) — query-time kill maps are "
+                "growing; schedule compact()",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         if self._kill_pairs_cache is None:
             pdf = self.kill_map.toPandas()
             ids = pdf["doc_id"].to_numpy(np.int64)
@@ -582,6 +640,52 @@ class SegmentedIndex:
             )
         )
         return raw.withColumn("max_tf_norm", safe)
+
+    @property
+    def has_positions(self) -> bool:
+        return _base_has_positions(self.index_dir)
+
+    @property
+    def positions(self) -> DataFrame:
+        """Kill-filtered union of the base and per-segment positional
+        postings ``(term, doc_id, pos)`` — the merged .prx view. Feeds
+        :func:`operators.positions.search_phrase_positions` /
+        ``search_slop_positions`` and :func:`operators.query.
+        search_syntax`'s indexed phrase path unchanged, so phrase/slop
+        queries over a streamed/upserted index never read stored
+        bodies. A doc updated in segment *j* contributes only its
+        ordinal-*j* positions (the tombstone filter, same law as
+        docmeta). Raises when the base or any non-empty segment was
+        built without positions — silently dropping a segment would
+        return wrong phrase results, and the fix (rebuild the segment
+        or compact) is a caller decision."""
+        if not self.has_positions:
+            raise FileNotFoundError(
+                f"no positions artifact at {self.index_dir}; run "
+                "build_positions() on the base index first"
+            )
+        df = self.spark.read.parquet(
+            os.path.join(self.index_dir, POSITIONS_NAME)
+        ).withColumn("seg_ord", F.lit(0))
+        for i, d in enumerate(self.segment_dirs):
+            p = os.path.join(d, POSITIONS_NAME)
+            if not os.path.isdir(p):
+                with open(os.path.join(d, "stats.json")) as f:
+                    if json.load(f)["n_docs"] > 0:
+                        raise FileNotFoundError(
+                            f"segment {d} was built without positions; "
+                            "re-index it with with_positions=True or compact()"
+                        )
+                continue
+            df = df.unionByName(
+                self.spark.read.parquet(p).withColumn("seg_ord", F.lit(i + 1))
+            )
+        kill = self.kill_map
+        if kill is not None:
+            df = df.join(F.broadcast(kill), "doc_id", "left").filter(
+                F.col("kill_ord").isNull() | (F.col("seg_ord") >= F.col("kill_ord"))
+            ).drop("kill_ord")
+        return df.drop("seg_ord")
 
     @property
     def lexicon(self) -> DataFrame:
@@ -689,6 +793,15 @@ def compact(
     blocks = encode_postings(flat, cfg, seg.avgdl, seg.max_doc_id, hot_terms)
     blocks.write.mode("overwrite").parquet(os.path.join(out_dir, "postings.parquet"))
     flat.unpersist()
+
+    # positional postings survive compaction when the source index has
+    # them: the kill-filtered union IS the rebuild's positions row set
+    # (positions.parquet is outside the byte-equivalence contract —
+    # only set equality matters, and every consumer joins on it)
+    if seg.has_positions:
+        seg.positions.write.mode("overwrite").parquet(
+            os.path.join(out_dir, POSITIONS_NAME)
+        )
 
     # stats.json is the commit record and is written LAST (same
     # atomicity convention as build_segment): a crash mid-compaction

@@ -42,3 +42,24 @@ def test_tampered_stats_detected(spark, small_index, tmp_path):
     assert not out.loc["total_dl", "passed"]
     # untampered invariants still pass
     assert out.loc["blocks_ordered", "passed"]
+
+
+def test_empty_index_reports_instead_of_crashing(spark, small_index, tmp_path):
+    """ADVICE r03: zero docmeta rows made min/max aggregate to None and
+    the range check raised TypeError — an empty index must yield a
+    report, with doc_id_range judged against the stats' emptiness."""
+    d = str(tmp_path / "emptied")
+    shutil.copytree(small_index.index_dir, d)
+    meta = InvertedIndex.load(spark, d).docmeta
+    spark.createDataFrame([], meta.schema).write.mode("overwrite").parquet(
+        os.path.join(d, "docmeta.parquet")
+    )
+    p = os.path.join(d, "stats.json")
+    stats = json.load(open(p))
+    stats.update(n_docs=0, total_dl=0, avgdl=0.0, max_doc_id=-1)
+    json.dump(stats, open(p, "w"))
+    idx = InvertedIndex.load(spark, d)
+    out = check_index(idx).set_index("check")  # must not raise
+    assert bool(out.loc["doc_id_range", "passed"])
+    # stale docmap/postings vs empty stats: caught, not crashed
+    assert not bool(out.loc["doc_count", "passed"])

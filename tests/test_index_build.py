@@ -155,3 +155,26 @@ def test_duplicate_pk_rejected(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not unique"):
         build_index(spark, spark.createDataFrame(pdf), IndexConfig(build_partitions=2), str(tmp_path / "d"))
+
+
+def test_null_keys_rejected_explicitly(spark, tmp_path):
+    """ADVICE r03: bare countDistinct silently dropped NULL-keyed rows,
+    surfacing as a misleading 'not unique' error. NULL natural keys are
+    now rejected with an explicit message (downstream natural-key joins
+    are null-unsafe, so such rows would silently vanish), while unique
+    non-NULL corpora still validate."""
+    from org_rdkit_lucene_spark.operators.build import build_index
+
+    pdf = pd.DataFrame(
+        [("r", "p1", None, "py", "alpha beta"), ("r", "p2", None, "py", "gamma")],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    with pytest.raises(ValueError, match="contains NULLs"):
+        build_index(
+            spark,
+            spark.createDataFrame(pdf).withColumn(
+                "commit", F.col("commit").cast("string")
+            ),
+            IndexConfig(build_partitions=2),
+            str(tmp_path / "nullkey"),
+        )

@@ -6,6 +6,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from org_rdkit_lucene_spark.config import IndexConfig
 from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
 from org_rdkit_lucene_spark.operators.query import (
     max_scores,
@@ -900,3 +901,101 @@ def test_slop_positions_law(spark, tmp_path):
     out3 = search_slop_positions(pos, [(1, "alpha beta", 3, 10)]).toPandas()
     assert sorted(out3.doc_id) == [0, 1, 3]
     assert (out3.doc_id != 2).all()  # order matters
+
+
+def test_regexp_portability_rejections():
+    """ADVICE r03: forms Python compiles but Java/RE2 diverge on must
+    degrade to plain words — `{,n}` (Java throws, RE2 literal) and
+    possessive quantifiers (RE2 rejects)."""
+    from org_rdkit_lucene_spark.operators.query import _valid_regexp_clause
+
+    for bad in ["ab{,3}", "a++", "a*+", "a?+", "a{2}+", "ab{", "a{}b", "a{x}"]:
+        assert not _valid_regexp_clause(bad), bad
+    for good in ["ab{2,3}", "ab{2,}", "ab{2}", "work(er|ers)?", "m[aeiou]rg", "b.*ch"]:
+        assert _valid_regexp_clause(good), good
+    # a rejected pattern degrades to a plain optional term, not an error
+    p = parse_query("/ab{,3}/ merge")
+    assert p["regexps"] == [] and "/ab{,3}/" in p["optional"]
+    p2 = parse_query("/zz++/ merge")
+    assert p2["regexps"] == [] and "/zz++/" in p2["optional"]
+
+
+@pytest.fixture(scope="module")
+def posidx(spark, tmp_path_factory):
+    """A tiny index + positions artifact with token-boundary probes:
+    doc 1 holds 'alpha beta' verbatim, doc 2 holds 'alpha.beta' (same
+    analyzed adjacency, different raw bytes)."""
+    from org_rdkit_lucene_spark.operators.build import build_index
+    from org_rdkit_lucene_spark.operators.positions import build_positions
+
+    rows = []
+    for i, body in enumerate(
+        [
+            "alpha beta gamma marker",
+            "alpha.beta gamma marker",
+            "beta alpha marker",
+            "alpha x beta marker",
+        ]
+    ):
+        rows.append((i, f"org/r{i}", f"src/f{i}.py", f"c{i:03d}", "py", body))
+    pdf = pd.DataFrame(
+        rows, columns=["ext_id", "repo", "path", "commit", "lang", "content"]
+    )
+    d = str(tmp_path_factory.mktemp("syn_posidx"))
+    cfg = IndexConfig(build_partitions=2, hot_term_df=50, n_salts=2)
+    idx = build_index(spark, spark.createDataFrame(pdf), cfg, d, id_col="ext_id")
+    pos = build_positions(
+        spark, spark.createDataFrame(pdf), d, content_col="content", id_col="ext_id"
+    )
+    corpus = spark.createDataFrame(pdf[["ext_id", "content"]]).withColumnRenamed(
+        "ext_id", "doc_id"
+    )
+    return idx, pos, corpus
+
+
+def test_syntax_indexed_phrases_analyzed_adjacency(posidx):
+    """search_syntax(positions=...) verifies exact phrases by the
+    ANALYZED-ADJACENCY law (the reference runs PhraseQuery on the
+    index): 'alpha.beta' matches '"alpha beta"' index-side though the
+    verbatim-substring fallback rejects it."""
+    idx, pos, corpus = posidx
+    q = [(1, '"alpha beta" marker', 10)]
+    indexed = search_syntax(idx, None, q, positions=pos).toPandas()
+    assert sorted(indexed.doc_id) == [0, 1]  # adjacency in both
+    fallback = search_syntax(idx, corpus, q).toPandas()
+    assert sorted(fallback.doc_id) == [0]  # verbatim substring only
+    # scores agree where both match (verification only filters)
+    m = indexed.set_index("doc_id").score_q
+    assert m[0] == fallback.set_index("doc_id").score_q[0]
+
+
+def test_syntax_slop_backends_identical(posidx):
+    """Sloppy phrases share one law: the positions backend and the
+    stored-body _slop_match kernel return identical rows."""
+    idx, pos, corpus = posidx
+    q = [(1, '"alpha beta"~1 marker', 10), (2, '"beta gamma"~0', 10)]
+    a = (
+        search_syntax(idx, None, q, positions=pos)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        search_syntax(idx, corpus, q)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_syntax_indexed_phrases_read_no_content(posidx):
+    """Plan contract: with a positions backend no content column is
+    scanned — at 100 TB stored bodies must never move for an indexed
+    phrase (ChemicalIndex.java:482-485)."""
+    from org_rdkit_lucene_spark.plans import audit
+
+    idx, pos, _ = posidx
+    df = search_syntax(
+        idx, None, [(1, '"alpha beta" marker', 5), (2, '"alpha x"~2', 5)],
+        positions=pos,
+    )
+    plan = audit.physical_plan(df)
+    assert "content" not in plan
+    assert audit.count_nodes(df, "BatchEvalPython") == 0

@@ -465,3 +465,119 @@ def test_natural_key_delete(spark, tmp_path_factory):
         _sorted(search(seg, qs, mode="disjunctive")),
         _sorted(search(full, qs, mode="disjunctive")),
     )
+
+
+def test_segment_positions_rank_identity(spark, tmp_path_factory):
+    """Per-segment positional postings (the per-segment .prx analog,
+    ChemicalIndex.java:847): base positions + an upsert segment's
+    positions + a pure delete, kill-filtered, must rank phrase queries
+    identically to positions rebuilt over the UPDATED corpus — and the
+    merged view must survive compaction unchanged."""
+    from org_rdkit_lucene_spark.operators.positions import (
+        build_positions,
+        search_phrase_positions,
+        search_slop_positions,
+    )
+
+    tmp = tmp_path_factory.mktemp("segpos")
+    pdf = make_corpus_pdf(n_docs=120, seed=31)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    cfg = IndexConfig(build_partitions=4, hot_term_df=60, n_salts=4)
+    base_dir = str(tmp / "base")
+    build_index(spark, spark.createDataFrame(pdf), cfg, base_dir, id_col="ext_id")
+    build_positions(
+        spark, spark.createDataFrame(pdf), base_dir,
+        content_col="content", id_col="ext_id",
+    )
+
+    upd = pdf[pdf.ext_id % 10 == 0].copy()
+    upd["content"] = upd["content"] + " segpos probe marker"
+    seg0 = os.path.join(segments_root(base_dir), "seg-00000000")
+    # with_positions=None auto-detects from the base artifact
+    build_segment(spark, spark.createDataFrame(upd), seg0, cfg, id_col="ext_id")
+    deleted = [3, 10, 20]  # 10/20 are updated docs: tombstone ON a re-add
+    delete_docs(spark, base_dir, deleted, cfg)
+    seg = SegmentedIndex.load(spark, base_dir, cfg)
+
+    final = pd.concat([pdf[~(pdf.ext_id % 10 == 0)], upd], ignore_index=True)
+    final = final[~final.ext_id.isin(deleted)]
+    truth_dir = str(tmp / "truth")
+    build_index(spark, spark.createDataFrame(final), cfg, truth_dir, id_col="ext_id")
+    truth_pos = build_positions(
+        spark, spark.createDataFrame(final), truth_dir,
+        content_col="content", id_col="ext_id",
+    )
+
+    phrase_qs = [(1, "segpos probe marker", 8), (2, "returns the", 8), (3, "value data", 8)]
+    got = _sorted(search_phrase_positions(seg.positions, phrase_qs))
+    want = _sorted(search_phrase_positions(truth_pos, phrase_qs))
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.query_id == 1).sum() > 0  # the marker phrase really hits
+
+    slop_qs = [(4, "probe marker", 1, 8), (5, "returns loggersplitor", 2, 8)]
+    pd.testing.assert_frame_equal(
+        _sorted(search_slop_positions(seg.positions, slop_qs)),
+        _sorted(search_slop_positions(truth_pos, slop_qs)),
+    )
+
+    # compaction carries the merged positions (set-equal to the rebuild)
+    compacted = compact(spark, base_dir, cfg, str(tmp / "compacted"))
+    pd.testing.assert_frame_equal(
+        _sorted(search_phrase_positions(compacted.positions, phrase_qs)), want
+    )
+
+
+def test_segment_without_positions_raises(spark, tmp_path_factory):
+    """A non-empty segment built before positions existed must fail
+    loudly from .positions — silently skipping it would return wrong
+    phrase results."""
+    from org_rdkit_lucene_spark.operators.positions import build_positions
+
+    tmp = tmp_path_factory.mktemp("segpos_missing")
+    pdf = make_corpus_pdf(n_docs=40, seed=7)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    cfg = IndexConfig(build_partitions=2, hot_term_df=60, n_salts=2)
+    base_dir = str(tmp / "base")
+    build_index(spark, spark.createDataFrame(pdf), cfg, base_dir, id_col="ext_id")
+
+    upd = pdf.iloc[:4].copy()
+    upd["content"] = upd["content"] + " nopos probe"
+    seg0 = os.path.join(segments_root(base_dir), "seg-00000000")
+    # base has no positions yet -> auto-detect writes none
+    build_segment(spark, spark.createDataFrame(upd), seg0, cfg, id_col="ext_id")
+    # positions added to the base AFTER the segment was flushed
+    build_positions(
+        spark, spark.createDataFrame(pdf), base_dir,
+        content_col="content", id_col="ext_id",
+    )
+    seg = SegmentedIndex.load(spark, base_dir, cfg)
+    with pytest.raises(FileNotFoundError, match="without positions"):
+        seg.positions  # noqa: B018
+
+
+def test_kill_pairs_budget_enforced(spark, tmp_path_factory, monkeypatch):
+    """The driver-side kill map is STRUCTURALLY bounded: past
+    MAX_KILL_PAIRS tombstones kill_pairs() raises with a compact()
+    directive instead of materializing an OOM-sized map, and past the
+    default policy fraction it warns."""
+    import org_rdkit_lucene_spark.streaming.incremental as inc
+
+    tmp = tmp_path_factory.mktemp("killbudget")
+    pdf = make_corpus_pdf(n_docs=40, seed=13)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    cfg = IndexConfig(build_partitions=2, hot_term_df=60, n_salts=2)
+    base_dir = str(tmp / "base")
+    build_index(spark, spark.createDataFrame(pdf), cfg, base_dir, id_col="ext_id")
+    upd = pdf[pdf.ext_id < 20].copy()  # tombstones 20 of 40 -> frac 0.5
+    upd["content"] = upd["content"] + " budget probe"
+    seg0 = os.path.join(segments_root(base_dir), "seg-00000000")
+    build_segment(spark, spark.createDataFrame(upd), seg0, cfg, id_col="ext_id")
+    seg = SegmentedIndex.load(spark, base_dir, cfg)
+
+    with pytest.warns(RuntimeWarning, match="tombstone fraction"):
+        assert seg.kill_pairs() is not None
+
+    monkeypatch.setattr(inc, "MAX_KILL_PAIRS", 5)
+    seg2 = SegmentedIndex.load(spark, base_dir, cfg)
+    with pytest.raises(RuntimeError, match="kill-map budget"):
+        seg2.kill_pairs()
