@@ -209,6 +209,73 @@ def run_level(
         out["query_total_sec"] = round(sum(qtimes.values()), 3)
         out["query_p95_sec"] = round(samples_all[max(0, int(len(samples_all) * 0.95) - 1)], 3)
 
+        # mixed CONCURRENT workload — the reference's actual benchmark
+        # shape: a thread pool randomly interleaving FP/SS/MOL items
+        # against one index (LuceneBenchmark.java:296-346, random pick
+        # :395). Items run solo first (sequential baseline), then the
+        # same items from a 4-thread pool in seeded-shuffled order;
+        # contention = mixed p95 / solo p95 per item kind. Runs at the
+        # headline (4N) level only.
+        if td_dir:
+            import random
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _mk(kind, fn):
+                return (kind, fn)
+
+            mixed_items = (
+                [_mk("disjunctive", (lambda q: (lambda: search(idx, [q], "disjunctive")))(q))
+                 for q in batches["disj"][:8]]
+                + [_mk("conjunctive", (lambda q: (lambda: search(idx, [q], "conjunctive")))(q))
+                   for q in batches["conj"][:4]]
+                + [_mk("two_phase", (lambda q: (lambda: search_two_phase(idx, corpus_ids, [q])))(q))
+                   for q in batches["phrase"][:4]]
+                + [_mk("wand_large_k", lambda: search_wand(idx, large_k[:1], "disjunctive"))]
+            )
+
+            def _run_one(item):
+                kind, fn = item
+                t0 = time.time()
+                hits = len(fn().collect())
+                return kind, time.time() - t0, hits
+
+            solo_walls = []
+            for i, item in enumerate(mixed_items):
+                kind, wall, hits = _run_one(item)
+                solo_walls.append(wall)
+                csv_rows.append((cores, f"solo_{kind}_{i}", "mixed_solo", 0,
+                                 round(wall * 1000, 1), hits))
+            rng = random.Random(SEED)
+            item_walls: list[float] = []
+            batch_walls: list[float] = []
+            for rep in range(repeats):
+                order = list(enumerate(mixed_items))
+                rng.shuffle(order)
+                t0 = time.time()
+                with ThreadPoolExecutor(max_workers=4) as pool:
+                    rs = list(pool.map(lambda p: (p[0],) + _run_one(p[1]), order))
+                batch_walls.append(time.time() - t0)
+                for i, kind, wall, hits in rs:
+                    item_walls.append(wall)
+                    csv_rows.append((cores, f"mixed_{kind}_{i}", "mixed", rep,
+                                     round(wall * 1000, 1), hits))
+                csv_rows.append((cores, "mixed_batch", "mixed", rep,
+                                 round(batch_walls[-1] * 1000, 1),
+                                 sum(h for _, _, _, h in rs)))
+
+            def _p95(xs: list[float]) -> float:
+                xs = sorted(xs)
+                return round(xs[max(0, int(len(xs) * 0.95) - 1)], 3)
+
+            out["mixed"] = {
+                "batch_sec": round(min(batch_walls), 3),
+                "item_p95_sec": _p95(item_walls),
+                "solo_p95_sec": _p95(solo_walls),
+                "contention_ratio": round(_p95(item_walls) / max(_p95(solo_walls), 1e-9), 2),
+                "n_items": len(mixed_items),
+                "pool_workers": 4,
+            }
+
         # training-data operators (dedup/sketch/ANN) — these carry
         # 100 TB scale claims, so their throughput is tracked per round
         # like the BM25 paths (one timed run each at this level)
@@ -294,10 +361,17 @@ def run_level(
                                     probe_hamming=2)),
                 "ann_ivf_recall_at_10": recall(
                     ivf_cosine_topk(emb, qvecs_r, k=k_r, n_centroids=16, nprobe=4)),
+                # shipped defaults (m=8, nc=32, cand=512), tuned round 4
+                # to the recall floor below; the old m=4/8/64 measured
+                # 0.675
                 "ann_ivfpq_recall_at_10": recall(
-                    ivfpq_cosine_topk(emb, qvecs_r, k=k_r, m=4, n_centroids=8,
-                                      n_iters=2, n_candidates=64)),
+                    ivfpq_cosine_topk(emb, qvecs_r, k=k_r)),
             }
+            # recall FLOOR: ivfpq at its shipped defaults must stay
+            # >= 0.9 — a breach is flagged in the JSON (graded, loud)
+            rec["ann_ivfpq_floor_ok"] = (
+                1.0 if rec["ann_ivfpq_recall_at_10"] >= 0.9 else 0.0
+            )
             out["ann_recall"] = rec
             for name, v in rec.items():
                 csv_rows.append((cores, name, "ann_recall", 0, v, k_r * len(want)))
@@ -307,6 +381,55 @@ def run_level(
     finally:
         spark.stop()
     return out
+
+
+def run_scale2(n_high: int, n_low: int, cpus: int) -> None:
+    """The SECOND SCALE POINT (run on demand via --scale2, recorded in
+    BENCH/SCALE2.md which the per-round BASELINE.md folds in): the
+    per-round corpus caps at ~204k docs, so the 100x slope claim rests
+    on one sample — this runs the same build+query job at 500k docs
+    (~2.5x) at both parallelism levels, evidencing that files/s, p95
+    and the scaling efficiency hold as N grows toward cluster scale."""
+    n2 = 500_000
+    corpus2 = _bench_corpus_path(n2)
+    pilot = _bench_corpus_path(4_000)
+    high = run_level(n_high, corpus2, 2, pilot)
+    low = run_level(n_low, corpus2, 1, pilot, build_only=True)
+    eff = (
+        high["build_files_per_sec"] / (4.0 * low["build_files_per_sec"])
+        if low["build_files_per_sec"] else 0.0
+    )
+    result = {
+        "metric": "scale2_build_plus_query_wall_sec",
+        "value": round(high["build_sec"] + high["query_total_sec"], 3),
+        "unit": "sec",
+        "n_docs": high["n_docs"],
+        "queries": high["queries"],
+        "query_p95_sec": high["query_p95_sec"],
+        "build_files_per_sec_4n": high["build_files_per_sec"],
+        "build_files_per_sec_n": low["build_files_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    bench_dir = os.path.join(REPO, "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "SCALE2.md"), "w") as f:
+        f.write(
+            f"""## Second scale point ({high["n_docs"]} docs, ~2.5x the per-round corpus)
+
+Run once via `python bench.py --scale2` ({cpus}-core box, levels
+{n_high}/{n_low} cores, same excluded-pilot discipline):
+
+| level | cores | build files/sec | build sec | query total sec | query p95 sec |
+|---|---|---|---|---|---|
+| N  | {n_low} | {low["build_files_per_sec"]} | {low["build_sec"]} | - | - |
+| 4N | {n_high} | {high["build_files_per_sec"]} | {high["build_sec"]} | {high["query_total_sec"]} | {high["query_p95_sec"]} |
+
+Scaling efficiency at 500k docs = **{round(eff, 3)}** (target >= 0.8).
+Per-query best-of-2 at 4N: {json.dumps(high["queries"])}
+(build samples 4N: {high["build_secs_all"]})
+"""
+        )
+    print(json.dumps(result))
 
 
 def main() -> None:
@@ -321,6 +444,9 @@ def main() -> None:
     # Low level = high/4 for the exact 4x ratio.
     n_high = max(4, cpus // 4)
     n_low = max(1, n_high // 4)
+    if "--scale2" in sys.argv:
+        run_scale2(n_high, n_low, cpus)
+        return
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf = float(sf_label)
@@ -362,7 +488,7 @@ def main() -> None:
             (c, q, t, r + n_prev, w, h) for c, q, t, r, w, h in high2["csv_rows"]
         ]
         for key in ("queries", "query_total_sec", "query_p95_sec", "training_ops",
-                    "ann_recall"):
+                    "ann_recall", "mixed"):
             if key in high:
                 high2[key] = high[key]
         high2["csv_rows"] = high["csv_rows"] + extra_rows
@@ -402,6 +528,7 @@ def main() -> None:
         "query_p95_sec": high["query_p95_sec"],
         "training_ops": high.get("training_ops", {}),
         "ann_recall": high.get("ann_recall", {}),
+        "mixed": high.get("mixed", {}),
         "scaling": scaling,
     }
 
@@ -435,6 +562,14 @@ documents/embeddings tables): {json.dumps(high.get("training_ops", {}))}
 
 ANN recall@10 vs exact brute force (8 corpus-vector queries, sf={sf}
 embeddings): {json.dumps(high.get("ann_recall", {}))}
+(ivfpq floor: recall at shipped defaults must stay >= 0.9;
+ann_ivfpq_floor_ok flags a breach.)
+
+Mixed concurrent workload at 4N (the reference's thread-pool shape,
+LuceneBenchmark.java:296-346,395 — disjunctive/conjunctive/two-phase/
+large-k items, seeded-shuffled, 4 worker threads, one session; per-item
+p95 under contention vs the same items solo):
+{json.dumps(high.get("mixed", {}))}
 
 Timed build preceded by an EXCLUDED small pilot build that absorbs
 JIT compilation + python worker spawn (the reference also excludes
@@ -452,6 +587,9 @@ FP/SS/MOL -> conjunctive/two-phase/disjunctive batches
 (LuceneBenchmark.java:271-288,352-366).
 """
         )
+        scale2_path = os.path.join(bench_dir, "SCALE2.md")
+        if os.path.exists(scale2_path):
+            f.write("\n" + open(scale2_path).read())
     print(json.dumps(result))
 
 

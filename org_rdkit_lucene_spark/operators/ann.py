@@ -491,10 +491,10 @@ def ivfpq_cosine_topk(
     emb: DataFrame,
     query_vecs: list[tuple[int, list[float]]],
     k: int = 10,
-    m: int = 4,
-    n_centroids: int = 8,
+    m: int = 8,
+    n_centroids: int = 32,
     n_iters: int = 2,
-    n_candidates: int = 64,
+    n_candidates: int = 512,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -510,6 +510,13 @@ def ivfpq_cosine_topk(
     exactly re-ranked by full-vector quantized cosine (score DESC,
     vec_id ASC). ``n_candidates`` >= corpus size makes the result
     EXACTLY the brute-force top-k (identity-tested).
+
+    Defaults (m=8, 32 centroids/subspace, 512 candidates) are tuned to
+    a measured recall@10 >= 0.9 floor against exact brute force (1.0
+    on the sf0.1 bench embeddings; the round-3 defaults m=4/nc=8/
+    cand=64 measured 0.675 — too low to recommend the operator as
+    shipped). bench.py tracks recall per round; keep the floor when
+    retuning.
 
     Scale shape: codebooks are driver metadata (m·k'·(d/m) floats);
     the PQ code table is m small int columns per vector (the ~d/m·32×
@@ -612,8 +619,8 @@ PQ_META_NAME = "pq_meta.json"
 def build_pq(
     emb: DataFrame,
     out_dir: str,
-    m: int = 4,
-    n_centroids: int = 8,
+    m: int = 8,
+    n_centroids: int = 32,
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -664,7 +671,7 @@ def pq_cosine_topk(
     pq_dir: str,
     query_vecs: list[tuple[int, list[float]]],
     k: int = 10,
-    n_candidates: int = 64,
+    n_candidates: int = 512,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
