@@ -365,10 +365,21 @@ def run_level(
                     tot += len(w)
                 return round(hits_n / max(tot, 1), 4)
 
+            # LSH = the cheap-filter tier: recall only means something
+            # next to the probed fraction (isotropic vectors give a
+            # ~3x lift over random sampling, no more), so both are
+            # recorded. Operating point 12 planes / Hamming 4 ~ 19% of
+            # buckets probed.
+            from math import comb as _comb
+
+            _lsh_planes, _lsh_ham = 12, 4
             rec = {
                 "ann_lsh_recall_at_10": recall(
-                    lsh_cosine_topk(emb, qvecs_r, k=k_r, n_planes=8,
-                                    probe_hamming=2)),
+                    lsh_cosine_topk(emb, qvecs_r, k=k_r, n_planes=_lsh_planes,
+                                    probe_hamming=_lsh_ham)),
+                "ann_lsh_probed_bucket_frac": round(
+                    sum(_comb(_lsh_planes, i) for i in range(_lsh_ham + 1))
+                    / 2 ** _lsh_planes, 4),
                 "ann_ivf_recall_at_10": recall(
                     ivf_cosine_topk(emb, qvecs_r, k=k_r, n_centroids=16, nprobe=4)),
                 # shipped defaults (m=8, nc=32, cand=512), tuned round 4

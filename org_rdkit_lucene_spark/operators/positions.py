@@ -56,6 +56,17 @@ def build_positions(
             F.col(id_col).cast("long").alias("doc_id"),
             F.posexplode(tokens_column(content_col, prof)).alias("pos", "term"),
         ).select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
+        # TERM-CLUSTERED layout (same law as postings): written in
+        # corpus order every row group would span most of the
+        # vocabulary and the pushed `term = w` predicate could never
+        # skip a row group — each phrase word would re-read the whole
+        # token-volume-sized table. Repartition+sort by term makes the
+        # parquet min/max stats selective, so a phrase query reads
+        # only its words' slices at any corpus size.
+        n_parts = max(pos.sparkSession.sparkContext.defaultParallelism, 8)
+        pos = pos.repartition(n_parts, "term").sortWithinPartitions(
+            "term", "doc_id", "pos"
+        )
         pos.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
 

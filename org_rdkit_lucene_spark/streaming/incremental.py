@@ -303,12 +303,17 @@ def build_segment(
     if with_positions:
         from org_rdkit_lucene_spark.functions.tokenizer import tokens_column
 
+        # term-clustered like the base artifact (build_positions): the
+        # pushed `term = w` predicate must skip row groups in every
+        # segment the union scans
         ids.select(
             F.col("doc_id"),
             F.posexplode(tokens_column("content", cfg.tokenizer)).alias("pos", "term"),
-        ).select("term", "doc_id", F.col("pos").cast("long").alias("pos")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(seg_dir, POSITIONS_NAME))
+        ).select(
+            "term", "doc_id", F.col("pos").cast("long").alias("pos")
+        ).repartition(n_parts, "term").sortWithinPartitions(
+            "term", "doc_id", "pos"
+        ).write.mode("overwrite").parquet(os.path.join(seg_dir, POSITIONS_NAME))
 
     tmp = os.path.join(seg_dir, "stats.json.tmp")
     with open(tmp, "w") as f:
@@ -799,9 +804,11 @@ def compact(
     # (positions.parquet is outside the byte-equivalence contract —
     # only set equality matters, and every consumer joins on it)
     if seg.has_positions:
-        seg.positions.write.mode("overwrite").parquet(
-            os.path.join(out_dir, POSITIONS_NAME)
-        )
+        seg.positions.repartition(
+            cfg.build_partitions, "term"
+        ).sortWithinPartitions("term", "doc_id", "pos").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, POSITIONS_NAME))
 
     # stats.json is the commit record and is written LAST (same
     # atomicity convention as build_segment): a crash mid-compaction

@@ -999,3 +999,34 @@ def test_syntax_indexed_phrases_read_no_content(posidx):
     plan = audit.physical_plan(df)
     assert "content" not in plan
     assert audit.count_nodes(df, "BatchEvalPython") == 0
+
+
+def test_positions_term_clustered_layout(spark, tmp_path):
+    """Scale contract: the positions artifact is written TERM-CLUSTERED
+    (repartition+sort by term, the postings law) so the pushed
+    `term = w` predicate can skip row groups — corpus-order layout
+    would make every phrase word re-read the whole token-volume table."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from org_rdkit_lucene_spark.operators.positions import build_positions
+    from org_rdkit_lucene_spark.sources.fixtures import make_corpus_pdf
+
+    pdf = make_corpus_pdf(n_docs=200, seed=5)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    d = str(tmp_path / "poslayout")
+    import os as _os
+
+    _os.makedirs(d, exist_ok=True)
+    build_positions(
+        spark, spark.createDataFrame(pdf), d, content_col="content", id_col="ext_id"
+    )
+    files = _glob.glob(_os.path.join(d, "positions.parquet", "*.parquet"))
+    assert files
+    n_rows = 0
+    for fp in files:
+        terms = pq.read_table(fp, columns=["term"]).column("term").to_pylist()
+        n_rows += len(terms)
+        assert terms == sorted(terms), f"{fp} not term-sorted"
+    assert n_rows > 0
