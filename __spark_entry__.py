@@ -1117,6 +1117,17 @@ def _q1_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_phrase_positions(pos, PHRASE_QUERIES)
 
 
+def _q1_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PhraseQuery SCORING analog (Lucene ranks phrases by
+    tf(phraseFreq)·Σidf·norm, not raw counts): BM25 over the adjacency
+    occurrence frequency, idf from the index lexicon, no stored
+    bodies."""
+    from org_rdkit_lucene_spark.operators.positions import search_phrase_bm25
+
+    idx = _index_for(spark, sf_dir)
+    return search_phrase_bm25(idx, _positions_for(spark, sf_dir), PHRASE_QUERIES)
+
+
 TERM_VECTOR_DOC_IDS = [7, 42, 123]
 PIPELINE_LANGS = ("en", "fr")
 PIPELINE_MIN_QUALITY_Q = 550_000
@@ -1299,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_multi_field_bm25": _q3_multi_field_bm25,
         "td_dup_span_removal": _td_dup_span_removal,
         "q1_phrase_positions": _q1_phrase_positions,
+        "q1_phrase_bm25": _q1_phrase_bm25,
         "q1_slop_positions": _q1_slop_positions,
         "q7_term_vectors": _q7_term_vectors,
         "td_pipeline": _td_pipeline,
@@ -1513,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_multi_field_bm25": sqlgen.multi_field_bm25_sql(MF_QUERIES, MF_FIELD_BOOSTS),
         "td_dup_span_removal": sqlgen.remove_dup_spans_sql(k=8, min_df=2),
         "q1_phrase_positions": sqlgen.phrase_positions_sql(PHRASE_QUERIES),
+        "q1_phrase_bm25": sqlgen.phrase_bm25_sql(PHRASE_QUERIES),
         "b1_phrase_positions_segmented": sqlgen.phrase_positions_sql(
             SEGPOS_QUERIES,
             table="upsert_documents",

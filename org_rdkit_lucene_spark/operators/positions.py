@@ -135,6 +135,83 @@ def search_phrase_positions(
     )
 
 
+def search_phrase_bm25(
+    index,
+    positions: DataFrame,
+    queries: list[tuple[int, str, int]],
+    profile=None,
+) -> DataFrame:
+    """Lucene PhraseQuery SCORING analog: top-k ranked by BM25 over the
+    PHRASE frequency — the reference's PhraseQuery scores
+    ``tf(phraseFreq) · Σ idf(term_i) · norm`` (Lucene 3.6
+    PhraseScorer / DefaultSimilarity; reached via the parser,
+    ``ChemicalIndex.java:482-485``) — re-expressed under the engine's
+    Okapi law: ``score = Σ idf_wi · phrase_tf_norm`` with
+    ``phrase_tf_norm = f·(k1+1) / (f + k1·(1-b + b·dl/avgdl))`` where
+    ``f`` is the exact adjacency occurrence count. ``search_phrase_
+    positions`` is the count-ranked primitive; this is the
+    relevance-ranked surface. Same quantized-score + tie-break law as
+    every BM25 path (score_q DESC, doc_id ASC).
+
+    Plan: per-phrase pushed positions joins (term-clustered scans) →
+    occurrence counts, one broadcast of the (query, idf_sum, k) table
+    (idf comes from the index lexicon via a pushed term filter —
+    driver-side map, same pattern as the scoring stream), one join to
+    metadata-scale docmeta for dl, one bounded rank window. No content
+    column moves."""
+    from org_rdkit_lucene_spark.functions.tokenizer import DEFAULT_PROFILE
+
+    prof = profile or DEFAULT_PROFILE
+    spark = positions.sparkSession
+    p = index.cfg.bm25
+    words_by_q = {qid: tokenize_text(text, prof) for qid, text, _ in queries}
+    all_words = sorted({w for ws in words_by_q.values() for w in ws})
+    idf_map = {
+        r["term"]: float(r["idf"])
+        for r in index.lexicon.filter(F.col("term").isin(all_words))
+        .select("term", "idf").collect()
+    } if all_words else {}
+    occ = search_phrase_positions(
+        positions, [(qid, text, 2**31 - 1) for qid, text, _ in queries], prof
+    ).select("query_id", "doc_id", "n_occ")
+    meta = F.broadcast(
+        spark.createDataFrame(
+            [
+                (qid, sum(idf_map.get(w, 0.0) for w in words_by_q[qid]), int(k))
+                for qid, _, k in queries
+                if words_by_q[qid]
+            ],
+            "query_id int, idf_sum double, k int",
+        )
+    )
+    dl = index.docmeta.select("doc_id", F.col("doc_len").cast("double").alias("dl"))
+    scored = (
+        occ.join(meta, "query_id")
+        .join(dl, "doc_id")
+        .withColumn(
+            "score_raw",
+            F.col("idf_sum")
+            * (F.col("n_occ") * F.lit(p.k1 + 1.0))
+            / (
+                F.col("n_occ")
+                + F.lit(p.k1)
+                * (F.lit(1.0 - p.b) + F.lit(p.b) * F.col("dl") / F.lit(index.avgdl))
+            ),
+        )
+        .withColumn(
+            "score_q",
+            F.floor(F.col("score_raw") * F.lit(10.0 ** p.score_decimals) + F.lit(0.5))
+            .cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score_q")
+    )
+
+
 def phrase_ok_counts(
     positions: DataFrame,
     rows: list[tuple[int, str, int]],

@@ -2145,6 +2145,95 @@ FROM ranked WHERE rnk <= k
 ORDER BY query_id, rank"""
 
 
+def phrase_bm25_sql(
+    queries: list[tuple[int, str, int]],
+    table: str = "documents",
+    extra_cte: str = "",
+) -> str:
+    """Twin of positions.search_phrase_bm25 (PhraseQuery SCORING
+    analog): per-phrase adjacency occurrence counts from the positions
+    CTE, idf_sum = Σ idf(word) with multiplicity under the engine's
+    BM25 idf law, score = idf_sum · f·(k1+1)/(f + k1·(1-b+b·dl/avgdl)),
+    quantized + (score_q DESC, doc_id ASC) rank bounded by k."""
+    from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
+
+    toks = duckdb_tokens_sql("text")
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    blocks, qw_rows, k_rows = [], [], []
+    for qid, text, k in queries:
+        words = tokenize_text(text)
+        if not words:
+            continue
+        k_rows.append(f"({qid}, {int(k)})")
+        for w in words:
+            qw_rows.append(f"({qid}, '{_q(w)}')")
+        joins = " ".join(
+            f"JOIN posi t{i + 1} ON t{i + 1}.doc_id = t1.doc_id "
+            f"AND t{i + 1}.p = t1.p + {i} AND t{i + 1}.term = '{_q(w)}'"
+            for i, w in enumerate(words[1:], start=1)
+        )
+        blocks.append(
+            f"SELECT {qid} AS query_id, t1.doc_id, count(*)::DOUBLE AS f "
+            f"FROM posi t1 {joins} "
+            f"WHERE t1.term = '{_q(words[0])}' GROUP BY 1, 2"
+        )
+    union = " UNION ALL ".join(blocks) if blocks else (
+        "SELECT 0 AS query_id, 0 AS doc_id, 0::DOUBLE AS f WHERE 1=0"
+    )
+    qw = ",\n    ".join(qw_rows) or "(NULL, NULL)"
+    kq = ",\n    ".join(k_rows) or "(NULL, NULL)"
+    head = f"WITH {extra_cte},\nposi AS (" if extra_cte else "WITH posi AS ("
+    return f"""
+{head}
+  SELECT doc_id, unnest({toks}) AS term,
+         generate_subscripts({toks}, 1) - 1 AS p
+  FROM {table}
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM posi GROUP BY 1),
+nstat AS (SELECT count(*)::DOUBLE AS n FROM {table}),
+dlstat AS (
+  SELECT sum(coalesce(dl.dl, 0)) / (SELECT n FROM nstat) AS avgdl
+  FROM {table} LEFT JOIN dl USING (doc_id)
+),
+dfs AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM posi GROUP BY 1),
+qw(query_id, term) AS (VALUES
+    {qw}),
+qidf AS (
+  SELECT q.query_id,
+         sum(ln(1.0 + ((SELECT n FROM nstat) - d.df + 0.5) / (d.df + 0.5))) AS idf_sum
+  FROM qw q JOIN dfs d USING (term)
+  WHERE q.query_id IS NOT NULL GROUP BY 1
+),
+kq(query_id, k) AS (VALUES
+    {kq}),
+occ AS ({union}),
+scored AS (
+  SELECT o.query_id, o.doc_id,
+         qidf.idf_sum * (o.f * {P.k1 + 1.0})
+           / (o.f + {P.k1} * (1.0 - {P.b} + {P.b} * dl.dl / (SELECT avgdl FROM dlstat)))
+         AS score_raw,
+         kq.k
+  FROM occ o JOIN qidf USING (query_id) JOIN dl USING (doc_id)
+  JOIN kq ON kq.query_id = o.query_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score_raw * {_QUANT} + 0.5) AS BIGINT) AS score_q, k,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(floor(score_raw * {_QUANT} + 0.5) AS BIGINT) DESC, doc_id ASC
+         ) AS rnk
+  FROM scored
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score_q
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank"""
+
+
 def slop_positions_sql(queries: list[tuple[int, str, int, int]]) -> str:
     """Twin of positions.search_slop_positions: per query an n-way
     positions join with the order (p_i > p_{i-1}) and span

@@ -1030,3 +1030,52 @@ def test_positions_term_clustered_layout(spark, tmp_path):
         n_rows += len(terms)
         assert terms == sorted(terms), f"{fp} not term-sorted"
     assert n_rows > 0
+
+
+def test_phrase_bm25_scoring_law(spark, tmp_path):
+    """PhraseQuery scoring analog: rank by BM25 over adjacency
+    frequency — a doc with 2 phrase occurrences outranks 1 at equal
+    length; longer docs are length-normalized down; score matches the
+    hand-computed Okapi formula with lexicon idf."""
+    import math
+
+    from org_rdkit_lucene_spark.operators.build import build_index
+    from org_rdkit_lucene_spark.operators.positions import (
+        build_positions,
+        search_phrase_bm25,
+    )
+
+    rows = []
+    bodies = [
+        "alpha beta gap alpha beta",        # f=2, dl=5
+        "alpha beta gap gap gap",           # f=1, dl=5
+        "alpha beta " + "pad " * 20,        # f=1, dl=22 (length-normalized down)
+        "beta alpha gap gap gap",           # f=0
+    ]
+    for i, body in enumerate(bodies):
+        rows.append((i, f"org/r{i}", f"src/f{i}.py", f"c{i:03d}", "py", body.strip()))
+    pdf = pd.DataFrame(
+        rows, columns=["ext_id", "repo", "path", "commit", "lang", "content"]
+    )
+    d = str(tmp_path / "pbm25")
+    cfg = IndexConfig(build_partitions=2, hot_term_df=50, n_salts=2)
+    idx = build_index(spark, spark.createDataFrame(pdf), cfg, d, id_col="ext_id")
+    pos = build_positions(
+        spark, spark.createDataFrame(pdf), d, content_col="content", id_col="ext_id"
+    )
+    out = (
+        search_phrase_bm25(idx, pos, [(1, "alpha beta", 10)])
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert list(out.doc_id) == [0, 2, 1] or list(out.doc_id) == [0, 1, 2]
+    assert out.iloc[0].doc_id == 0  # f=2 wins at equal dl
+    # hand-compute doc 0: f=2, dl=5
+    p = cfg.bm25
+    lex = idx.lexicon.filter(F.col("term").isin(["alpha", "beta"])).toPandas()
+    idf_sum = float(lex.idf.sum())
+    dl, f_ = 5.0, 2.0
+    want = idf_sum * f_ * (p.k1 + 1.0) / (f_ + p.k1 * (1 - p.b + p.b * dl / idx.avgdl))
+    assert int(out.iloc[0].score_q) == math.floor(want * 10**p.score_decimals + 0.5)
+    # longer doc with f=1 scores below the short f=1 doc
+    s = out.set_index("doc_id").score_q
+    assert s[1] > s[2]
