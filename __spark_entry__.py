@@ -726,6 +726,24 @@ def _q_segmented_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame
     return search_phrase_positions(seg.positions, SEGPOS_QUERIES)
 
 
+# Full query syntax over the LIVE (upserted+tombstoned) index with
+# indexed phrases — the parser surface Lucene users run against an
+# index that keeps taking writes: prefix expansion resolves against the
+# MERGED lexicon (df corrected for tombstoned versions), the phrase
+# verifies against the kill-filtered positions union, and exclusions /
+# MUSTs filter over the merged postings. 58's phrase exists only in the
+# streamed new content.
+SEGSYN_QUERIES = [
+    (58, '+upsert "probe marker" scan', 10),
+    (59, "mer* table -batch", 10),
+]
+
+
+def _q_segmented_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg = _segpos_index(spark, sf_dir)
+    return search_syntax(seg, None, SEGSYN_QUERIES, positions=seg.positions)
+
+
 # ---------------------------------------------------------------------------
 # training-data ops over the documents / embeddings tables
 
@@ -1282,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never gated in r03 (rotated to the front) + round-4 new ---
         "b1_compacted_requery": _q_compacted_requery,
         "b1_phrase_positions_segmented": _q_segmented_phrase_positions,
+        "b1_syntax_segmented": _q_segmented_syntax,
         "q1_all_fields": _q1_all_fields,
         "k7_wand_topk_large": _q_wand_large_k,
         "k7_wand_topk_xlarge": _q_wand_xlarge_k,
@@ -1535,6 +1554,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q1_all_fields": sqlgen.multi_field_bm25_sql(
             ALL_FIELDS_QUERIES, ALL_FIELDS_BOOSTS
+        ),
+        "b1_syntax_segmented": sqlgen.query_syntax_sql(
+            SEGSYN_QUERIES,
+            table="upsert_documents",
+            extra_cte=sqlgen.upsert_docs_cte(
+                UPSERT_MOD, UPSERT_MARKER, UPSERT_DELETED
+            ),
+            indexed_phrases=True,
         ),
         "q1_slop_positions": sqlgen.slop_positions_sql(SLOP_POS_QUERIES),
         "q7_term_vectors": sqlgen.term_vectors_sql(TERM_VECTOR_DOC_IDS),

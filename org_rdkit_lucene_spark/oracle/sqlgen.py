@@ -108,8 +108,11 @@ def upsert_docs_cte(
     streamed new version), and ``deleted_ids`` are gone entirely."""
     ids = ", ".join(str(i) for i in deleted_ids) or "-1"
     esc = marker.replace("'", "''")
+    # source/lang pass through so the syntax twin's field-clause CTE
+    # (which maps repo -> source, path -> source/doc/doc_id, lang ->
+    # lang) compiles over the updated view too
     return f"""upsert_documents AS (
-  SELECT doc_id,
+  SELECT doc_id, source, lang,
          CASE WHEN doc_id % {mod} = 0 THEN text || '{esc}' ELSE text END AS text
   FROM {table} WHERE doc_id NOT IN ({ids})
 )"""
@@ -250,6 +253,7 @@ def query_syntax_sql(
     queries: list[tuple[int, str, int]],
     table: str = "documents",
     indexed_phrases: bool = False,
+    extra_cte: str = "",
 ) -> str:
     """Twin of operators/query.search_syntax (Q1 MultiFieldQueryParser
     analog): +term required, -term excluded, "a b" phrase (substring-
@@ -387,8 +391,9 @@ def query_syntax_sql(
         "SELECT NULL::INT AS query_id, NULL::BIGINT AS doc_id, "
         "NULL::INT AS ph WHERE FALSE"
     )
+    head = f"WITH {extra_cte},\ntok AS" if extra_cte else "WITH tok AS"
     return f"""
-WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM {table}),
+{head} (SELECT doc_id, unnest({toks}) AS term FROM {table}),
 posi AS (SELECT doc_id, unnest({toks}) AS term,
                 generate_subscripts({toks}, 1) AS p FROM {table}),
 spok AS (

@@ -154,3 +154,55 @@ def test_sha256_invariant_covers_segments(incremental_setup):
     a = _sorted(seg.docmeta.select("doc_id", "sha256", "doc_len"))
     b = _sorted(full.docmeta.select("doc_id", "sha256", "doc_len"))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_stream_carries_positions(spark, tmp_path_factory):
+    """End-to-end through the real Structured Streaming path: when the
+    base index has a positions artifact, every micro-batch segment
+    writes its own (auto-detected by build_segment inside foreachBatch)
+    and phrase search over the merged view is rank-identical to
+    positions rebuilt over base+streamed docs."""
+    from org_rdkit_lucene_spark.operators.positions import (
+        build_positions,
+        search_phrase_positions,
+    )
+
+    tmp = tmp_path_factory.mktemp("stream_pos")
+    pdf = make_corpus_pdf(n_docs=150, seed=19)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    base_pdf, delta = pdf.iloc[:100], pdf.iloc[100:].copy()
+    delta["content"] = delta["content"] + " streamed phrase probe"
+
+    cfg = IndexConfig(build_partitions=4, hot_term_df=60, n_salts=4)
+    base_dir = str(tmp / "base")
+    build_index(spark, spark.createDataFrame(base_pdf), cfg, base_dir, id_col="ext_id")
+    build_positions(
+        spark, spark.createDataFrame(base_pdf), base_dir,
+        content_col="content", id_col="ext_id",
+    )
+
+    src = tmp / "incoming"
+    src.mkdir()
+    delta.iloc[:25].to_parquet(src / "b1.parquet", index=False)
+    delta.iloc[25:].to_parquet(src / "b2.parquet", index=False)
+    stream = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = index_stream(stream, base_dir, cfg, str(tmp / "ckpt"))
+    q.awaitTermination(timeout=300)
+
+    seg = SegmentedIndex.load(spark, base_dir, cfg)
+    full_pdf = pd.concat([base_pdf, delta], ignore_index=True)
+    truth_dir = str(tmp / "truth")
+    os.makedirs(truth_dir, exist_ok=True)
+    truth_pos = build_positions(
+        spark, spark.createDataFrame(full_pdf), truth_dir,
+        content_col="content", id_col="ext_id",
+    )
+    qs = [(1, "streamed phrase probe", 10), (2, "returns the", 10)]
+    got = _sorted(search_phrase_positions(seg.positions, qs))
+    want = _sorted(search_phrase_positions(truth_pos, qs))
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.query_id == 1).sum() == 10  # streamed docs are phrase-hit
