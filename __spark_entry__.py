@@ -726,6 +726,41 @@ def _q_segmented_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame
     return search_phrase_positions(seg.positions, SEGPOS_QUERIES)
 
 
+# deleteDocuments(Query) analog: every doc containing ALL tokens of the
+# delete query is tombstoned index-side (no driver-side id collect);
+# the requery workload then ranks over the shrunken view — query 68's
+# own full matches are exactly the deleted set, so only partial matches
+# survive, and the merged N/avgdl/df corrections must be exact for the
+# hash to hold.
+DELQ_TEXT = "merge join spark"
+DELQ_QUERIES = [
+    (68, "merge join spark", 10),
+    (69, "hash table scan", 10),
+]
+
+
+def _delq_index(spark: SparkSession, sf_dir: str):
+    from org_rdkit_lucene_spark.streaming.incremental import (
+        SegmentedIndex,
+        delete_docs_by_query,
+    )
+
+    key = ("delq", os.path.abspath(sf_dir))
+    if key not in _UPSERT_CACHE:
+        corpus = documents_as_corpus(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="orls_delq_")
+        cfg = IndexConfig(build_partitions=8, hot_term_df=1024, n_salts=4)
+        idx = build_index(spark, corpus, cfg, d, id_col="ext_id")
+        assert idx is not None
+        delete_docs_by_query(spark, d, DELQ_TEXT, cfg)
+        _UPSERT_CACHE[key] = SegmentedIndex.load(spark, d, cfg)
+    return _UPSERT_CACHE[key]
+
+
+def _q_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search(_delq_index(spark, sf_dir), DELQ_QUERIES, mode="disjunctive")
+
+
 # Full query syntax over the LIVE (upserted+tombstoned) index with
 # indexed phrases — the parser surface Lucene users run against an
 # index that keeps taking writes: prefix expansion resolves against the
@@ -1301,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_compacted_requery": _q_compacted_requery,
         "b1_phrase_positions_segmented": _q_segmented_phrase_positions,
         "b1_syntax_segmented": _q_segmented_syntax,
+        "b1_delete_by_query": _q_delete_by_query,
         "q1_all_fields": _q1_all_fields,
         "k7_wand_topk_large": _q_wand_large_k,
         "k7_wand_topk_xlarge": _q_wand_xlarge_k,
@@ -1554,6 +1590,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q1_all_fields": sqlgen.multi_field_bm25_sql(
             ALL_FIELDS_QUERIES, ALL_FIELDS_BOOSTS
+        ),
+        "b1_delete_by_query": sqlgen.bm25_topk_sql(
+            DELQ_QUERIES,
+            "disjunctive",
+            table="delq_documents",
+            extra_cte=sqlgen.delete_by_query_cte(DELQ_TEXT),
         ),
         "b1_syntax_segmented": sqlgen.query_syntax_sql(
             SEGSYN_QUERIES,

@@ -118,6 +118,25 @@ def upsert_docs_cte(
 )"""
 
 
+def delete_by_query_cte(query_text: str, table: str = "documents") -> str:
+    """The corpus after ``delete_docs_by_query``: docs whose analyzed
+    token set contains ALL the query's tokens are gone (conjunctive
+    containment — the engine law)."""
+    words = sorted(set(tokenize_text(query_text)))
+    toks = duckdb_tokens_sql("text")
+    if not words:
+        return f"delq_documents AS (SELECT * FROM {table})"
+    in_list = ", ".join("'{}'".format(w.replace("'", "''")) for w in words)
+    return f"""delq_documents AS (
+  SELECT d.* FROM {table} d WHERE d.doc_id NOT IN (
+    SELECT doc_id
+    FROM (SELECT doc_id, unnest({toks}) AS term FROM {table})
+    WHERE term IN ({in_list})
+    GROUP BY doc_id HAVING count(DISTINCT term) = {len(words)}
+  )
+)"""
+
+
 def bm25_topk_sql(
     queries: list[tuple[int, str, int]],
     mode: str = "disjunctive",

@@ -355,6 +355,22 @@ def delete_docs(
     deletes nest midpoints (j+0.5, j+0.75, ...), always below ``j+1``.
     Still unsafe while a stream is ACTIVE (a concurrently-committing
     batch could interleave with the prior-view read)."""
+    ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    return _delete_ids_df(spark, base_index_dir, ids, cfg, seg_name)
+
+
+def _delete_ids_df(
+    spark: SparkSession,
+    base_index_dir: str,
+    ids: DataFrame,
+    cfg: IndexConfig,
+    seg_name: str | None = None,
+) -> str:
+    """Tombstone-only segment from a DISTRIBUTED id set — the shared
+    core of :func:`delete_docs` (driver list) and
+    :func:`delete_docs_by_query` (index-resolved matches, which may be
+    corpus-scale: the ids never collect to the driver; the tombstone
+    parquet is written straight from the semi-join)."""
     import math as _math
 
     existing = list_segments(base_index_dir)
@@ -376,9 +392,8 @@ def delete_docs(
         seg_name = f"seg-{base_num:08d}-del{n_sib}"
     seg_dir = os.path.join(segments_root(base_index_dir), seg_name)
     prior = _prior_view(spark, base_index_dir, ordinal, cfg)
-    ids = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
     deld = (
-        prior.docmeta.join(F.broadcast(ids), "doc_id", "left_semi")
+        prior.docmeta.join(ids, "doc_id", "left_semi")
         .select("doc_id", "doc_len")
         .persist()
     )
@@ -970,6 +985,51 @@ def add_indexes(
         spark, out_dir, n_docs, avgdl, cfg,
         total_dl=total_dl, max_doc_id=max_doc_id, codec=cfg.codec,
     )
+
+
+def delete_docs_by_query(
+    spark: SparkSession,
+    base_index_dir: str,
+    query_text: str,
+    cfg: IndexConfig,
+    seg_name: str | None = None,
+) -> str:
+    """``IndexWriter.deleteDocuments(Query)`` analog (the reference's
+    writer surface exposes it alongside the per-term delete its upsert
+    uses, ``ChemicalIndex.java:801``): tombstone every LIVE doc whose
+    analyzed content contains ALL of the query's tokens — the
+    conjunctive containment law, the same match semantics as the
+    engine's A1/Q5 conjunctive paths. A query that analyzes to zero
+    tokens deletes nothing (an empty tombstone segment, idempotent).
+
+    Scale shape: matches resolve INDEX-SIDE — pushed decoded-postings
+    scan over the live view for just the query's terms, a
+    countDistinct(term) == n filter, then the tombstone parquet is
+    written straight from the distributed id set
+    (:func:`_delete_ids_df`): a delete matching a billion docs never
+    collects ids to the driver. The kill map that queries broadcast
+    afterwards DOES grow with the match count — the
+    ``MAX_KILL_PAIRS`` bound + ``maybe_compact`` policy apply, so a
+    corpus-scale delete should be followed by ``compact()``."""
+    from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
+    from org_rdkit_lucene_spark.operators.query import decoded_postings
+
+    existing = list_segments(base_index_dir)
+    ords = [seg_ordinal(d) for d in existing]
+    max_ord = max(ords) if ords else -1.0
+    prior = _prior_view(spark, base_index_dir, max_ord + 1.0, cfg)
+    words = sorted(set(tokenize_text(query_text, cfg.tokenizer)))
+    if not words:
+        ids = _empty(spark, "doc_id long")
+    else:
+        ids = (
+            decoded_postings(prior, words)
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("n_hit"))
+            .filter(F.col("n_hit") == len(words))
+            .select("doc_id")
+        )
+    return _delete_ids_df(spark, base_index_dir, ids, cfg, seg_name)
 
 
 def delete_docs_by_key(

@@ -581,3 +581,56 @@ def test_kill_pairs_budget_enforced(spark, tmp_path_factory, monkeypatch):
     seg2 = SegmentedIndex.load(spark, base_dir, cfg)
     with pytest.raises(RuntimeError, match="kill-map budget"):
         seg2.kill_pairs()
+
+
+def test_delete_by_query(spark, tmp_path_factory):
+    """deleteDocuments(Query) analog: conjunctive containment resolves
+    matches index-side and tombstones them; the live view is
+    rank-identical to a rebuild over the surviving docs, an
+    empty-analyzing query deletes nothing, and the op is idempotent."""
+    from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text, tokenize_texts
+    from org_rdkit_lucene_spark.streaming.incremental import delete_docs_by_query
+
+    tmp = tmp_path_factory.mktemp("delq")
+    pdf = make_corpus_pdf(n_docs=150, seed=29)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    cfg = IndexConfig(build_partitions=4, hot_term_df=60, n_salts=4)
+    base_dir = str(tmp / "base")
+    build_index(spark, spark.createDataFrame(pdf), cfg, base_dir, id_col="ext_id")
+
+    qtext = "merg"
+    words = set(tokenize_text(qtext))
+    matches = {
+        int(e) for e, toks in zip(pdf.ext_id, tokenize_texts(pdf.content))
+        if words <= set(toks)
+    }
+    assert matches  # the fixture must actually exercise a non-empty delete
+
+    delete_docs_by_query(spark, base_dir, qtext, cfg)
+    seg = SegmentedIndex.load(spark, base_dir, cfg)
+    assert seg.n_docs == len(pdf) - len(matches)
+    assert set(seg.docmeta.select("doc_id").toPandas().doc_id).isdisjoint(matches)
+
+    survivors = pdf[~pdf.ext_id.isin(matches)]
+    truth = build_index(
+        spark, spark.createDataFrame(survivors), cfg, str(tmp / "truth"),
+        id_col="ext_id",
+    )
+    qs = [(1, "merg scorer token", 10), (2, "main data", 10)]
+    pd.testing.assert_frame_equal(
+        _sorted(search(seg, qs, mode="disjunctive")),
+        _sorted(search(truth, qs, mode="disjunctive")),
+    )
+
+    # empty-analyzing query: no-op tombstone segment
+    delete_docs_by_query(spark, base_dir, "!!!", cfg)
+    seg2 = SegmentedIndex.load(spark, base_dir, cfg)
+    assert seg2.n_docs == seg.n_docs
+    # idempotence: re-deleting the same query tombstones nothing new
+    delete_docs_by_query(spark, base_dir, qtext, cfg)
+    seg3 = SegmentedIndex.load(spark, base_dir, cfg)
+    assert seg3.n_docs == seg.n_docs
+    pd.testing.assert_frame_equal(
+        _sorted(search(seg3, qs, mode="disjunctive")),
+        _sorted(search(truth, qs, mode="disjunctive")),
+    )
