@@ -194,3 +194,129 @@ def check_index(index, deep: bool = False) -> pd.DataFrame:
             f"bad={deep_agg['cf_bad']}")
 
     return pd.DataFrame(rows, columns=["check", "passed", "detail"])
+
+
+def check_segmented(seg, deep: bool = False) -> pd.DataFrame:
+    """``CheckIndex`` over a :class:`SegmentedIndex` — Lucene's checker
+    walks every segment (its per-segment loop) and this does the same:
+    the BASE index gets the full :func:`check_index` pass (rows
+    prefixed ``base:``), every delta segment gets its own consistency
+    block (``seg<i>:`` rows), and the MERGED live view gets the
+    cross-segment invariants no single segment can express:
+
+    - merged stats arithmetic: N == base.N + Σ(seg.n - seg.del_n), same
+      for total_dl, and avgdl == total_dl/N;
+    - exactly-one-live-version: after kill filtering every doc_id
+      appears ONCE in the merged docmeta (the tombstone law's purpose);
+    - tombstone reachability: every kill-map entry kills at least one
+      version at an ordinal below it (a tombstone that kills nothing
+      means the delete recorded a doc that never existed);
+    - merged lexicon == live flat: per-term df/cf recomputed from the
+      kill-filtered flat rows match the tombstone-corrected lexicon
+      exactly (zero mismatching terms via a full outer comparison).
+
+    Per segment (delta-scale, so a sequential loop like Lucene's):
+    stats.json vs docmeta count/Σdoc_len, lexicon df/cf vs the retained
+    flat rows, and postings block sums vs lexicon df."""
+    import json as _json
+    import os as _os
+
+    rows: list[tuple[str, bool, str]] = []
+
+    def add(name: str, passed: bool, detail: str = "") -> None:
+        rows.append((name, bool(passed), detail))
+
+    base_report = check_index(seg.base, deep=deep)
+    for r in base_report.itertuples(index=False):
+        add(f"base:{r.check}", r.passed, r.detail)
+
+    spark = seg.spark
+    for i, d in enumerate(seg.segment_dirs):
+        tag = f"seg{i}:{_os.path.basename(d)}"
+        with open(_os.path.join(d, "stats.json")) as f:
+            st = _json.load(f)
+        dm = spark.read.parquet(_os.path.join(d, "docmeta.parquet"))
+        drow = dm.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+            F.sum("doc_len").alias("dl"),
+        ).collect()[0]
+        add(f"{tag}:doc_count",
+            int(drow["n"]) == st["n_docs"] == int(drow["nd"]),
+            f"stats={st['n_docs']} docmeta={drow['n']} distinct={drow['nd']}")
+        add(f"{tag}:total_dl", int(drow["dl"] or 0) == st["total_dl"],
+            f"sum={drow['dl']} stats={st['total_dl']}")
+        flat = spark.read.parquet(_os.path.join(d, "flat.parquet"))
+        lex = spark.read.parquet(_os.path.join(d, "lexicon.parquet"))
+        bad_lex = (
+            flat.groupBy("term")
+            .agg(F.count("*").alias("fdf"), F.sum("tf").alias("fcf"))
+            .join(lex, "term", "full")
+            .filter(
+                F.col("fdf").isNull() | F.col("df").isNull()
+                | (F.col("fdf") != F.col("df")) | (F.col("fcf") != F.col("cf"))
+            ).count()
+        )
+        add(f"{tag}:lexicon_matches_flat", bad_lex == 0, f"bad_terms={bad_lex}")
+        post = spark.read.parquet(_os.path.join(d, "postings.parquet"))
+        bad_blocks = (
+            post.groupBy("term").agg(F.sum("n").alias("bn"))
+            .join(lex.select("term", "df"), "term", "full")
+            .filter(
+                F.col("bn").isNull() | F.col("df").isNull()
+                | (F.col("bn") != F.col("df"))
+            ).count()
+        )
+        add(f"{tag}:blocks_match_df", bad_blocks == 0, f"bad_terms={bad_blocks}")
+        dl_ids = _os.path.join(d, "deletes.parquet")
+        if _os.path.isdir(dl_ids):
+            ndel = spark.read.parquet(dl_ids).count()
+            add(f"{tag}:tombstone_count", ndel == st.get("del_n_docs", 0),
+                f"file={ndel} stats={st.get('del_n_docs', 0)}")
+
+    # merged stats arithmetic (driver ints vs the recomputed live view)
+    live = seg.docmeta.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("nd"),
+        F.sum("doc_len").alias("dl"),
+        F.max("doc_id").alias("mx"),
+    ).collect()[0]
+    add("merged:doc_count", int(live["n"]) == seg.n_docs,
+        f"live={live['n']} stats={seg.n_docs}")
+    add("merged:one_live_version", int(live["nd"]) == int(live["n"]),
+        f"distinct={live['nd']} rows={live['n']}")
+    add("merged:total_dl",
+        int(live["dl"] or 0) == seg.total_dl
+        and (seg.n_docs == 0 or seg.avgdl == seg.total_dl / seg.n_docs),
+        f"sum={live['dl']} stats={seg.total_dl} avgdl={seg.avgdl}")
+    add("merged:max_doc_id",
+        (int(live["mx"]) <= seg.max_doc_id) if seg.n_docs else True,
+        f"live_max={live['mx']} stats_max={seg.max_doc_id}")
+
+    kill = seg.kill_map
+    if kill is not None:
+        versions = seg._union("docmeta", with_ord=True).select("doc_id", "seg_ord")
+        unreachable = (
+            kill.join(versions, "doc_id", "left")
+            .groupBy("doc_id", "kill_ord")
+            .agg(F.min("seg_ord").alias("min_ord"))
+            .filter(F.col("min_ord").isNull() | (F.col("min_ord") >= F.col("kill_ord")))
+            .count()
+        )
+        add("merged:tombstones_reachable", unreachable == 0,
+            f"unreachable={unreachable}")
+
+    bad_merged = (
+        seg.live_flat()
+        .groupBy("term")
+        .agg(F.count("*").alias("fdf"), F.sum("tf").alias("fcf"))
+        .join(seg.lexicon.select("term", "df", "cf"), "term", "full")
+        .filter(
+            F.col("fdf").isNull() | F.col("df").isNull()
+            | (F.col("fdf") != F.col("df")) | (F.col("fcf") != F.col("cf"))
+        ).count()
+    )
+    add("merged:lexicon_matches_live_flat", bad_merged == 0,
+        f"bad_terms={bad_merged}")
+
+    return pd.DataFrame(rows, columns=["check", "passed", "detail"])

@@ -169,11 +169,27 @@ def main() -> None:
     elif args.cmd == "check":
         # the on-disk invariant validator — CheckIndex analog run via
         # spark-submit, mirroring Lucene's `java ... CheckIndex <dir>`
-        from org_rdkit_lucene_spark.operators.check import check_index
+        from org_rdkit_lucene_spark.operators.check import (
+            check_index,
+            check_segmented,
+        )
+        from org_rdkit_lucene_spark.streaming.incremental import (
+            SegmentedIndex,
+            list_segments,
+        )
 
-        idx = InvertedIndex.load(spark, opts["index_dir"])
         t0 = time.time()
-        rep = check_index(idx, deep=bool(opts["deep"]))
+        # an index with delta segments gets the per-segment walk
+        # (Lucene CheckIndex's segment loop); a monolithic one the
+        # plain pass
+        if list_segments(opts["index_dir"]):
+            rep = check_segmented(
+                SegmentedIndex.load(spark, opts["index_dir"]),
+                deep=bool(opts["deep"]),
+            )
+        else:
+            idx = InvertedIndex.load(spark, opts["index_dir"])
+            rep = check_index(idx, deep=bool(opts["deep"]))
         out = {
             "cmd": "check",
             "index_dir": opts["index_dir"],

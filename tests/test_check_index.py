@@ -63,3 +63,52 @@ def test_empty_index_reports_instead_of_crashing(spark, small_index, tmp_path):
     assert bool(out.loc["doc_id_range", "passed"])
     # stale docmap/postings vs empty stats: caught, not crashed
     assert not bool(out.loc["doc_count", "passed"])
+
+
+def test_check_segmented_green_and_detects_tamper(spark, tmp_path):
+    """CheckIndex over a segmented view: base pass + per-segment blocks
+    + merged invariants (stat arithmetic, one-live-version, tombstone
+    reachability, tombstone-corrected lexicon) all pass on a healthy
+    upserted index; tampering a segment's stats is caught in that
+    segment's block AND in the merged arithmetic."""
+    import pandas as pd
+
+    from org_rdkit_lucene_spark.operators.check import check_segmented
+    from org_rdkit_lucene_spark.sources.fixtures import make_corpus_pdf
+    from org_rdkit_lucene_spark.streaming.incremental import (
+        SegmentedIndex,
+        build_segment,
+        delete_docs,
+        segments_root,
+    )
+
+    pdf = make_corpus_pdf(n_docs=120, seed=17)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    cfg = IndexConfig(build_partitions=4, hot_term_df=60, n_salts=4)
+    base_dir = str(tmp_path / "base")
+    build_index(spark, spark.createDataFrame(pdf), cfg, base_dir, id_col="ext_id")
+    upd = pdf[pdf.ext_id % 15 == 0].copy()
+    upd["content"] = upd["content"] + " checkseg probe"
+    build_segment(
+        spark, spark.createDataFrame(upd),
+        os.path.join(segments_root(base_dir), "seg-00000000"), cfg, id_col="ext_id",
+    )
+    delete_docs(spark, base_dir, [3, 15], cfg)
+    seg = SegmentedIndex.load(spark, base_dir, cfg)
+    out = check_segmented(seg, deep=True)
+    failed = out[~out.passed]
+    assert failed.empty, failed.to_string()
+    assert any(c.startswith("seg0:") for c in out.check)
+    assert any(c.startswith("seg1:") for c in out.check)  # the delete segment
+    assert {"merged:one_live_version", "merged:tombstones_reachable",
+            "merged:lexicon_matches_live_flat"} <= set(out.check)
+
+    # tamper: inflate the upsert segment's recorded doc count
+    segdir = os.path.join(segments_root(base_dir), "seg-00000000")
+    p = os.path.join(segdir, "stats.json")
+    st = json.load(open(p))
+    st["n_docs"] += 3
+    json.dump(st, open(p, "w"))
+    bad = check_segmented(SegmentedIndex.load(spark, base_dir, cfg)).set_index("check")
+    assert not bad.loc["seg0:seg-00000000:doc_count", "passed"]
+    assert not bad.loc["merged:doc_count", "passed"]
