@@ -724,7 +724,22 @@ def build_index(
     ``id_col``: optional column holding an externally-supplied unique
     integer doc id (analog of the reference's data-supplied ``pkField``,
     ``LuceneBenchmark.java:745-755``); when absent, dense ids are
-    assigned deterministically by natural-key rank."""
+    assigned deterministically by natural-key rank.
+
+    Runs under the index ``write.lock`` (Lucene's single-writer law):
+    two concurrent builds into one directory would race the idempotent
+    stage checkpoints; partial/resume calls are sequential acquires."""
+    from org_rdkit_lucene_spark.lock import write_lock
+
+    with write_lock(index_dir):
+        return _build_index_locked(
+            spark, corpus, cfg, index_dir, only_parts, validate_pk, id_col
+        )
+
+
+def _build_index_locked(
+    spark, corpus, cfg, index_dir, only_parts, validate_pk, id_col
+):
     os.makedirs(index_dir, exist_ok=True)
     metrics_rows: list[tuple] = []
 

@@ -58,6 +58,7 @@ from __future__ import annotations
 import json
 import os
 import re
+from contextlib import ExitStack
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -66,6 +67,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from org_rdkit_lucene_spark.config import IndexConfig
+from org_rdkit_lucene_spark.lock import LockHeldError, write_lock  # noqa: F401
 from org_rdkit_lucene_spark.operators.build import (
     POSTINGS_SCHEMA,
     InvertedIndex,
@@ -186,6 +188,19 @@ def build_segment(
 
     n_parts = max(1, min(cfg.build_partitions, 8))
     base_dir = base_index_dir or os.path.dirname(os.path.dirname(seg_dir))
+    with write_lock(base_dir):
+        return _build_segment_locked(
+            spark, batch, seg_dir, cfg, id_col, base_dir, with_positions,
+            Window, n_parts,
+        )
+
+
+def _build_segment_locked(
+    spark, batch, seg_dir, cfg, id_col, base_dir, with_positions, Window, n_parts
+):
+    """Body of :func:`build_segment`, run under the index write lock
+    (two writers reading the same prior view would assign colliding
+    doc_ids/ordinals — Lucene serializes writers the same way)."""
     m = re.match(r"seg-(\d+)", os.path.basename(seg_dir))
     ordinal = float(m.group(1)) if m else seg_ordinal(seg_dir)
     prior = _prior_view(spark, base_dir, ordinal, cfg)
@@ -370,7 +385,13 @@ def _delete_ids_df(
     core of :func:`delete_docs` (driver list) and
     :func:`delete_docs_by_query` (index-resolved matches, which may be
     corpus-scale: the ids never collect to the driver; the tombstone
-    parquet is written straight from the semi-join)."""
+    parquet is written straight from the semi-join). Runs under the
+    index write lock."""
+    with write_lock(base_index_dir):
+        return _delete_ids_df_locked(spark, base_index_dir, ids, cfg, seg_name)
+
+
+def _delete_ids_df_locked(spark, base_index_dir, ids, cfg, seg_name):
     import math as _math
 
     existing = list_segments(base_index_dir)
@@ -759,6 +780,16 @@ def compact(
     is deterministic given (flat, cfg, avgdl)."""
     import pyarrow.parquet as pq
 
+    with ExitStack() as _locks:
+        # lock the SOURCE (no segment may land mid-fold: the fold's
+        # live view must be a consistent snapshot) and the destination
+        _locks.enter_context(write_lock(index_dir))
+        if os.path.abspath(out_dir) != os.path.abspath(index_dir):
+            _locks.enter_context(write_lock(out_dir))
+        return _compact_locked(spark, index_dir, cfg, out_dir, pq)
+
+
+def _compact_locked(spark, index_dir, cfg, out_dir, pq):
     seg = SegmentedIndex.load(spark, index_dir, cfg)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -876,6 +907,11 @@ def add_indexes(
 
     import pyarrow.parquet as pq
 
+    with write_lock(out_dir):
+        return _add_indexes_locked(spark, index_dirs, cfg, out_dir, functools, pq)
+
+
+def _add_indexes_locked(spark, index_dirs, cfg, out_dir, functools, pq):
     if len(index_dirs) < 2:
         raise ValueError("add_indexes needs at least two source indexes")
     idxs = [InvertedIndex.load(spark, d, cfg) for d in index_dirs]
