@@ -219,6 +219,35 @@ def run_level(
         out["query_total_sec"] = round(sum(qtimes.values()), 3)
         out["query_p95_sec"] = round(samples_all[max(0, int(len(samples_all) * 0.95) - 1)], 3)
 
+        # indexed-phrase path (round 4): positions artifact build time +
+        # the phrase workload through the positions joins — tracked per
+        # round like every operator that carries a scale claim
+        if td_dir:
+            from org_rdkit_lucene_spark.operators.positions import (
+                build_positions,
+                search_phrase_positions,
+            )
+
+            t0 = time.time()
+            pos = build_positions(
+                spark, corpus, idx_dir, content_col="content", id_col="ext_id"
+            )
+            qtimes["b_positions"] = round(time.time() - t0, 3)
+            csv_rows.append((cores, "b_positions", "positions_build", 0,
+                             round(qtimes["b_positions"] * 1000, 1), n_docs))
+            ph_qs = [(9800 + i, t, int(k))
+                     for i, (_, t, k) in enumerate(batches["phrase"][:6])]
+            samples = []
+            for rep in range(repeats):
+                t = time.time()
+                hits = len(search_phrase_positions(pos, ph_qs).collect())
+                wall = time.time() - t
+                samples.append(wall)
+                csv_rows.append((cores, "q_phrase_indexed", "phrase_positions",
+                                 rep, round(wall * 1000, 1), hits))
+            qtimes["q_phrase_indexed"] = round(min(samples), 3)
+            out["queries"] = qtimes
+
         # mixed CONCURRENT workload — the reference's actual benchmark
         # shape: a thread pool randomly interleaving FP/SS/MOL items
         # against one index (LuceneBenchmark.java:296-346, random pick
