@@ -206,3 +206,62 @@ def test_stream_carries_positions(spark, tmp_path_factory):
     want = _sorted(search_phrase_positions(truth_pos, qs))
     pd.testing.assert_frame_equal(got, want)
     assert (got.query_id == 1).sum() == 10  # streamed docs are phrase-hit
+
+
+def test_many_segments_view_stays_correct(spark, tmp_path_factory):
+    """20 delta segments (the shape a long-running stream produces
+    between compactions): the merged view must stay rank-identical to a
+    rebuild, tombstone_frac must reflect the accumulated updates, and
+    compaction must fold it all back to one green monolith."""
+    from org_rdkit_lucene_spark.operators.check import check_segmented
+    from org_rdkit_lucene_spark.streaming.incremental import (
+        build_segment,
+        compact,
+        segments_root,
+    )
+
+    tmp = tmp_path_factory.mktemp("manyseg")
+    pdf = make_corpus_pdf(n_docs=80, seed=41)
+    pdf.insert(0, "ext_id", range(len(pdf)))
+    cfg = IndexConfig(build_partitions=2, hot_term_df=60, n_salts=2)
+    base_dir = str(tmp / "base")
+    build_index(spark, spark.createDataFrame(pdf), cfg, base_dir, id_col="ext_id")
+
+    latest = {int(e): c for e, c in zip(pdf.ext_id, pdf.content)}
+    for b in range(20):
+        ids = [(b * 3 + j) % len(pdf) for j in range(3)]
+        upd = pdf[pdf.ext_id.isin(ids)].copy()
+        upd["content"] = upd["content"] + f" manyseg probe {b}"
+        for e, c in zip(upd.ext_id, upd.content):
+            latest[int(e)] = c
+        build_segment(
+            spark, spark.createDataFrame(upd),
+            os.path.join(segments_root(base_dir), f"seg-{b:08d}"),
+            cfg, id_col="ext_id",
+        )
+    seg = SegmentedIndex.load(spark, base_dir, cfg)
+    assert len(seg.segment_dirs) == 20
+    assert seg.n_docs == len(pdf)
+    assert seg.tombstone_frac() > 0.2  # many re-updates accumulated
+
+    final = pdf.copy()
+    final["content"] = final.ext_id.map(lambda e: latest[int(e)])
+    truth = build_index(
+        spark, spark.createDataFrame(final), cfg, str(tmp / "truth"), id_col="ext_id"
+    )
+    qs = [(1, "manyseg probe", 10), (2, "getIndexValue merg scorer", 10)]
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # frac > policy, expected
+        pd.testing.assert_frame_equal(
+            _sorted(search(seg, qs, mode="disjunctive")),
+            _sorted(search(truth, qs, mode="disjunctive")),
+        )
+        compacted = compact(spark, base_dir, cfg, str(tmp / "compacted"))
+    pd.testing.assert_frame_equal(
+        _sorted(search(compacted, qs, mode="disjunctive")),
+        _sorted(search(truth, qs, mode="disjunctive")),
+    )
+    rep = check_segmented(seg)
+    assert rep[~rep.passed].empty, rep[~rep.passed].to_string()
