@@ -679,7 +679,9 @@ class InvertedIndex:
         .prx analog, deliberately outside the postings/lexicon/docmeta
         byte-equivalence contract. Same surface as
         :attr:`SegmentedIndex.positions` so phrase paths are
-        polymorphic over monolithic and segmented indexes."""
+        polymorphic over monolithic and segmented indexes. PACKED
+        (term, doc_id, poss) — every search path accepts it;
+        row-view consumers apply ``positions.positions_view``."""
         return self.spark.read.parquet(
             os.path.join(self.index_dir, "positions.parquet")
         )

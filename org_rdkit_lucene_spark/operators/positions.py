@@ -6,33 +6,152 @@ walks them (the reference's phrase surface goes through
 ``ChemicalIndex.java:482-485``); the engine's two-phase path instead
 verifies phrases by substring against STORED bodies
 (``operators/query.py::search_two_phase``). This module adds the true
-index-side alternative: a ``positions.parquet`` table
-``(term, doc_id, pos)`` written from the analyzed token stream, and a
-phrase search that never touches document content —
+index-side alternative: a ``positions.parquet`` artifact written from
+the analyzed token stream — PACKED ``(term, doc_id, poss)``, one row
+per (term, doc) with the ascending position list, the .prx
+posting-list shape — and a phrase search that never touches document
+content:
 
     phrase w1..wn matches doc d at p  ⇔  (wi, d, p + i - 1) ∈ positions
+                                      ⇔  p ∈ ⋂i (positions(wi, d) − i)
 
-evaluated as an n-way join over per-term pushed scans. Ranking is the
-deterministic integer law (phrase occurrence count DESC, doc_id ASC)
-— Lucene's PhraseQuery scores by phrase freq; occurrence count is its
-exact integer core, so the DuckDB twin agrees without float laws.
+evaluated for a WHOLE query batch as one pushed ``term IN (...)``
+scan + shifted ``array_intersect`` folds (JVM higher-order
+functions). Ranking is the deterministic integer law (phrase
+occurrence count DESC, doc_id ASC) — Lucene's PhraseQuery scores by
+phrase freq; occurrence count is its exact integer core, so the
+DuckDB twin agrees without float laws.
 
-Scale shape: the positions table is token-volume-sized but every
-query side is a pushed ``term = 'w'`` scan (PushedFilters); the n-way
-join keys on (doc_id, position arithmetic), a uniform composite key.
-No stored bodies are read — at 100 TB the content column never moves.
+Scale shape: the packed table is (term, doc)-pair-sized (~15x under
+token volume on the code corpus) and term-clustered with 8 MB row
+groups, so a phrase batch reads only its words' row-group slices and
+shuffles df-volume packed rows; hot words never explode into
+occurrence rows. No stored bodies are read — at 100 TB the content
+column never moves.
 """
 
 from __future__ import annotations
 
 import os
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text, tokens_column
+from org_rdkit_lucene_spark.functions.tokenizer import tokenize_text
 
 POSITIONS_NAME = "positions.parquet"
+
+# On-disk layout is PACKED — one row per (term, doc) with the ascending
+# position list, the .prx posting-list shape. Every query-side consumer
+# sees the EXPLODED (term, doc_id, pos) view via positions_view(); the
+# packing is purely physical: the corpus averages ~15x more tokens than
+# distinct (term, doc) pairs (measured 10.3M -> 0.70M rows at 5k docs),
+# so packing shrinks the build shuffle and the artifact by that factor
+# and stops repeating the term string per occurrence.
+PACKED_SCHEMA = "term string, doc_id long, poss array<long>"
+
+
+def positions_view(df: DataFrame) -> DataFrame:
+    """Normalize a positions artifact to the (term, doc_id, pos) row
+    view every search path consumes. Packed artifacts explode lazily —
+    a pushed ``term = w`` predicate still reaches the parquet scan
+    (the filter references only non-generated columns, so Catalyst
+    pushes it below the Generate). Legacy flat artifacts pass through."""
+    if "poss" not in df.columns:
+        return df
+    others = [c for c in df.columns if c != "poss"]
+    return df.select(*others, F.explode("poss").alias("pos"))
+
+
+def _make_packed_fn(profile):
+    """mapInPandas producer: content batches -> packed (term, doc_id,
+    poss) rows. ASCII batches tokenize in Arrow C++ kernels (the build
+    kernel's fast path — no per-token Python objects); non-ASCII and
+    non-default profiles take the canonical pandas pipeline. Positions
+    are 0-based ordinals over the POST-analysis stream (the slop-law
+    stream), grouped per (doc, term) with a stable sort so each list
+    ascends."""
+    import numpy as np
+    import pandas as pd
+
+    from org_rdkit_lucene_spark.functions.tokenizer import (
+        batch_is_ascii,
+        tokenize_flat_arrow_ascii,
+        tokenize_texts,
+    )
+
+    def pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            codes = uniq_take = None
+            if profile.arrow_fast_path_ok and batch_is_ascii(pdf["content"]):
+                doc_idx, flat, counts = tokenize_flat_arrow_ascii(
+                    pdf["content"], profile
+                )
+                if len(doc_idx) == 0:
+                    continue
+                denc = pc.dictionary_encode(flat)
+                codes = denc.indices.to_numpy().astype(np.int64)
+                uniq = denc.dictionary
+                n_uniq = len(uniq)
+                uniq_take = lambda g: uniq.take(pa.array(g)).to_pandas().to_numpy(object)  # noqa: E731
+            else:
+                toks = tokenize_texts(pdf["content"], profile)
+                lens = toks.map(len).to_numpy(np.int64)
+                if int(lens.sum()) == 0:
+                    continue
+                doc_idx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+                counts = lens
+                terms = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks if len(t)]
+                )
+                codes_, uniques = pd.factorize(terms)
+                codes = codes_.astype(np.int64)
+                n_uniq = len(uniques)
+                uniq_take = lambda g: uniques[g]  # noqa: E731
+            offs = np.zeros(len(pdf) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            pos = np.arange(len(doc_idx), dtype=np.int64) - offs[doc_idx]
+            key = doc_idx * np.int64(n_uniq) + codes
+            order = np.argsort(key, kind="stable")  # stable => lists ascend
+            sk = key[order]
+            bounds = np.flatnonzero(np.diff(sk)) + 1
+            starts = np.concatenate(([0], bounds))
+            uk = sk[starts]
+            g_doc = (uk // n_uniq).astype(np.int64)
+            g_code = (uk % n_uniq).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "term": uniq_take(g_code),
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64)[g_doc],
+                    "poss": np.split(pos[order], bounds),
+                }
+            )
+
+    return pack
+
+
+def packed_positions_df(
+    corpus: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    profile=None,
+) -> DataFrame:
+    """The packed positions DataFrame for a corpus (no layout, no
+    write) — shared by the base build and the per-segment writer."""
+    from org_rdkit_lucene_spark.functions.tokenizer import DEFAULT_PROFILE
+
+    prof = profile or DEFAULT_PROFILE
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(content_col).cast("string").alias("content"),
+    )
+    return src.mapInPandas(_make_packed_fn(prof), schema=PACKED_SCHEMA)
 
 
 def build_positions(
@@ -43,31 +162,32 @@ def build_positions(
     id_col: str = "doc_id",
     profile=None,
 ) -> DataFrame:
-    """Write the positional postings table (term, doc_id, pos) from
-    the SAME analyzed token stream the index uses (0-based positions
-    over the post-analysis stream — the slop-law stream). Idempotent:
-    skips when already committed."""
-    from org_rdkit_lucene_spark.functions.tokenizer import DEFAULT_PROFILE
-
-    prof = profile or DEFAULT_PROFILE
+    """Write the positional postings artifact from the SAME analyzed
+    token stream the index uses (0-based positions over the
+    post-analysis stream — the slop-law stream). Idempotent: skips
+    when already committed. Returns the PACKED frame (every search
+    path here accepts it; row-view consumers use positions_view)."""
     out = os.path.join(index_dir, POSITIONS_NAME)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        pos = corpus.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.posexplode(tokens_column(content_col, prof)).alias("pos", "term"),
-        ).select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
+        pos = packed_positions_df(corpus, content_col, id_col, profile)
         # TERM-CLUSTERED layout (same law as postings): written in
         # corpus order every row group would span most of the
         # vocabulary and the pushed `term = w` predicate could never
         # skip a row group — each phrase word would re-read the whole
-        # token-volume-sized table. Repartition+sort by term makes the
-        # parquet min/max stats selective, so a phrase query reads
-        # only its words' slices at any corpus size.
+        # table. Repartition+sort by term makes the parquet min/max
+        # stats selective, so a phrase query reads only its words'
+        # slices at any corpus size.
         n_parts = max(pos.sparkSession.sparkContext.defaultParallelism, 8)
         pos = pos.repartition(n_parts, "term").sortWithinPartitions(
-            "term", "doc_id", "pos"
+            "term", "doc_id"
         )
-        pos.write.mode("overwrite").parquet(out)
+        # small row groups (8 MB vs the 128 MB default): row-group
+        # min/max on the sorted term column is the pruning unit — one
+        # giant row group per file makes the pushed term filter read
+        # the whole file
+        pos.write.mode("overwrite").option(
+            "parquet.block.size", 8 * 1024 * 1024
+        ).parquet(out)
     return spark.read.parquet(out)
 
 
@@ -86,52 +206,102 @@ def search_phrase_positions(
     phrase tokenizes empty return no rows; single-token phrases
     degenerate to term-occurrence counting.
 
-    Plan per query: one pushed ``term = wi`` scan per phrase word,
-    joined on (doc_id, pos offset); the per-query plans union. The
-    final per-query top-k rides one bounded window."""
+    Plan for the WHOLE batch (not per query): ONE pushed
+    ``term IN (all phrase words)`` scan of the PACKED table, one
+    broadcast join against the tiny (query_id, word, idx) table, one
+    df-volume shuffle, and the start-position law evaluated on the
+    packed arrays entirely JVM-side:
+
+        phrase w1..wn starts at p  ⇔  ∀i: (wi, d, p+i-1) ∈ positions
+        ⇔  p ∈ ⋂i (positions(wi, d) - i)
+
+    i.e. shift each word's position array by its slot
+    (``transform(poss, p -> p - idx)``) and fold ``array_intersect``
+    per (query, doc); n_occ = |intersection|. Hot phrase words never
+    explode: the shuffle carries one packed row per (word, doc) — the
+    corpus measures ~15x fewer pairs than occurrences — so a
+    hot-term phrase batch moves ~1.5M packed rows, not 23M position
+    rows (measured 18.8s → ~2s at sf0.1). A legacy FLAT artifact
+    (term, doc_id, pos) is packed on the fly (one extra shuffle)."""
     from org_rdkit_lucene_spark.functions.tokenizer import DEFAULT_PROFILE
 
     prof = profile or DEFAULT_PROFILE
     spark = positions.sparkSession
-    parts = []
+    word_rows: list[tuple[int, str, int]] = []
+    meta_rows: list[tuple[int, int, int]] = []
     for qid, text, k in queries:
         words = tokenize_text(text, prof)
         if not words:
             continue
-        base = (
-            positions.filter(F.col("term") == words[0])
-            .select(F.col("doc_id"), F.col("pos"))
-        )
-        for i, w in enumerate(words[1:], start=1):
-            nxt = positions.filter(F.col("term") == w).select(
-                F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
-            )
-            base = base.join(
-                nxt,
-                (F.col("doc_id") == F.col("d2")) & (F.col("p2") == F.col("pos") + i),
-            ).select("doc_id", "pos")
-        parts.append(
-            base.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_occ"))
-            .select(
-                F.lit(qid).cast("int").alias("query_id"),
-                "doc_id",
-                "n_occ",
-                F.lit(k).cast("int").alias("k"),
-            )
-        )
-    if not parts:
+        meta_rows.append((int(qid), len(words), int(k)))
+        word_rows.extend((int(qid), w, i) for i, w in enumerate(words))
+    if not meta_rows:
         return spark.createDataFrame(
             [], "query_id int, rank int, doc_id long, n_occ long"
         )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
+    meta = F.broadcast(
+        spark.createDataFrame(meta_rows, "query_id int, n_words int, k int")
+    )
+    occ = (
+        _phrase_starts(positions, word_rows)
+        .join(meta, "query_id")
+        .filter(F.col("n_idx") == F.col("n_words"))
+        .select(
+            "query_id", "doc_id", "k", F.size("starts").alias("n_occ")
+        )
+        .filter(F.col("n_occ") > 0)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("n_occ"), F.asc("doc_id"))
     return (
-        u.withColumn("rank", F.row_number().over(w))
+        occ.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", F.col("n_occ").cast("long").alias("n_occ"))
+    )
+
+
+def _phrase_starts(positions: DataFrame, word_rows: list[tuple[int, str, int]]) -> DataFrame:
+    """Shared packed-intersection core: ``word_rows`` =
+    [(group_id, word, slot_idx)] -> one row per (group_id, doc_id)
+    with ``n_idx`` = how many of the group's word slots the doc covers
+    and ``starts`` = the shifted-array intersection (valid phrase
+    start positions when n_idx equals the group's word count — the
+    caller checks that; the fold here intersects only the arrays that
+    are present). Accepts the packed artifact directly; a legacy flat
+    (term, doc_id, pos) frame is packed first."""
+    spark = positions.sparkSession
+    packed = _as_packed(positions)
+    wt = F.broadcast(
+        spark.createDataFrame(word_rows, "group_id int, term string, idx int")
+    )
+    all_words = sorted({r[1] for r in word_rows})
+    shifted = (
+        packed.filter(F.col("term").isin(all_words))
+        .join(wt, "term")
+        .select(
+            F.col("group_id").alias("query_id"),
+            "doc_id",
+            F.transform("poss", lambda p: p - F.col("idx")).alias("sh"),
+        )
+    )
+    g = shifted.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_idx"),
+        F.collect_list("sh").alias("arrs"),
+    )
+    starts = F.aggregate(
+        F.slice(F.col("arrs"), 2, F.greatest(F.size("arrs") - 1, F.lit(0))),
+        F.element_at(F.col("arrs"), 1),
+        lambda acc, x: F.array_intersect(acc, x),
+    )
+    return g.select("query_id", "doc_id", "n_idx", starts.alias("starts"))
+
+
+def _as_packed(positions: DataFrame) -> DataFrame:
+    """Packed (term, doc_id, poss) form of a positions frame; legacy
+    flat artifacts pay one pack shuffle."""
+    if "poss" in positions.columns:
+        return positions
+    return positions.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("poss")
     )
 
 
@@ -231,38 +401,35 @@ def phrase_ok_counts(
     analog of Lucene dropping an empty PhraseQuery — so callers must
     size their required counts over non-empty clauses only.
 
-    Plan: per clause, one pushed ``term = wi`` scan per word joined on
-    (doc_id, position arithmetic), DISTINCT existence per doc; clause
-    plans union and one groupBy counts satisfied clauses."""
+    Plan: ALL slop-0 clauses share ONE pushed ``term IN (...)`` scan +
+    broadcast (clause, word, idx) join + start-position coverage
+    aggregation (the :func:`search_phrase_positions` batch law);
+    slop>0 clauses evaluate as per-clause ordered-position join chains
+    (the gap law has no shared-start form). Clause plans union and one
+    groupBy counts satisfied clauses per doc."""
     from org_rdkit_lucene_spark.functions.tokenizer import DEFAULT_PROFILE
 
     prof = profile or DEFAULT_PROFILE
     spark = positions.sparkSession
+    flat = positions_view(positions)  # slop chains need row-per-position
     parts = []
+    word_rows: list[tuple[int, int, str, int]] = []
+    clause_n: list[tuple[int, int, int]] = []
     for i, (qid, text, slop) in enumerate(rows):
         words = tokenize_text(text, prof)
         if not words:
             continue
         if int(slop) <= 0:
-            base = positions.filter(F.col("term") == words[0]).select(
-                "doc_id", "pos"
-            )
-            for j, w in enumerate(words[1:], start=1):
-                nxt = positions.filter(F.col("term") == w).select(
-                    F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
-                )
-                base = base.join(
-                    nxt,
-                    (F.col("doc_id") == F.col("d2"))
-                    & (F.col("p2") == F.col("pos") + j),
-                ).select("doc_id", "pos")
+            clause_n.append((int(qid), i, len(words)))
+            word_rows.extend((int(qid), i, w, j) for j, w in enumerate(words))
+            continue
         else:
             bound = len(words) - 1 + int(slop)
-            base = positions.filter(F.col("term") == words[0]).select(
+            base = flat.filter(F.col("term") == words[0]).select(
                 "doc_id", F.col("pos").alias("p1"), F.col("pos").alias("prev")
             )
             for w in words[1:]:
-                nxt = positions.filter(F.col("term") == w).select(
+                nxt = flat.filter(F.col("term") == w).select(
                     F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
                 )
                 base = base.join(
@@ -277,6 +444,28 @@ def phrase_ok_counts(
                 "doc_id",
                 F.lit(i).cast("int").alias("ph"),
             )
+        )
+    if word_rows:
+        # one packed-intersection pass for ALL slop-0 clauses: encode
+        # (query, clause) into a single group id for the shared core
+        gid_of = {(q, ph): gi for gi, (q, ph) in enumerate(
+            sorted({(q, ph) for q, ph, _, _ in word_rows})
+        )}
+        core_rows = [(gid_of[(q, ph)], w, j) for q, ph, w, j in word_rows]
+        nt = F.broadcast(
+            spark.createDataFrame(
+                [(gid_of[(q, ph)], q, ph, n) for q, ph, n in clause_n],
+                "group_id int, qid int, ph int, n_words int",
+            )
+        )
+        parts.append(
+            _phrase_starts(positions, core_rows)
+            .withColumnRenamed("query_id", "group_id")
+            .join(nt, "group_id")
+            .filter(
+                (F.col("n_idx") == F.col("n_words")) & (F.size("starts") > 0)
+            )
+            .select(F.col("qid").alias("query_id"), "doc_id", "ph")
         )
     if not parts:
         return spark.createDataFrame([], "query_id int, doc_id long, n_ok long")
@@ -310,17 +499,18 @@ def search_slop_positions(
 
     prof = profile or DEFAULT_PROFILE
     spark = positions.sparkSession
+    flat = positions_view(positions)
     parts = []
     for qid, text, slop, k in queries:
         words = tokenize_text(text, prof)
         if not words:
             continue
         bound = len(words) - 1 + max(0, int(slop))
-        base = positions.filter(F.col("term") == words[0]).select(
+        base = flat.filter(F.col("term") == words[0]).select(
             "doc_id", F.col("pos").alias("p1"), F.col("pos").alias("prev")
         )
         for w in words[1:]:
-            nxt = positions.filter(F.col("term") == w).select(
+            nxt = flat.filter(F.col("term") == w).select(
                 F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
             )
             base = base.join(

@@ -76,10 +76,14 @@ from org_rdkit_lucene_spark.operators.build import (
     _write_manifest,
     encode_postings,
 )
-from org_rdkit_lucene_spark.operators.positions import POSITIONS_NAME
+from org_rdkit_lucene_spark.operators.positions import (
+    PACKED_SCHEMA as POSITIONS_SCHEMA,
+    POSITIONS_NAME,
+    _as_packed as _as_packed_cols,
+    packed_positions_df,
+)
 
 FLAT_COLS = ["doc_id", "term", "tf", "dl"]
-POSITIONS_SCHEMA = "term string, doc_id long, pos long"
 # hard budget for the driver-side kill map (16 bytes/pair ≈ 160 MB at
 # the cap — comfortably under driver/broadcast limits); the
 # maybe_compact(max_tombstone_frac) policy should fire long before this
@@ -316,19 +320,16 @@ def _build_segment_locked(
     if with_positions is None:
         with_positions = _base_has_positions(base_dir)
     if with_positions:
-        from org_rdkit_lucene_spark.functions.tokenizer import tokens_column
-
-        # term-clustered like the base artifact (build_positions): the
-        # pushed `term = w` predicate must skip row groups in every
-        # segment the union scans
-        ids.select(
-            F.col("doc_id"),
-            F.posexplode(tokens_column("content", cfg.tokenizer)).alias("pos", "term"),
-        ).select(
-            "term", "doc_id", F.col("pos").cast("long").alias("pos")
+        # packed + term-clustered like the base artifact
+        # (build_positions): the pushed `term = w` predicate must skip
+        # row groups in every segment the union scans
+        packed_positions_df(
+            ids, content_col="content", id_col="doc_id", profile=cfg.tokenizer
         ).repartition(n_parts, "term").sortWithinPartitions(
-            "term", "doc_id", "pos"
-        ).write.mode("overwrite").parquet(os.path.join(seg_dir, POSITIONS_NAME))
+            "term", "doc_id"
+        ).write.mode("overwrite").option(
+            "parquet.block.size", 8 * 1024 * 1024
+        ).parquet(os.path.join(seg_dir, POSITIONS_NAME))
 
     tmp = os.path.join(seg_dir, "stats.json.tmp")
     with open(tmp, "w") as f:
@@ -689,7 +690,8 @@ class SegmentedIndex:
     @property
     def positions(self) -> DataFrame:
         """Kill-filtered union of the base and per-segment positional
-        postings ``(term, doc_id, pos)`` — the merged .prx view. Feeds
+        postings, PACKED ``(term, doc_id, poss)`` — the merged .prx
+        view (legacy flat segments are packed on read). Feeds
         :func:`operators.positions.search_phrase_positions` /
         ``search_slop_positions`` and :func:`operators.query.
         search_syntax`'s indexed phrase path unchanged, so phrase/slop
@@ -705,8 +707,8 @@ class SegmentedIndex:
                 f"no positions artifact at {self.index_dir}; run "
                 "build_positions() on the base index first"
             )
-        df = self.spark.read.parquet(
-            os.path.join(self.index_dir, POSITIONS_NAME)
+        df = _as_packed_cols(
+            self.spark.read.parquet(os.path.join(self.index_dir, POSITIONS_NAME))
         ).withColumn("seg_ord", F.lit(0))
         for i, d in enumerate(self.segment_dirs):
             p = os.path.join(d, POSITIONS_NAME)
@@ -719,7 +721,9 @@ class SegmentedIndex:
                         )
                 continue
             df = df.unionByName(
-                self.spark.read.parquet(p).withColumn("seg_ord", F.lit(i + 1))
+                _as_packed_cols(self.spark.read.parquet(p)).withColumn(
+                    "seg_ord", F.lit(i + 1)
+                )
             )
         kill = self.kill_map
         if kill is not None:
@@ -850,11 +854,16 @@ def _compact_locked(spark, index_dir, cfg, out_dir, pq):
     # (positions.parquet is outside the byte-equivalence contract —
     # only set equality matters, and every consumer joins on it)
     if seg.has_positions:
+        # the kill-filtered union is already packed (one row per live
+        # (term, doc) with its ascending position list) — re-cluster
+        # by term and write, same physical shape as a fresh build
         seg.positions.repartition(
             cfg.build_partitions, "term"
-        ).sortWithinPartitions("term", "doc_id", "pos").write.mode(
+        ).sortWithinPartitions("term", "doc_id").write.mode(
             "overwrite"
-        ).parquet(os.path.join(out_dir, POSITIONS_NAME))
+        ).option("parquet.block.size", 8 * 1024 * 1024).parquet(
+            os.path.join(out_dir, POSITIONS_NAME)
+        )
 
     # stats.json is the commit record and is written LAST (same
     # atomicity convention as build_segment): a crash mid-compaction
