@@ -290,6 +290,32 @@ def _positions_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_positions_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout witness for the PACKED positions artifact (one row per
+    (term, doc) with the ascending position list — the .prx shape,
+    ~15x under token volume): per-term pair/occurrence counts and
+    position arithmetic must equal the analyzed-stream recompute, so
+    the physical packing provably loses nothing. Top 25 terms by
+    occurrences (term ASC tie-break)."""
+    pos = _positions_for(spark, sf_dir)  # packed (term, doc_id, poss)
+    return (
+        pos.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.size("poss")).cast("long").alias("n_occ"),
+            F.sum(
+                F.aggregate(
+                    "poss", F.lit(0).cast("long"), lambda a, x: a + x
+                )
+            ).cast("long").alias("sum_pos"),
+            F.max(F.element_at("poss", -1)).cast("long").alias("max_pos"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("term"))
+        .limit(25)
+        .select("term", "n_pairs", "n_occ", "sum_pos", "max_pos")
+    )
+
+
 def _q_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-syntax search with phrases verified INDEX-SIDE against the
     positions artifact (ChemicalIndex.java:482-485 runs PhraseQuery on
@@ -1369,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_slop_positions": _q1_slop_positions,
         "q7_term_vectors": _q7_term_vectors,
         "td_pipeline": _td_pipeline,
+        "b_positions_packed": _q_positions_packed,
         # --- core regression set (r03-green; fills the gate to 50) ---
         "q1_bm25_disjunctive": _q_disjunctive,
         "q5_bm25_conjunctive": _q_conjunctive,
@@ -1580,6 +1607,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_multi_field_bm25": sqlgen.multi_field_bm25_sql(MF_QUERIES, MF_FIELD_BOOSTS),
         "td_dup_span_removal": sqlgen.remove_dup_spans_sql(k=8, min_df=2),
         "q1_phrase_positions": sqlgen.phrase_positions_sql(PHRASE_QUERIES),
+        "b_positions_packed": sqlgen.positions_packed_stats_sql(25),
         "q1_phrase_bm25": sqlgen.phrase_bm25_sql(PHRASE_QUERIES),
         "b1_phrase_positions_segmented": sqlgen.phrase_positions_sql(
             SEGPOS_QUERIES,

@@ -221,6 +221,10 @@ def tokenize_flat_arrow_ascii(
 
     Returns ``(doc_idx, flat)``: int64 row index per token and the flat
     Arrow string array of tokens, plus per-row token counts.
+
+    ``texts`` may be a pandas Series OR an Arrow array (the mapInArrow
+    packers pass record-batch columns straight through — no pandas
+    round-trip); both run the identical kernels.
     """
     import numpy as np
     import pyarrow as pa
@@ -228,7 +232,12 @@ def tokenize_flat_arrow_ascii(
 
     if not profile.arrow_fast_path_ok:
         raise ValueError("profile not supported by the Arrow fast path")
-    arr = pa.array(texts.fillna(""), type=pa.large_string())
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = pc.cast(pc.fill_null(texts, ""), pa.large_string())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+    else:
+        arr = pa.array(texts.fillna(""), type=pa.large_string())
     s = arr
     if profile.split_camel_case:
         s = pc.replace_substring_regex(s, pattern=_CAMEL1, replacement=r"\1 \2")
@@ -246,11 +255,16 @@ def tokenize_flat_arrow_ascii(
     return doc_idx, flat, counts
 
 
-def batch_is_ascii(texts: pd.Series) -> bool:
+def batch_is_ascii(texts) -> bool:
+    """True when every string in the batch is pure ASCII. Accepts a
+    pandas Series or an Arrow array/chunked array."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    arr = pa.array(texts.fillna(""), type=pa.large_string())
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = pc.fill_null(texts, "")
+    else:
+        arr = pa.array(texts.fillna(""), type=pa.large_string())
     ok = pc.all(pc.string_is_ascii(arr))
     return bool(ok.as_py())
 

@@ -2258,6 +2258,36 @@ FROM ranked WHERE rnk <= k
 ORDER BY query_id, rank"""
 
 
+def positions_packed_stats_sql(top_n: int = 25, table: str = "documents") -> str:
+    """Twin of the PACKED positions artifact's per-term statistics
+    (entry ``b_positions_packed``): recompute the analyzed position
+    stream from the corpus, group to (term, doc) pairs — the packed
+    row unit — and aggregate per term: pair count, occurrence count,
+    position sum and max position. Pins that the artifact's packed
+    rows hold EXACTLY the analyzed token stream (counts + position
+    arithmetic), top ``top_n`` terms by occurrences (term ASC
+    tie-break — a total order since term is the group key)."""
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH posi AS (
+  SELECT doc_id, unnest({toks}) AS term,
+         generate_subscripts({toks}, 1) - 1 AS p
+  FROM {table}
+),
+pairs AS (
+  SELECT term, doc_id, count(*)::BIGINT AS c,
+         sum(p)::BIGINT AS sp, max(p)::BIGINT AS mp
+  FROM posi GROUP BY 1, 2
+),
+agg AS (
+  SELECT term, count(*)::BIGINT AS n_pairs, sum(c)::BIGINT AS n_occ,
+         sum(sp)::BIGINT AS sum_pos, max(mp)::BIGINT AS max_pos
+  FROM pairs GROUP BY 1
+)
+SELECT term, n_pairs, n_occ, sum_pos, max_pos
+FROM agg ORDER BY n_occ DESC, term ASC LIMIT {int(top_n)}"""
+
+
 def slop_positions_sql(queries: list[tuple[int, str, int, int]]) -> str:
     """Twin of positions.search_slop_positions: per query an n-way
     positions join with the order (p_i > p_{i-1}) and span

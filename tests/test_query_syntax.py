@@ -1079,3 +1079,93 @@ def test_phrase_bm25_scoring_law(spark, tmp_path):
     # longer doc with f=1 scores below the short f=1 doc
     s = out.set_index("doc_id").score_q
     assert s[1] > s[2]
+
+
+def test_positions_packed_layout_and_view(spark, tmp_path):
+    """The positions artifact is PACKED — one row per (term, doc) with
+    the ASCENDING position list (the .prx posting shape) — and
+    positions_view() explodes it back to exactly the analyzed
+    (term, doc_id, pos) stream (the legacy posexplode law)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from org_rdkit_lucene_spark.functions.tokenizer import tokens_column
+    from org_rdkit_lucene_spark.operators.positions import (
+        build_positions,
+        positions_view,
+    )
+
+    rows = [
+        (0, "alpha beta alpha Gamma alpha"),
+        (1, "beta beta"),
+        (2, ""),  # tokenizes empty -> contributes nothing
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "content"]))
+    pos = build_positions(spark, docs, str(tmp_path / "packed"))
+    assert pos.columns == ["term", "doc_id", "poss"]
+    pdf = pos.toPandas()
+    # one row per (term, doc) pair, each list strictly ascending
+    assert not pdf.duplicated(subset=["term", "doc_id"]).any()
+    for ps in pdf.poss:
+        assert list(ps) == sorted(set(ps))
+    assert sorted(
+        pdf[pdf.term == "alpha"].apply(lambda r: (r.doc_id, list(r.poss)), axis=1)
+    ) == [(0, [0, 2, 4])]
+    # exploded view == the legacy posexplode law, exactly
+    legacy = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(tokens_column("content")).alias("pos", "term"),
+    ).select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
+    got = {tuple(r) for r in positions_view(pos).collect()}
+    want = {tuple(r) for r in legacy.collect()}
+    assert got == want
+
+
+def test_positions_legacy_flat_backcompat(spark, tmp_path):
+    """A legacy FLAT (term, doc_id, pos) artifact — written by earlier
+    engine versions — must keep working through every phrase surface:
+    search/slop/ok-counts results identical to the packed artifact's
+    (the on-the-fly _as_packed path)."""
+    import pandas as pd
+
+    from org_rdkit_lucene_spark.operators.positions import (
+        build_positions,
+        phrase_ok_counts,
+        positions_view,
+        search_phrase_positions,
+        search_slop_positions,
+    )
+
+    rows = [
+        (0, "alpha beta gamma alpha beta"),
+        (1, "beta alpha beta gamma"),
+        (2, "alpha x x beta"),
+        (3, "echo echo echo"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "content"]))
+    packed = build_positions(spark, docs, str(tmp_path / "pk"))
+    flat_dir = str(tmp_path / "flat_pos")
+    positions_view(packed).write.parquet(flat_dir)
+    flat = spark.read.parquet(flat_dir)
+    assert "poss" not in flat.columns
+
+    phrase_qs = [(1, "alpha beta", 10), (2, "echo echo", 10)]
+    slop_qs = [(1, "alpha beta", 2, 10)]
+    ok_rows = [(1, "alpha beta", 0), (1, "alpha beta", 2)]
+
+    def srt(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert srt(search_phrase_positions(flat, phrase_qs)) == srt(
+        search_phrase_positions(packed, phrase_qs)
+    )
+    assert srt(search_slop_positions(flat, slop_qs)) == srt(
+        search_slop_positions(packed, slop_qs)
+    )
+    assert srt(phrase_ok_counts(flat, ok_rows)) == srt(
+        phrase_ok_counts(packed, ok_rows)
+    )
+    # and the packed results themselves are the known law outcome
+    out = search_phrase_positions(packed, phrase_qs).toPandas()
+    q1 = out[out.query_id == 1].sort_values("rank")
+    assert list(zip(q1.doc_id, q1.n_occ)) == [(0, 2), (1, 1)]
