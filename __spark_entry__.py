@@ -290,6 +290,31 @@ def _positions_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Field-scoped PhraseQuery surface (QueryParser parses field:"a b"
+# into a PhraseQuery on that field): adjacency/span over the FIELD
+# token stream (lower+split — metadata law, not the content analyzer),
+# one FIELD_BOOST per matched clause. path tokens here are
+# [srcN, doc, <id>], so path:"doc 42" pins doc 42 and
+# path:"src13 doc" pins the src13 slice.
+FIELD_PHRASE_QUERIES = [
+    (61, 'path:"src13 doc" value', 10),
+    (62, 'path:"doc 42"', 5),
+    (63, 'path:"src1 5"~1 scan', 10),
+    (64, 'lang:"en" +join', 10),
+]
+
+
+def _q_field_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field:"a b"(~n) — field-scoped PhraseQuery as a SHOULD clause
+    (ChemicalIndex.java:477-491 parses quoted field values through
+    MultiFieldQueryParser into per-field PhraseQuery): span law over
+    the field token stream, evaluated as pure Catalyst higher-order
+    functions against metadata-scale docmeta (no content, no index
+    scan for the field side)."""
+    idx = _index_for(spark, sf_dir)
+    return search_syntax(idx, None, FIELD_PHRASE_QUERIES)
+
+
 def _q_positions_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout witness for the PACKED positions artifact (one row per
     (term, doc) with the ascending position list — the .prx shape,
@@ -1396,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_term_vectors": _q7_term_vectors,
         "td_pipeline": _td_pipeline,
         "b_positions_packed": _q_positions_packed,
+        "q1_field_phrase": _q_field_phrase,
         # --- core regression set (r03-green; fills the gate to 50) ---
         "q1_bm25_disjunctive": _q_disjunctive,
         "q5_bm25_conjunctive": _q_conjunctive,
@@ -1608,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         "td_dup_span_removal": sqlgen.remove_dup_spans_sql(k=8, min_df=2),
         "q1_phrase_positions": sqlgen.phrase_positions_sql(PHRASE_QUERIES),
         "b_positions_packed": sqlgen.positions_packed_stats_sql(25),
+        "q1_field_phrase": sqlgen.query_syntax_sql(FIELD_PHRASE_QUERIES),
         "q1_phrase_bm25": sqlgen.phrase_bm25_sql(PHRASE_QUERIES),
         "b1_phrase_positions_segmented": sqlgen.phrase_positions_sql(
             SEGPOS_QUERIES,

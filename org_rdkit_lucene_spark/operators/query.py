@@ -694,6 +694,22 @@ _FIELD_RE = _re.compile(r"^(repo|path|lang):(.+)$")
 # the group becomes its own field:value SHOULD clause (pre-expanded
 # before the token loop, like ranges)
 _FIELD_GROUP_RE = _re.compile(r"\b(repo|path|lang):\(([^()]*)\)")
+# field:"a b"(~n) — field-scoped PhraseQuery (QueryParser parses a
+# quoted value after field: into a PhraseQuery on that field). A
+# SHOULD clause like field:value, matched over the FIELD token law
+# (lower + split, not the content analyzer), exact adjacency or the
+# shared span law under ~n. Extracted in a pre-pass because the quoted
+# value spans whitespace.
+_FIELD_PHRASE_RE = _re.compile(r'\b(repo|path|lang):"([^"]*)"(?:~(\d+))?')
+_FIELD_TOKEN_RE = _re.compile(r"[^a-z0-9]+")
+
+
+def _field_phrase_words(text: str) -> list[str]:
+    """The FIELD token law (same split as `_field_hits`/the SQL twin's
+    fhit CTE): lowercase, split on non-alphanumeric runs, drop empties.
+    Field values are metadata, not content — the code analyzer (camel
+    split etc.) does NOT apply, matching the field:value clause law."""
+    return [t for t in _FIELD_TOKEN_RE.split(text.lower()) if t]
 _FUZZY_RE = _re.compile(r"^(.+?)~([0-9])?$")
 # term^N boost (QueryParser's setBoost surface): base must be a plain
 # word — no wildcard/fuzzy/field/quote chars — so "pre*^2" never
@@ -812,7 +828,7 @@ def parse_query(text: str) -> dict:
     out = {"required": [], "optional": [], "excluded": [], "phrases": [],
            "fields": [], "prefixes": [], "fuzzies": [], "wildcards": [],
            "ranges": [], "slop_phrases": [], "req_boosts": [], "opt_boosts": [],
-           "regexps": []}
+           "regexps": [], "field_phrases": []}
 
     def _take_range(m: "_re.Match") -> str:
         lo = None if m.group(2) == "*" else m.group(2).lower()
@@ -829,7 +845,17 @@ def parse_query(text: str) -> dict:
             out["fields"].append((fld, v.lower()))
         return " "
 
+    def _take_field_phrase(m: "_re.Match") -> str:
+        # zero-token values are inert (the parser analog of Lucene
+        # dropping an empty PhraseQuery)
+        if _field_phrase_words(m.group(2)):
+            out["field_phrases"].append(
+                (m.group(1), m.group(2), int(m.group(3) or 0))
+            )
+        return " "
+
     text = _RANGE_RE.sub(_take_range, text)
+    text = _FIELD_PHRASE_RE.sub(_take_field_phrase, text)
     text = _FIELD_GROUP_RE.sub(_take_field_group, text)
     for m in _SYNTAX_RE.finditer(text):
         phrase, slop_s, op, word = m.group(1), m.group(2), m.group(3), m.group(4)
@@ -1119,26 +1145,101 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def _field_hits(index: InvertedIndex, field_rows: list[tuple[int, str, str]]) -> DataFrame:
+_FP_BIG = 1 << 30  # sentinel "no successor" position for the chain fold
+
+
+def _field_span_cond(a, v, slop):
+    """Catalyst span-existence law over a field token array ``a`` and
+    phrase word array ``v`` (both BOUND lambda variables): the shared
+    sloppy-phrase law (:func:`_slop_match`) as pure JVM higher-order
+    functions — exists p1 in positions(v[1]) whose greedy
+    earliest-successor chain through v[2..] ends within span
+    |v|-1+slop. Greedy minimizes the end position for a fixed start,
+    so the end-check is exact; slop=0 reduces to adjacency."""
+    from org_rdkit_lucene_spark.functions.tokenizer import bind_array
+
+    # 1-based index list of ``a`` built ascending-safe: sequence(1, 0)
+    # would come out DESCENDING, so generate to max(size,1) and slice
+    # back to size
+    seq = F.slice(
+        F.sequence(F.lit(1), F.greatest(F.size(a), F.lit(1))), 1, F.size(a)
+    )
+
+    def _with_seq(ss):
+        # try_element_at: ANSI mode makes element_at THROW on an empty
+        # filter result (no successor) — null-coalesce to the sentinel
+        p1s = F.filter(
+            ss, lambda i: F.element_at(a, i) == F.try_element_at(v, F.lit(1))
+        )
+        tail = F.slice(v, 2, F.greatest(F.size(v) - 1, F.lit(0)))
+        chain = lambda p1: F.aggregate(  # noqa: E731
+            tail,
+            p1,
+            lambda p, w: F.coalesce(
+                F.try_element_at(
+                    F.filter(ss, lambda i: (i > p) & (F.element_at(a, i) == w)),
+                    F.lit(1),
+                ),
+                F.lit(_FP_BIG),
+            ),
+        )
+        return F.exists(
+            p1s, lambda p1: chain(p1) - p1 <= F.size(v) - 1 + slop
+        )
+
+    return (F.size(v) >= 1) & bind_array(seq, _with_seq)
+
+
+def _field_hits(
+    index: InvertedIndex,
+    field_rows: list[tuple[int, str, str]],
+    field_phrase_rows: list[tuple[int, str, list[str], int]] | None = None,
+) -> DataFrame:
     """(query_id, doc_id, n_field) — matched field clauses per doc.
     path/repo match on their identifier tokens, lang exactly; the tiny
-    clause table broadcasts against the metadata-scale docmeta scan."""
+    clause table broadcasts against the metadata-scale docmeta scan.
+    ``field_phrase_rows`` = [(query_id, fld, words, slop)] — the
+    field-scoped PhraseQuery surface: words adjacent (or within the
+    span-law window under slop) in the FIELD's token stream, one
+    FIELD_BOOST per matched clause, same as field:value."""
+    from org_rdkit_lucene_spark.functions.tokenizer import bind_array
+
     spark = index.spark
-    fdf = F.broadcast(
-        spark.createDataFrame(field_rows, "query_id int, fld string, val string")
-    )
     dm = index.docmeta.select("doc_id", "repo", "path", "lang")
     tok = lambda c: F.split(F.lower(F.col(c)), r"[^a-z0-9]+")  # noqa: E731
-    cond = (
-        ((F.col("fld") == "path") & F.array_contains(tok("path"), F.col("val")))
-        | ((F.col("fld") == "repo") & F.array_contains(tok("repo"), F.col("val")))
-        | ((F.col("fld") == "lang") & (F.lower(F.col("lang")) == F.col("val")))
-    )
-    return (
-        dm.join(fdf, cond)
-        .groupBy("query_id", "doc_id")
-        .agg(F.count("*").alias("n_field"))
-    )
+    hits = None
+    if field_rows:
+        fdf = F.broadcast(
+            spark.createDataFrame(field_rows, "query_id int, fld string, val string")
+        )
+        cond = (
+            ((F.col("fld") == "path") & F.array_contains(tok("path"), F.col("val")))
+            | ((F.col("fld") == "repo") & F.array_contains(tok("repo"), F.col("val")))
+            | ((F.col("fld") == "lang") & (F.lower(F.col("lang")) == F.col("val")))
+        )
+        hits = dm.join(fdf, cond).select("query_id", "doc_id")
+    if field_phrase_rows:
+        fpdf = F.broadcast(
+            spark.createDataFrame(
+                field_phrase_rows,
+                "query_id int, fld string, vals array<string>, slop int",
+            )
+        )
+        fstr = (
+            F.when(F.col("fld") == "path", F.col("path"))
+            .when(F.col("fld") == "repo", F.col("repo"))
+            .otherwise(F.col("lang"))
+        )
+        arr = F.split(F.lower(fstr), r"[^a-z0-9]+")
+        cond2 = bind_array(
+            arr,
+            lambda a: bind_array(
+                F.col("vals"), lambda v: _field_span_cond(a, v, F.col("slop"))
+            ),
+        )
+        ph = dm.join(fpdf, cond2).select("query_id", "doc_id")
+        hits = ph if hits is None else hits.unionByName(ph)
+    return hits.groupBy("query_id", "doc_id").agg(F.count("*").alias("n_field"))
 
 
 def search_syntax(
@@ -1157,7 +1258,11 @@ def search_syntax(
     exact-phrase tokens. ``field:value`` clauses over {repo, path,
     lang} are SHOULD clauses: each match adds FIELD_BOOST to the score,
     and a doc matching only field clauses is still a candidate (subject
-    to the MUST/exclusion/phrase filters).
+    to the MUST/exclusion/phrase filters). ``field:"a b"(~n)`` is the
+    field-scoped PhraseQuery surface — adjacency (or the shared span
+    law under ~n) over the FIELD token stream, evaluated as pure
+    Catalyst higher-order functions against metadata-scale docmeta,
+    one FIELD_BOOST per matched clause.
 
     Phrase verification has two interchangeable backends:
 
@@ -1201,10 +1306,13 @@ def search_syntax(
     scoring, must_counts, excluded_rows, phrase_rows = [], [], [], []
     slop_rows: list[tuple[int, str, int]] = []
     field_rows: list[tuple[int, str, str]] = []
+    fp_rows: list[tuple[int, str, list[str], int]] = []
     for qid, text, k in queries:
         p = parsed[qid]
         for fld, val in p["fields"]:
             field_rows.append((qid, fld, val))
+        for fld, val, s in p["field_phrases"]:
+            fp_rows.append((qid, fld, _field_phrase_words(val), int(s)))
         # boost-aware qtf law, shared with the SQL twin
         counts, must_terms = syntax_scoring_weights(p, prof)
         # each distinct prefix adds ONE SHOULD occurrence per expanded
@@ -1239,7 +1347,7 @@ def search_syntax(
             if tokenize_text(ph, prof):
                 slop_rows.append((qid, ph, s))
 
-    if not scoring and not field_rows:
+    if not scoring and not field_rows and not fp_rows:
         return spark.createDataFrame([], RESULT_SCHEMA)
     est_disj: int | None = None
     if scoring:
@@ -1251,12 +1359,12 @@ def search_syntax(
         est_disj = est["disjunctive"]
     else:
         scored = spark.createDataFrame([], "query_id int, doc_id long, score_raw double")
-    if field_rows:
+    if field_rows or fp_rows:
         # SHOULD union: field-only matches enter the candidate set; a
         # doc matching both sides sums BM25 + clause boosts — the
         # lexicon-derived candidate bound no longer covers them
         est_disj = None
-        fhits = _field_hits(index, field_rows)
+        fhits = _field_hits(index, field_rows, fp_rows)
         scored = (
             scored.join(fhits, ["query_id", "doc_id"], "full")
             .withColumn(

@@ -279,7 +279,10 @@ def query_syntax_sql(
     verified, score unchanged), bare terms optional, field:value over
     {repo, path, lang} as SHOULD clauses adding FIELD_BOOST per match
     (the documents-derived corpus maps repo → source, path →
-    source || '/doc/' || doc_id, lang → lang), and term* prefix
+    source || '/doc/' || doc_id, lang → lang), field:"a b"(~n)
+    field-scoped phrases via an n-way join over the per-field token
+    position stream (fposi CTE — the engine's span law as an existence
+    join, one FIELD_BOOST per matched clause), and term* prefix
     clauses expanded IN SQL to the top-PREFIX_EXPANSION_LIMIT matching
     terms by (df DESC, term ASC) — the same expansion the engine
     resolves against its lexicon — each adding one SHOULD occurrence.
@@ -307,6 +310,7 @@ def query_syntax_sql(
         RANGE_EXPANSION_LIMIT,
         REGEXP_EXPANSION_LIMIT,
         WILDCARD_EXPANSION_LIMIT,
+        _field_phrase_words,
         parse_query,
         regexp_regex,
         syntax_scoring_weights,
@@ -319,6 +323,7 @@ def query_syntax_sql(
     sp_blocks: list[str] = []
     spn_rows: list[str] = []
     sp_id = 0
+    fp_blocks: list[str] = []
 
     def _sqlq(s: str) -> str:
         return s.replace("'", "''")
@@ -365,6 +370,33 @@ def query_syntax_sql(
             fld_rows.append(
                 "({}, '{}', '{}')".format(qid, fld, val.replace("'", "''"))
             )
+        # field-scoped phrases (field:"a b"(~n)): one n-way join per
+        # clause over the FIELD token-position stream — the engine's
+        # span law (_field_span_cond) as an existence join; each
+        # matched clause contributes ONE fhit row (DISTINCT)
+        for fld, val, slop in p["field_phrases"]:
+            words = _field_phrase_words(val)
+            if not words:
+                continue
+            if len(words) == 1:
+                fp_blocks.append(
+                    f"SELECT DISTINCT {qid} AS query_id, doc_id FROM fposi "
+                    f"WHERE fld = '{fld}' AND term = '{_sqlq(words[0])}'"
+                )
+            else:
+                joins = " ".join(
+                    f"JOIN fposi g{i} ON g{i}.doc_id = g1.doc_id "
+                    f"AND g{i}.fld = '{fld}' "
+                    f"AND g{i}.term = '{_sqlq(words[i - 1])}' AND g{i}.p > g{i - 1}.p"
+                    for i in range(2, len(words) + 1)
+                )
+                bound = len(words) - 1 + int(slop)
+                fp_blocks.append(
+                    f"SELECT DISTINCT {qid} AS query_id, g1.doc_id AS doc_id\n"
+                    f"  FROM fposi g1 {joins}\n"
+                    f"  WHERE g1.fld = '{fld}' AND g1.term = '{_sqlq(words[0])}' "
+                    f"AND g{len(words)}.p - g1.p <= {bound}"
+                )
         for pfx in sorted(set(p["prefixes"])):
             pref_rows.append("({}, '{}')".format(qid, pfx.replace("'", "''")))
         for w, d in sorted(set(p["fuzzies"])):
@@ -409,6 +441,11 @@ def query_syntax_sql(
     spok_body = "\n  UNION ALL\n  ".join(sp_blocks) or (
         "SELECT NULL::INT AS query_id, NULL::BIGINT AS doc_id, "
         "NULL::INT AS ph WHERE FALSE"
+    )
+    fp_union = (
+        "UNION ALL\n    " + "\n    UNION ALL\n    ".join(fp_blocks)
+        if fp_blocks
+        else ""
     )
     head = f"WITH {extra_cte},\ntok AS" if extra_cte else "WITH tok AS"
     return f"""
@@ -507,15 +544,28 @@ kq(query_id, k) AS (VALUES
     {vals(k_rows, 2)}),
 fieldc(query_id, fld, val) AS (VALUES
     {vals(fld_rows, 3)}),
+fposi AS (
+  SELECT doc_id, 'path' AS fld, unnest(arr) AS term, generate_subscripts(arr, 1) AS p
+  FROM (SELECT doc_id, regexp_split_to_array(
+          lower(source || '/doc/' || doc_id), '[^a-z0-9]+') AS arr FROM {table})
+  UNION ALL
+  SELECT doc_id, 'repo', unnest(arr), generate_subscripts(arr, 1)
+  FROM (SELECT doc_id, regexp_split_to_array(lower(source), '[^a-z0-9]+') AS arr FROM {table})
+  UNION ALL
+  SELECT doc_id, 'lang', unnest(arr), generate_subscripts(arr, 1)
+  FROM (SELECT doc_id, regexp_split_to_array(lower(lang), '[^a-z0-9]+') AS arr FROM {table})
+),
 fhit AS (
-  SELECT f.query_id, d.doc_id, count(*) AS nf
-  FROM fieldc f JOIN {table} d ON f.query_id IS NOT NULL AND (
-       (f.fld = 'path' AND list_contains(
-          regexp_split_to_array(lower(d.source || '/doc/' || d.doc_id), '[^a-z0-9]+'), f.val))
-    OR (f.fld = 'repo' AND list_contains(
-          regexp_split_to_array(lower(d.source), '[^a-z0-9]+'), f.val))
-    OR (f.fld = 'lang' AND lower(d.lang) = f.val))
-  GROUP BY 1, 2
+  SELECT query_id, doc_id, count(*) AS nf FROM (
+    SELECT f.query_id, d.doc_id
+    FROM fieldc f JOIN {table} d ON f.query_id IS NOT NULL AND (
+         (f.fld = 'path' AND list_contains(
+            regexp_split_to_array(lower(d.source || '/doc/' || d.doc_id), '[^a-z0-9]+'), f.val))
+      OR (f.fld = 'repo' AND list_contains(
+            regexp_split_to_array(lower(d.source), '[^a-z0-9]+'), f.val))
+      OR (f.fld = 'lang' AND lower(d.lang) = f.val))
+    {fp_union}
+  ) GROUP BY 1, 2
 ),
 cand AS (
   SELECT coalesce(s.query_id, f.query_id) AS query_id,

@@ -32,6 +32,7 @@ def test_parse_query():
         "req_boosts": [1.0],
         "opt_boosts": [1.0, 1.0],
         "regexps": [],
+        "field_phrases": [],
     }
     empty = parse_query("")
     assert all(
@@ -1169,3 +1170,77 @@ def test_positions_legacy_flat_backcompat(spark, tmp_path):
     out = search_phrase_positions(packed, phrase_qs).toPandas()
     q1 = out[out.query_id == 1].sort_values("rank")
     assert list(zip(q1.doc_id, q1.n_occ)) == [(0, 2), (1, 1)]
+
+
+def test_parse_field_phrases():
+    """field:"a b"(~n) parses into field_phrases — previously this
+    mis-split into a garbage field clause ('"src') plus a stray
+    optional token ('util"')."""
+    from org_rdkit_lucene_spark.operators.query import parse_query
+
+    p = parse_query('path:"src util" alpha')
+    assert p["field_phrases"] == [("path", "src util", 0)]
+    assert p["optional"] == ["alpha"]
+    assert p["fields"] == []
+    p = parse_query('repo:"org acme"~2 -beta lang:"en"')
+    assert ("repo", "org acme", 2) in p["field_phrases"]
+    assert ("lang", "en", 0) in p["field_phrases"]
+    assert p["excluded"] == ["beta"]
+    # zero-token value is inert; plain quoted phrases stay content phrases
+    p = parse_query('path:"//" "a b" x')
+    assert p["field_phrases"] == []
+    assert p["phrases"] == ["a b"]
+
+
+def test_field_phrase_span_law(spark, tmp_path):
+    """Field-scoped PhraseQuery law: adjacency and span over the FIELD
+    token stream (lower+split, not the content analyzer), order
+    matters, each matched clause adds FIELD_BOOST."""
+    import math
+
+    import pandas as pd
+
+    from org_rdkit_lucene_spark.config import IndexConfig
+    from org_rdkit_lucene_spark.operators.build import build_index
+    from org_rdkit_lucene_spark.operators.query import FIELD_BOOST, search_syntax
+
+    paths = [
+        "src/util/a.py",      # 0: "src util" adjacent
+        "src/b.py",           # 1
+        "util/src/c.py",      # 2: reversed
+        "src/x/util/d.py",    # 3: src..util span 2 (needs slop>=1)
+    ]
+    rows = [
+        (i, "orgx", p, f"c{i}", "py", f"alpha doc{i}") for i, p in enumerate(paths)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["ext_id", "repo", "path", "commit", "lang", "content"]
+    )
+    d = str(tmp_path / "fp")
+    cfg = IndexConfig(build_partitions=2, hot_term_df=50, n_salts=2)
+    idx = build_index(spark, spark.createDataFrame(pdf), cfg, d, id_col="ext_id")
+
+    out = search_syntax(idx, None, [(1, 'path:"src util"', 10)]).toPandas()
+    assert sorted(out.doc_id) == [0]
+    # pure field-phrase match scores exactly FIELD_BOOST (quantized)
+    assert int(out.score_q.iloc[0]) == math.floor(
+        FIELD_BOOST * 10 ** cfg.bm25.score_decimals + 0.5
+    )
+    out = search_syntax(idx, None, [(2, 'path:"src util"~1', 10)]).toPandas()
+    assert sorted(out.doc_id) == [0, 3]
+    out = search_syntax(idx, None, [(3, 'path:"util src"', 10)]).toPandas()
+    assert sorted(out.doc_id) == [2]
+    # repeated-word phrase: needs two occurrences in order
+    out = search_syntax(idx, None, [(4, 'path:"src src"~8', 10)]).toPandas()
+    assert len(out) == 0
+    # single-word field phrase degenerates to token containment
+    out = search_syntax(idx, None, [(5, 'path:"util"', 10)]).toPandas()
+    assert sorted(out.doc_id) == [0, 2, 3]
+    # two matching clauses accumulate 2x FIELD_BOOST
+    out = search_syntax(
+        idx, None, [(6, 'path:"src util" repo:"orgx"', 10)]
+    ).toPandas().sort_values("rank")
+    assert int(out.iloc[0].doc_id) == 0
+    assert int(out.iloc[0].score_q) == math.floor(
+        2 * FIELD_BOOST * 10 ** cfg.bm25.score_decimals + 0.5
+    )
