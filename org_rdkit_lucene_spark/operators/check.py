@@ -161,6 +161,9 @@ def check_index(index, deep: bool = False) -> pd.DataFrame:
     )
     add("idf_law", idf_bad == 0, f"bad={idf_bad}")
 
+    if getattr(index, "has_positions", False):
+        _check_positions(index.positions, index.flat, index.docmeta, add)
+
     if deep:
         codec = getattr(index, "codec", "varbyte")
         dec = index.postings.select(
@@ -194,6 +197,64 @@ def check_index(index, deep: bool = False) -> pd.DataFrame:
             f"bad={deep_agg['cf_bad']}")
 
     return pd.DataFrame(rows, columns=["check", "passed", "detail"])
+
+
+def _check_positions(positions, flat, docmeta, add) -> None:
+    """Positional-postings invariants (the .prx cross-check CheckIndex
+    runs when an index stores positions): the packed artifact must hold
+    EXACTLY one position per analyzed token —
+
+    - pair/tf parity: (term, doc, |poss|) == the flat table's
+      (term, doc, tf), full-outer, zero mismatches;
+    - per-doc coverage: Σ|poss| over a doc's pairs == dl, and the
+      positions span exactly [0, dl) (min 0 via the first element of
+      some pair, max dl-1);
+    - each list strictly ascending (sorted + duplicate-free).
+
+    All pair-volume aggregations; only scalars reach the driver."""
+    from org_rdkit_lucene_spark.operators.positions import _as_packed
+
+    packed = _as_packed(positions)
+    pair_bad = (
+        packed.select("term", "doc_id", F.size("poss").alias("np"))
+        .join(flat.select("term", "doc_id", "tf"), ["term", "doc_id"], "full")
+        .filter(
+            F.col("np").isNull() | F.col("tf").isNull()
+            | (F.col("np") != F.col("tf"))
+        )
+        .count()
+    )
+    add("positions_match_flat_tf", pair_bad == 0, f"bad_pairs={pair_bad}")
+
+    dl = docmeta.select("doc_id", F.col("doc_len").cast("long").alias("dl"))
+    doc_agg = (
+        packed.groupBy("doc_id")
+        .agg(
+            F.sum(F.size("poss")).alias("n_pos"),
+            F.min(F.element_at("poss", 1)).alias("min_pos"),
+            F.max(F.element_at("poss", -1)).alias("max_pos"),
+        )
+        .join(dl, "doc_id", "full")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n_pos").isNull() | F.col("dl").isNull()
+                    | (F.col("n_pos") != F.col("dl"))
+                    | (F.col("min_pos") != 0)
+                    | (F.col("max_pos") != F.col("dl") - 1),
+                    1,
+                ).otherwise(0)
+            ).alias("bad")
+        )
+        .collect()[0]
+    )
+    add("positions_cover_stream", (doc_agg["bad"] or 0) == 0,
+        f"bad_docs={doc_agg['bad']}")
+
+    unsorted = packed.filter(
+        F.array_sort(F.array_distinct("poss")) != F.col("poss")
+    ).count()
+    add("positions_lists_ascending", unsorted == 0, f"bad_pairs={unsorted}")
 
 
 def check_segmented(seg, deep: bool = False) -> pd.DataFrame:
@@ -318,5 +379,16 @@ def check_segmented(seg, deep: bool = False) -> pd.DataFrame:
     )
     add("merged:lexicon_matches_live_flat", bad_merged == 0,
         f"bad_terms={bad_merged}")
+
+    # merged positions: the kill-filtered packed union must hold exactly
+    # the live corpus's analyzed stream (same law as the base check, but
+    # against the tombstone-corrected flat/docmeta views)
+    if seg.has_positions:
+        _check_positions(
+            seg.positions,
+            seg.live_flat(),
+            seg.docmeta,
+            lambda n, p, d="": add(f"merged:{n}", p, d),
+        )
 
     return pd.DataFrame(rows, columns=["check", "passed", "detail"])

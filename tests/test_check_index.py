@@ -112,3 +112,59 @@ def test_check_segmented_green_and_detects_tamper(spark, tmp_path):
     bad = check_segmented(SegmentedIndex.load(spark, base_dir, cfg)).set_index("check")
     assert not bad.loc["seg0:seg-00000000:doc_count", "passed"]
     assert not bad.loc["merged:doc_count", "passed"]
+
+
+def test_positions_checks_pass_and_detect_tamper(spark, tmp_path):
+    """CheckIndex's .prx cross-check analog: a fresh positions artifact
+    passes pair/coverage/ascending invariants; a corrupted artifact
+    (dropped pair, shuffled list) fails the right rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from org_rdkit_lucene_spark.config import IndexConfig
+    from org_rdkit_lucene_spark.operators.build import build_index
+    from org_rdkit_lucene_spark.operators.check import check_index
+    from org_rdkit_lucene_spark.operators.positions import build_positions
+    from org_rdkit_lucene_spark.sources.fixtures import make_corpus_pdf
+
+    pdf = make_corpus_pdf(n_docs=120, seed=11)
+    d = str(tmp_path / "pidx")
+    cfg = IndexConfig(build_partitions=4, hot_term_df=50, n_salts=2)
+    idx = build_index(spark, spark.createDataFrame(pdf), cfg, d)
+    build_positions(
+        spark, spark.createDataFrame(pdf).withColumn(
+            "doc_id", F.monotonically_increasing_id()
+        ), d,
+    )
+    # fresh build: doc ids in build are assigned internally — rebuild
+    # positions from the INDEX's own docmap pairing instead
+    import shutil
+
+    shutil.rmtree(f"{d}/positions.parquet")
+    corpus_ids = spark.createDataFrame(pdf).join(
+        idx.docmap, ["repo", "path", "commit"]
+    )
+    build_positions(spark, corpus_ids, d, content_col="content", id_col="doc_id")
+    rep = check_index(idx).set_index("check")
+    for c in ("positions_match_flat_tf", "positions_cover_stream",
+              "positions_lists_ascending"):
+        assert rep.loc[c, "passed"], rep.to_string()
+
+    # tamper: drop one pair and reverse another's list
+    pos_dir = f"{d}/positions.parquet"
+    rows = [
+        (r.term, int(r.doc_id), [int(x) for x in r.poss])
+        for r in spark.read.parquet(pos_dir).collect()
+    ][1:]  # drop a pair -> tf/coverage break
+    for i, (t, did, ps) in enumerate(rows):
+        if len(ps) > 1:
+            rows[i] = (t, did, list(reversed(ps)))  # break ascending law
+            break
+    shutil.rmtree(pos_dir)
+    spark.createDataFrame(
+        rows, "term string, doc_id long, poss array<long>"
+    ).write.parquet(pos_dir)
+    bad = check_index(idx).set_index("check")
+    assert not bad.loc["positions_match_flat_tf", "passed"]
+    assert not bad.loc["positions_cover_stream", "passed"]
+    assert not bad.loc["positions_lists_ascending", "passed"]

@@ -520,6 +520,15 @@ def test_segment_positions_rank_identity(spark, tmp_path_factory):
         _sorted(search_slop_positions(truth_pos, slop_qs)),
     )
 
+    # CheckIndex walks the merged positions too: kill-filtered union ==
+    # live analyzed stream (pair/coverage/ascending invariants)
+    from org_rdkit_lucene_spark.operators.check import check_segmented
+
+    rep = check_segmented(seg)
+    assert rep[~rep.passed].empty, rep[~rep.passed].to_string()
+    assert {"merged:positions_match_flat_tf", "merged:positions_cover_stream",
+            "merged:positions_lists_ascending"} <= set(rep.check)
+
     # compaction carries the merged positions (set-equal to the rebuild)
     compacted = compact(spark, base_dir, cfg, str(tmp / "compacted"))
     pd.testing.assert_frame_equal(
