@@ -263,17 +263,13 @@ def search_phrase_positions(
             [], "query_id int, rank int, doc_id long, n_occ long"
         )
     meta = F.broadcast(
-        spark.createDataFrame(meta_rows, "query_id int, n_words int, k int")
-    )
-    occ = (
-        _phrase_starts(positions, word_rows)
-        .join(meta, "query_id")
-        .filter(F.col("n_idx") == F.col("n_words"))
-        .select(
-            "query_id", "doc_id", "k", F.size("starts").alias("n_occ")
+        spark.createDataFrame(
+            [(q, k) for q, _n, k in meta_rows], "query_id int, k int"
         )
-        .filter(F.col("n_occ") > 0)
     )
+    occ = _phrase_occurrences(positions, word_rows).withColumnRenamed(
+        "group_id", "query_id"
+    ).join(meta, "query_id")
     w = Window.partitionBy("query_id").orderBy(F.desc("n_occ"), F.asc("doc_id"))
     return (
         occ.withColumn("rank", F.row_number().over(w))
@@ -282,40 +278,161 @@ def search_phrase_positions(
     )
 
 
-def _phrase_starts(positions: DataFrame, word_rows: list[tuple[int, str, int]]) -> DataFrame:
-    """Shared packed-intersection core: ``word_rows`` =
-    [(group_id, word, slot_idx)] -> one row per (group_id, doc_id)
-    with ``n_idx`` = how many of the group's word slots the doc covers
-    and ``starts`` = the shifted-array intersection (valid phrase
-    start positions when n_idx equals the group's word count — the
-    caller checks that; the fold here intersects only the arrays that
-    are present). Accepts the packed artifact directly; a legacy flat
+# rarest-word doc-set prefilter cap: the broadcast semi-join only pays
+# when the rarest word's doc set is genuinely SELECTIVE — on the dense
+# code corpus (every sub-word in most docs) a ~200k-doc-set prefilter
+# measured slower than the plain fold (broadcast collect + semi-join
+# overhead, near-zero pruning). 100k ids ~ 1 MB broadcast, strong
+# pruning whenever it applies.
+MAX_PREFILTER_PAIRS = 100_000
+
+
+def _phrase_occurrences(
+    positions: DataFrame,
+    word_rows: list[tuple[int, str, int]],
+    max_prefilter_pairs: int = MAX_PREFILTER_PAIRS,
+) -> DataFrame:
+    """Shared exact-phrase core: ``word_rows`` =
+    [(group_id, word, slot_idx)] -> (group_id, doc_id, n_occ) for docs
+    holding the group's full phrase (n_occ >= 1 = number of start
+    positions). Routing comes from an EXACT per-word census (one
+    pushed aggregation over the packed slices):
+
+    - a group with a zero-occurrence word matches nothing — dropped
+      driver-side (Lucene's empty-term PhraseQuery);
+    - single-word groups: n_occ = |poss| straight off the pair row;
+    - multi-word groups run the shifted-``array_intersect`` fold
+      (:func:`_phrase_fold`), pre-filtered by a broadcast semi-join on
+      the RAREST word's doc set when that set is small enough
+      (df-volume ids, never positions): only docs that can possibly
+      match shuffle their position arrays. A broadcast-VERIFY variant
+      (explode rarest starts, check others via array_contains) was
+      measured WORSE on hot sub-word phrases — array_contains is a
+      linear scan per candidate, so verify cost is candidates x
+      |poss|, while the fold's hash-set intersects stay linear in the
+      moved positions.
+
+    Accepts the packed artifact directly; a legacy flat
     (term, doc_id, pos) frame is packed first."""
     spark = positions.sparkSession
     packed = _as_packed(positions)
+    all_words = sorted({r[1] for r in word_rows})
+    # exact census: (pairs, occurrences) per phrase word (pushed scan)
+    census = {
+        r["term"]: (int(r["pairs"]), int(r["np"]))
+        for r in packed.filter(F.col("term").isin(all_words))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("pairs"), F.sum(F.size("poss")).alias("np"))
+        .collect()
+    }
+    slots: dict[int, list[tuple[str, int]]] = {}
+    for g, w, i in word_rows:
+        slots.setdefault(g, []).append((w, i))
+
+    single_rows: list[tuple[int, str]] = []
+    pre_groups: list[tuple[int, str]] = []   # (group, rarest word)
+    pre_words: list[tuple[int, str, int]] = []
+    pre_n: list[tuple[int, int]] = []
+    plain_words: list[tuple[int, str, int]] = []
+    plain_n: list[tuple[int, int]] = []
+    for g, ws in sorted(slots.items()):
+        if any(census.get(w, (0, 0))[0] == 0 for w, _ in ws):
+            continue  # a missing word -> the phrase matches nothing
+        if len(ws) == 1:
+            single_rows.append((g, ws[0][0]))
+            continue
+        rare_w = min((w for w, _ in ws), key=lambda w: census[w][0])
+        if census[rare_w][0] <= max_prefilter_pairs:
+            pre_groups.append((g, rare_w))
+            pre_words.extend((g, w, i) for w, i in ws)
+            pre_n.append((g, len(ws)))
+        else:
+            plain_words.extend((g, w, i) for w, i in ws)
+            plain_n.append((g, len(ws)))
+
+    parts: list[DataFrame] = []
+    if single_rows:
+        st = F.broadcast(
+            spark.createDataFrame(single_rows, "group_id int, term string")
+        )
+        parts.append(
+            packed.filter(F.col("term").isin(sorted({w for _, w in single_rows})))
+            .join(st, "term")
+            .select(
+                "group_id", "doc_id", F.size("poss").cast("long").alias("n_occ")
+            )
+        )
+    if pre_words:
+        pt = F.broadcast(
+            spark.createDataFrame(pre_groups, "group_id int, term string")
+        )
+        pre = F.broadcast(
+            packed.filter(
+                F.col("term").isin(sorted({w for _, w in pre_groups}))
+            )
+            .join(pt, "term")
+            .select("group_id", "doc_id")
+        )
+        parts.append(_phrase_fold(packed, pre_words, pre_n, prefilter=pre))
+    if plain_words:
+        parts.append(_phrase_fold(packed, plain_words, plain_n))
+    if not parts:
+        return spark.createDataFrame([], "group_id int, doc_id long, n_occ long")
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
+def _phrase_fold(
+    packed: DataFrame,
+    word_rows: list[tuple[int, str, int]],
+    n_rows: list[tuple[int, int]],
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """The shifted-``array_intersect`` fold: group each doc's shifted
+    position arrays per (group, doc), filter to full slot coverage
+    BEFORE folding (most docs match only some words), count the fold's
+    surviving starts. Shifted positions travel as array<int> (document
+    positions fit easily; halves the shuffle bytes of hot-word
+    batches). ``prefilter`` (group_id, doc_id — the rarest word's doc
+    set, broadcast) prunes the shuffle to docs that can match."""
+    spark = packed.sparkSession
     wt = F.broadcast(
         spark.createDataFrame(word_rows, "group_id int, term string, idx int")
     )
+    nw = F.broadcast(spark.createDataFrame(n_rows, "group_id int, n_words int"))
     all_words = sorted({r[1] for r in word_rows})
     shifted = (
         packed.filter(F.col("term").isin(all_words))
         .join(wt, "term")
         .select(
-            F.col("group_id").alias("query_id"),
+            "group_id",
             "doc_id",
-            F.transform("poss", lambda p: p - F.col("idx")).alias("sh"),
+            F.transform(
+                "poss", lambda p: (p - F.col("idx")).cast("int")
+            ).alias("sh"),
         )
     )
-    g = shifted.groupBy("query_id", "doc_id").agg(
-        F.count(F.lit(1)).alias("n_idx"),
-        F.collect_list("sh").alias("arrs"),
+    if prefilter is not None:
+        shifted = shifted.join(prefilter, ["group_id", "doc_id"], "semi")
+    g = (
+        shifted.groupBy("group_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_idx"),
+            F.collect_list("sh").alias("arrs"),
+        )
+        .join(nw, "group_id")
+        .filter(F.col("n_idx") == F.col("n_words"))
     )
     starts = F.aggregate(
         F.slice(F.col("arrs"), 2, F.greatest(F.size("arrs") - 1, F.lit(0))),
         F.element_at(F.col("arrs"), 1),
         lambda acc, x: F.array_intersect(acc, x),
     )
-    return g.select("query_id", "doc_id", "n_idx", starts.alias("starts"))
+    return g.select(
+        "group_id", "doc_id", F.size(starts).cast("long").alias("n_occ")
+    ).filter(F.col("n_occ") > 0)
 
 
 def _as_packed(positions: DataFrame) -> DataFrame:
@@ -477,17 +594,13 @@ def phrase_ok_counts(
         core_rows = [(gid_of[(q, ph)], w, j) for q, ph, w, j in word_rows]
         nt = F.broadcast(
             spark.createDataFrame(
-                [(gid_of[(q, ph)], q, ph, n) for q, ph, n in clause_n],
-                "group_id int, qid int, ph int, n_words int",
+                [(gid_of[(q, ph)], q, ph) for q, ph, _n in clause_n],
+                "group_id int, qid int, ph int",
             )
         )
         parts.append(
-            _phrase_starts(positions, core_rows)
-            .withColumnRenamed("query_id", "group_id")
+            _phrase_occurrences(positions, core_rows)
             .join(nt, "group_id")
-            .filter(
-                (F.col("n_idx") == F.col("n_words")) & (F.size("starts") > 0)
-            )
             .select(F.col("qid").alias("query_id"), "doc_id", "ph")
         )
     if not parts:
