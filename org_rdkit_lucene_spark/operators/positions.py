@@ -229,23 +229,18 @@ def search_phrase_positions(
     phrase tokenizes empty return no rows; single-token phrases
     degenerate to term-occurrence counting.
 
-    Plan for the WHOLE batch (not per query): ONE pushed
-    ``term IN (all phrase words)`` scan of the PACKED table, one
-    broadcast join against the tiny (query_id, word, idx) table, one
-    df-volume shuffle, and the start-position law evaluated on the
-    packed arrays entirely JVM-side:
+    Plan for the WHOLE batch (not per query): the census-routed
+    :func:`_phrase_occurrences` core —
 
         phrase w1..wn starts at p  ⇔  ∀i: (wi, d, p+i-1) ∈ positions
         ⇔  p ∈ ⋂i (positions(wi, d) - i)
 
-    i.e. shift each word's position array by its slot
-    (``transform(poss, p -> p - idx)``) and fold ``array_intersect``
-    per (query, doc); n_occ = |intersection|. Hot phrase words never
-    explode: the shuffle carries one packed row per (word, doc) — the
-    corpus measures ~15x fewer pairs than occurrences — so a
-    hot-term phrase batch moves ~1.5M packed rows, not 23M position
-    rows (measured 18.8s → ~2s at sf0.1). A legacy FLAT artifact
-    (term, doc_id, pos) is packed on the fly (one extra shuffle)."""
+    — pushed ``term IN`` scans of the PACKED table, the shifted
+    ``array_intersect`` fold per (query, doc), and selectivity-driven
+    shortcuts (absent-word drop, single-word fast path, rare-word
+    doc-set prefilter). Hot phrase words never explode into occurrence
+    rows. A legacy FLAT artifact (term, doc_id, pos) is packed on the
+    fly (one extra shuffle)."""
     from org_rdkit_lucene_spark.functions.tokenizer import DEFAULT_PROFILE
 
     prof = profile or DEFAULT_PROFILE
