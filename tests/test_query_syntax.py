@@ -1244,3 +1244,36 @@ def test_field_phrase_span_law(spark, tmp_path):
     assert int(out.iloc[0].score_q) == math.floor(
         2 * FIELD_BOOST * 10 ** cfg.bm25.score_decimals + 0.5
     )
+
+
+def test_positions_nondefault_profile_parity(spark, tmp_path):
+    """A non-default analyzer profile (char-ngram — outside the Arrow
+    fast path's gate) must build positions through the canonical pandas
+    pipeline and still equal the Catalyst posexplode law exactly; the
+    phrase law then runs over n-gram tokens."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from org_rdkit_lucene_spark.config import TokenizerProfile
+    from org_rdkit_lucene_spark.functions.tokenizer import tokens_column
+    from org_rdkit_lucene_spark.operators.positions import (
+        build_positions,
+        positions_view,
+        search_phrase_positions,
+    )
+
+    prof = TokenizerProfile(name="trigram", char_ngram=3)
+    assert not prof.arrow_fast_path_ok
+    rows = [(0, "alphabet soup"), (1, "alp habet"), (2, None)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "content"]))
+    pos = build_positions(spark, docs, str(tmp_path / "tri"), profile=prof)
+    got = {tuple(r) for r in positions_view(pos).collect()}
+    legacy = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(tokens_column("content", prof)).alias("pos", "term"),
+    ).select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
+    want = {tuple(r) for r in legacy.collect()}
+    assert got == want and got
+    # phrase over the n-gram stream: "alphabet" -> [alp, lph, pha, ...]
+    out = search_phrase_positions(pos, [(1, "alphabet", 5)], profile=prof).toPandas()
+    assert list(out.doc_id) == [0]
