@@ -822,6 +822,9 @@ def _q_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEGSYN_QUERIES = [
     (58, '+upsert "probe marker" scan', 10),
     (59, "mer* table -batch", 10),
+    # field-scoped phrase over the LIVE view's metadata (docmeta is the
+    # kill-filtered merged table — the clause must see upserts too)
+    (60, 'path:"doc 7" scan', 10),
 ]
 
 
