@@ -270,6 +270,12 @@ def run_level(
                 + [_mk("two_phase", (lambda q: (lambda: search_two_phase(idx, corpus_ids, [q])))(q))
                    for q in batches["phrase"][:4]]
                 + [_mk("wand_large_k", lambda: search_wand(idx, large_k[:1], "disjunctive"))]
+                # indexed-phrase items (round 4 surface) join the pool —
+                # the reference's interleave covers every search type it
+                # ships, so the mixed batch must cover ours
+                + [_mk("phrase_indexed",
+                       (lambda q: (lambda: search_phrase_positions(pos, [q])))(q))
+                   for q in ph_qs[:3]]
             )
 
             def _run_one(item):
