@@ -593,6 +593,11 @@ def main() -> None:
 
     bench_dir = os.path.join(REPO, "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
+    if quick:
+        # --quick is a smoke run on a 4k-doc corpus — its numbers must
+        # never replace the committed full-run baseline artifacts
+        print(json.dumps(result))
+        return
     write_results_csv(
         high.get("csv_rows", []) + low.get("csv_rows", []),
         os.path.join(bench_dir, "results.csv"),
