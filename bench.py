@@ -109,6 +109,7 @@ def run_level(
     build_only: bool = False,
     td_dir: str | None = None,
     build_samples_n: int | None = None,
+    with_positions: bool = False,
 ) -> dict:
     spark = get_spark(f"bench_l{cores}", cores=cores, shuffle_partitions=max(cores, 8))
     out: dict = {"cores": cores}
@@ -222,7 +223,9 @@ def run_level(
         # indexed-phrase path (round 4): positions artifact build time +
         # the phrase workload through the positions joins — tracked per
         # round like every operator that carries a scale claim
-        if td_dir:
+        # (with_positions lets --scale2 measure this block at 500k
+        # docs without dragging in the sf-dir training-data ops)
+        if td_dir or with_positions:
             from org_rdkit_lucene_spark.operators.positions import (
                 build_positions,
                 search_phrase_positions,
@@ -452,7 +455,9 @@ def run_scale2(n_high: int, n_low: int, cpus: int) -> None:
     # best-of-3 at the high level: the box's documented ±15-30%
     # variance hits short high-parallelism builds hardest; the N level
     # (a ~4x longer build) is run-to-run stable and takes one sample
-    high = run_level(n_high, corpus2, 2, pilot, build_samples_n=3)
+    high = run_level(
+        n_high, corpus2, 2, pilot, build_samples_n=3, with_positions=True
+    )
     low = run_level(n_low, corpus2, 1, pilot, build_only=True)
     eff = (
         high["build_files_per_sec"] / (4.0 * low["build_files_per_sec"])

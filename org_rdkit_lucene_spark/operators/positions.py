@@ -200,7 +200,12 @@ def build_positions(
         # table. Repartition+sort by term makes the parquet min/max
         # stats selective, so a phrase query reads only its words'
         # slices at any corpus size.
-        n_parts = max(pos.sparkSession.sparkContext.defaultParallelism, 8)
+        # 4x task slots (the SPIMI wave-smoothing lesson): slot-count
+        # partitions make each reducer sort ~250 MB at 500k docs and
+        # spill — measured super-linear build time (79s @204k ->
+        # 392s @510k); 4x keeps per-task sorts in memory and smooths
+        # the skewed-term wave
+        n_parts = max(4 * pos.sparkSession.sparkContext.defaultParallelism, 8)
         pos = pos.repartition(n_parts, "term").sortWithinPartitions(
             "term", "doc_id"
         )
