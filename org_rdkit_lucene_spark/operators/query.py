@@ -700,7 +700,9 @@ _FIELD_GROUP_RE = _re.compile(r"\b(repo|path|lang):\(([^()]*)\)")
 # (lower + split, not the content analyzer), exact adjacency or the
 # shared span law under ~n. Extracted in a pre-pass because the quoted
 # value spans whitespace.
-_FIELD_PHRASE_RE = _re.compile(r'\b(repo|path|lang):"([^"]*)"(?:~(\d+))?')
+_FIELD_PHRASE_RE = _re.compile(
+    r'\b(repo|path|lang):"([^"]*)"(?:~(\d+))?(?:\^\d+(?:\.\d+)?)?'
+)
 _FIELD_TOKEN_RE = _re.compile(r"[^a-z0-9]+")
 
 
@@ -842,7 +844,8 @@ def parse_query(text: str) -> dict:
     def _take_field_group(m: "_re.Match") -> str:
         fld = m.group(1)
         for v in m.group(2).split():
-            out["fields"].append((fld, v.lower()))
+            vv, _vb = _split_boost(v)  # field:(a b^2) — boost stripped
+            out["fields"].append((fld, vv.lower()))
         return " "
 
     def _take_field_phrase(m: "_re.Match") -> str:
@@ -869,7 +872,12 @@ def parse_query(text: str) -> dict:
         fm = _FIELD_RE.match(word)
         zm = _FUZZY_RE.match(word)
         if fm:
-            out["fields"].append((fm.group(1), fm.group(2).lower()))
+            # field:value^N — QueryParser accepts a boost here; the
+            # engine's field clauses carry the fixed FIELD_BOOST, so
+            # the boost is STRIPPED (documented) rather than leaving a
+            # 'value^2' literal that can never match a field token
+            fv, _fb = _split_boost(fm.group(2))
+            out["fields"].append((fm.group(1), fv.lower()))
         elif (len(word) > 2 and word.startswith("/") and word.endswith("/")
               and _valid_regexp_clause(word[1:-1].lower())):
             out["regexps"].append(word[1:-1].lower())

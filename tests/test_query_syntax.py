@@ -1277,3 +1277,19 @@ def test_positions_nondefault_profile_parity(spark, tmp_path):
     # phrase over the n-gram stream: "alphabet" -> [alp, lph, pha, ...]
     out = search_phrase_positions(pos, [(1, "alphabet", 5)], profile=prof).toPandas()
     assert list(out.doc_id) == [0]
+
+
+def test_field_clause_boosts_stripped():
+    """QueryParser accepts boosts on field clauses and field phrases;
+    the engine's field clauses carry the fixed FIELD_BOOST, so the
+    boost is stripped rather than leaving a 'value^2' literal that can
+    never match a field token (and the stray '^2' never leaks into the
+    scoring terms)."""
+    from org_rdkit_lucene_spark.operators.query import parse_query
+
+    p = parse_query('path:src^2 repo:(a b^3) lang:"en"^2 path:"x y"~1^3 alpha')
+    assert ("path", "src") in p["fields"]
+    assert ("repo", "a") in p["fields"] and ("repo", "b") in p["fields"]
+    assert ("lang", "en", 0) in p["field_phrases"]
+    assert ("path", "x y", 1) in p["field_phrases"]
+    assert p["optional"] == ["alpha"]
