@@ -169,3 +169,34 @@ def test_phrase_positions_scan_pushes_terms(spark, tmp_path):
     df = search_phrase_positions(pos, [(1, "alpha beta", 5)])
     assert audit.has_pushed_term_filter(df, "term")
     assert audit.count_nodes(df, "BatchEvalPython") == 0
+
+
+def test_field_phrase_plan_jvm_only_no_content(spark, tmp_path):
+    """The field-scoped phrase law must stay pure Catalyst over
+    metadata: no Python evaluator nodes and no content column in the
+    plan (the clause reads docmeta fields only)."""
+    import pandas as pd
+
+    from org_rdkit_lucene_spark.config import IndexConfig
+    from org_rdkit_lucene_spark.operators.build import build_index
+    from org_rdkit_lucene_spark.operators.query import search_syntax
+
+    rows = [
+        (i, "orgx", f"src/util/f{i}.py", f"c{i}", "py", f"alpha doc{i}")
+        for i in range(6)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["ext_id", "repo", "path", "commit", "lang", "content"]
+    )
+    idx = build_index(
+        spark,
+        spark.createDataFrame(pdf),
+        IndexConfig(build_partitions=2, hot_term_df=50, n_salts=2),
+        str(tmp_path / "fpp"),
+        id_col="ext_id",
+    )
+    df = search_syntax(idx, None, [(1, 'path:"src util" alpha', 5)])
+    plan = audit.physical_plan(df)
+    assert "content" not in plan
+    assert audit.count_nodes(df, "BatchEvalPython") == 0
+    assert audit.count_nodes(df, "CartesianProduct") == 0
