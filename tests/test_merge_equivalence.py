@@ -35,11 +35,10 @@ def _assert_identical(a, b):
 
 
 @pytest.mark.parametrize("parts,hot_df,salts", [(1, 10**9, 1), (4, 40, 4), (16, 8, 8)])
-def test_merge_equivalence_across_partitionings(spark, tiny_corpus, tmp_path, parts, hot_df, salts, request):
+def test_merge_equivalence_across_partitionings(spark, tiny_corpus, tmp_path, parts, hot_df, salts):
     """Same corpus, wildly different partitioning/salting → same bytes."""
     cfg = IndexConfig(build_partitions=parts, hot_term_df=hot_df, n_salts=salts)
     idx = build_index(spark, tiny_corpus, cfg, str(tmp_path / f"idx_{parts}"))
-    baseline = request.config.cache  # not used; compare against fresh 1-part build
     ref_cfg = IndexConfig(build_partitions=2, hot_term_df=10**9, n_salts=1)
     ref = build_index(spark, tiny_corpus, ref_cfg, str(tmp_path / "ref"))
     _assert_identical(idx, ref)
