@@ -113,7 +113,15 @@ def _index_for(spark: SparkSession, sf_dir: str) -> InvertedIndex:
         corpus = documents_as_corpus(spark, sf_dir)
         d = tempfile.mkdtemp(prefix="orls_idx_")
         cfg = IndexConfig(build_partitions=16, hot_term_df=1024, n_salts=8)
-        idx = build_index(spark, corpus, cfg, d, id_col="ext_id")
+        # with_positions=True: the round-5 SHARED tokenize pass — the
+        # positions artifact comes out of the same corpus scan as the
+        # flat runs, so every gated entry that touches this index (and
+        # b_positions_packed / q1_phrase_* in particular) witnesses the
+        # one-pass flow; _positions_for's standalone builder then
+        # no-ops on the committed artifact.
+        idx = build_index(
+            spark, corpus, cfg, d, id_col="ext_id", with_positions=True
+        )
         assert idx is not None
         _INDEX_CACHE[key] = idx
         _CORPUS_CACHE[key] = corpus.withColumnRenamed("ext_id", "doc_id")
@@ -313,6 +321,49 @@ def _q_field_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan for the field side)."""
     idx = _index_for(spark, sf_dir)
     return search_syntax(idx, None, FIELD_PHRASE_QUERIES)
+
+
+# Field-scoped EXPANSION clauses (MultiFieldQueryParser rewrites
+# path:util* / repo:s?rc / lang:enn~ to per-field Prefix/Wildcard/
+# FuzzyQuery, ChemicalIndex.java:482-485): matched over the FIELD
+# token law, one FIELD_BOOST per matched clause, SHOULD-only — the
+# round-4 verdict's #1 missing surface (previously swallowed into a
+# never-matching field literal). 69 exercises a zero-matching field
+# prefix (the rest of the query still scores).
+FIELD_EXP_QUERIES = [
+    (66, "merge repo:src1*", 10),
+    (67, "path:d?c hash", 10),
+    (68, "lang:enn~ join", 10),
+    (69, "repo:zzzq* scan", 5),
+]
+
+
+def _q_field_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field:util* / field:u?il / field:word~N — the field-scoped
+    expansion surface, evaluated as ONE docmeta scan with per-clause
+    literal predicates (no per-clause rescans, no UDF)."""
+    idx = _index_for(spark, sf_dir)
+    return search_syntax(idx, None, FIELD_EXP_QUERIES)
+
+
+# searchAfter over the FULL syntax surface (paging is query-agnostic
+# in the reference collectors, SubstructureScoreDocCollector.java:
+# 97-160): page 2 of a mixed MUST/SHOULD/field-expansion query.
+PAGE_SYNTAX_QUERY = (87, "+merge join path:src2* scan", 10)
+
+
+def _q_search_after_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 keyset pagination over Q1's syntax surface: page 2 (ranks
+    11-20 renumbered 1-10) — the cursor filters candidates BEFORE the
+    two-stage rank, a pure filter so every candidate bound holds."""
+    idx = _index_for(spark, sf_dir)
+    qid, text, k = PAGE_SYNTAX_QUERY
+    page1 = search_syntax(idx, None, [(qid, text, k)]).orderBy("rank").collect()
+    last = page1[-1]
+    return search_syntax(
+        idx, None, [(qid, text, k)],
+        after={qid: (last["score_q"], last["doc_id"])},
+    )
 
 
 def _q_positions_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1410,19 +1461,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_identifiers_lexicon": _q_identifiers_lexicon,
         "q9_explain": _q_explain,
         "q1_sorted_by_field": _q_sorted_by_field,
-        "td_importance_weights": _td_importance_weights,
-        "b2_add_indexes": _q_add_indexes,
-        "td_lm_perplexity": _td_lm_perplexity,
-        "td_dup_spans": _td_dup_spans,
-        "td_token_budget_mix": _td_token_budget_mix,
-        "td_length_quantiles": _td_length_quantiles,
+        "q1_field_prefix": _q_field_prefix,
+        "k5_search_after_syntax": _q_search_after_syntax,
+        "a4_facet_counts": _q_facet_counts,
+        "k5_search_after": _q_search_after,
+        "q3_name_search": _q_name_search,
+        "q2_point_lookup": _q_point_lookup,
         "q3_multi_field_bm25": _q3_multi_field_bm25,
-        "td_dup_span_removal": _td_dup_span_removal,
+        "q4_exact_match": _q_exact_match,
         "q1_phrase_positions": _q1_phrase_positions,
         "q1_phrase_bm25": _q1_phrase_bm25,
         "q1_slop_positions": _q1_slop_positions,
         "q7_term_vectors": _q7_term_vectors,
-        "td_pipeline": _td_pipeline,
+        "k6_max_scores": _q_max_scores,
         "b_positions_packed": _q_positions_packed,
         "q1_field_phrase": _q_field_phrase,
         # --- core regression set (r03-green; fills the gate to 50) ---
@@ -1438,14 +1489,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_lexicon_top_df": _q_lexicon,
         "b_docmeta_sha256": _q_docmeta,
         "a4_hit_counts": _q_hit_counts,
-        "a4_facet_counts": _q_facet_counts,
-        "k5_search_after": _q_search_after,
-        "q3_name_search": _q_name_search,
+        "td_importance_weights": _td_importance_weights,
+        "b2_add_indexes": _q_add_indexes,
+        "td_lm_perplexity": _td_lm_perplexity,
         "td_dedup_exact": _td_dedup_exact,
         "td_minhash_lsh_pairs": _td_minhash_lsh_pairs,
-        # --- r03-green remainder (replica-tested every session) ---
-        "q2_point_lookup": _q_point_lookup,
-        "q4_exact_match": _q_exact_match,
+        # --- r03/r04-green remainder (replica-tested every session) ---
+        "td_dup_spans": _td_dup_spans,
+        "td_token_budget_mix": _td_token_budget_mix,
         "p2_blocklist": _q_blocklist,
         "td_minhash_signatures": _td_minhash_signatures,
         "td_curation": _td_curation,
@@ -1475,7 +1526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_dedup_stream": _ev_dedup_stream,
         "ev_interval_join": _ev_interval_join,
         "ev_running_totals": _ev_running_totals,
-        "k6_max_scores": _q_max_scores,
+        "td_length_quantiles": _td_length_quantiles,
+        "td_dup_span_removal": _td_dup_span_removal,
+        "td_pipeline": _td_pipeline,
         "td_media_embed_topk": _td_media_embed_topk,
     }
 
@@ -1498,6 +1551,18 @@ def _page2_sql() -> str:
     qid, text, k = PAGE_QUERY
     base = sqlgen.bm25_topk_sql([(qid, text, 2 * k)])
     # ranks 11..20 renumbered 1..10 — keyset-paginated page 2
+    return f"""
+WITH page AS ({base})
+SELECT query_id, CAST(rank - {k} AS INTEGER) AS rank, doc_id, score_q
+FROM page WHERE rank > {k} AND rank <= {2 * k} ORDER BY rank"""
+
+
+def _page2_syntax_sql() -> str:
+    """Page-2 law over the syntax twin: keyset pagination equals
+    rank-window ranks k+1..2k renumbered (the K2 order is total, so
+    the cursor filter and the deep-rank slice agree by construction)."""
+    qid, text, k = PAGE_SYNTAX_QUERY
+    base = sqlgen.query_syntax_sql([(qid, text, 2 * k)])
     return f"""
 WITH page AS ({base})
 SELECT query_id, CAST(rank - {k} AS INTEGER) AS rank, doc_id, score_q
@@ -1638,6 +1703,8 @@ def oracle_sql() -> dict[str, str]:
         "q1_phrase_positions": sqlgen.phrase_positions_sql(PHRASE_QUERIES),
         "b_positions_packed": sqlgen.positions_packed_stats_sql(25),
         "q1_field_phrase": sqlgen.query_syntax_sql(FIELD_PHRASE_QUERIES),
+        "q1_field_prefix": sqlgen.query_syntax_sql(FIELD_EXP_QUERIES),
+        "k5_search_after_syntax": _page2_syntax_sql(),
         "q1_phrase_bm25": sqlgen.phrase_bm25_sql(PHRASE_QUERIES),
         "b1_phrase_positions_segmented": sqlgen.phrase_positions_sql(
             SEGPOS_QUERIES,

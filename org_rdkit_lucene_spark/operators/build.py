@@ -103,7 +103,16 @@ def assign_doc_ids(corpus: DataFrame, partitions: int = 32) -> DataFrame:
 # stage 1 — SPIMI flat runs (tokenize + per-doc tf), checkpoint-resumable
 
 
-def _make_spimi_fn(cfg: IndexConfig):
+def _make_spimi_fn(cfg: IndexConfig, with_positions: bool = False):
+    """``with_positions``: the SAME tokenize pass also emits each
+    (doc, term)'s ascending position list (the packed-positions law,
+    ``operators/positions.py::_make_packed_fn``) as a ``poss`` column
+    on the flat rows — positions.parquet is then derived from the
+    committed runs instead of re-tokenizing the corpus (round-4
+    verdict #6: the separate positions build re-paid ~0.8× the index
+    build's tokenize cost). ``read_flat`` projects the classic columns,
+    so every downstream stage and the postings/lexicon/docmeta
+    byte-equivalence contract are untouched."""
     profile = cfg.tokenizer
     max_consec = cfg.max_consecutive_errors
 
@@ -121,7 +130,7 @@ def _make_spimi_fn(cfg: IndexConfig):
             if profile.arrow_fast_path_ok:
                 try:
                     if batch_is_ascii(pdf["content"]):
-                        out = _flat_arrow(pdf, profile)
+                        out = _flat_arrow(pdf, profile, with_positions)
                         if out is not None:
                             yield out
                         consecutive_errors = 0
@@ -161,10 +170,14 @@ def _make_spimi_fn(cfg: IndexConfig):
             terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)])
             codes, uniques = pd.factorize(terms)
             key = doc_idx * np.int64(len(uniques)) + codes
-            uk, tf = np.unique(key, return_counts=True)
+            if with_positions:
+                uk, tf, poss = _group_positions(key, lens, doc_idx)
+            else:
+                uk, tf = np.unique(key, return_counts=True)
+                poss = None
             g_doc = (uk // len(uniques)).astype(np.int64)
             g_code = (uk % len(uniques)).astype(np.int64)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(np.int64)[g_doc],
                     "term": uniques[g_code],
@@ -173,8 +186,32 @@ def _make_spimi_fn(cfg: IndexConfig):
                     "build_part": pdf["build_part"].to_numpy(np.int32)[g_doc],
                 }
             )
+            if poss is not None:
+                out["poss"] = poss
+            yield out
 
     return spimi
+
+
+def _group_positions(
+    key: np.ndarray, lens: np.ndarray, doc_idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, pd.Series]:
+    """Per-(doc, term) ascending position lists over the 0-based
+    post-analysis stream — the packed-positions law (stable sort on the
+    composite key keeps each list ascending, identical to
+    ``positions._make_packed_fn``). Returns (sorted unique keys, tf
+    counts, poss object series aligned to the keys)."""
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    pos = np.arange(len(doc_idx), dtype=np.int64) - offs[doc_idx]
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    bounds = np.flatnonzero(np.diff(sk)) + 1
+    starts = np.concatenate(([0], bounds))
+    uk = sk[starts]
+    tf = np.diff(np.concatenate((starts, [len(sk)])))
+    poss = pd.Series(np.split(pos[order], bounds), dtype=object)
+    return uk, tf, poss
 
 
 def spark_parallelism(df: DataFrame) -> int:
@@ -183,7 +220,9 @@ def spark_parallelism(df: DataFrame) -> int:
     return int(df.sparkSession.sparkContext.defaultParallelism)
 
 
-def _flat_arrow(pdf: pd.DataFrame, profile) -> pd.DataFrame | None:
+def _flat_arrow(
+    pdf: pd.DataFrame, profile, with_positions: bool = False
+) -> pd.DataFrame | None:
     """Arrow-native flat aggregation for one ASCII batch: tokenize in
     C++ kernels, dictionary-encode terms, tf via np.unique on the
     (doc, term-code) composite key. Same output as the pandas path."""
@@ -197,10 +236,14 @@ def _flat_arrow(pdf: pd.DataFrame, profile) -> pd.DataFrame | None:
     codes = denc.indices.to_numpy().astype(np.int64)
     uniq = denc.dictionary
     key = doc_idx * np.int64(len(uniq)) + codes
-    uk, tf = np.unique(key, return_counts=True)
+    if with_positions:
+        uk, tf, poss = _group_positions(key, counts, doc_idx)
+    else:
+        uk, tf = np.unique(key, return_counts=True)
+        poss = None
     g_doc = (uk // len(uniq)).astype(np.int64)
     g_code = (uk % len(uniq)).astype(np.int64)
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "doc_id": pdf["doc_id"].to_numpy(np.int64)[g_doc],
             "term": uniq.take(pa.array(g_code)).to_pandas().to_numpy(object),
@@ -209,6 +252,9 @@ def _flat_arrow(pdf: pd.DataFrame, profile) -> pd.DataFrame | None:
             "build_part": pdf["build_part"].to_numpy(np.int32)[g_doc],
         }
     )
+    if poss is not None:
+        out["poss"] = poss
+    return out
 
 
 def _manifest_path(index_dir: str) -> str:
@@ -262,6 +308,7 @@ def build_flat_runs(
     cfg: IndexConfig,
     index_dir: str,
     only_parts: list[int] | None = None,
+    with_positions: bool = False,
 ) -> dict:
     """Stage 1: write per-build-partition flat (doc_id, term, tf, dl) runs.
 
@@ -331,7 +378,13 @@ def build_flat_runs(
     # sources still get the even round-robin spread.
     if src.rdd.getNumPartitions() < n_tasks:
         src = src.repartition(n_tasks)
-    flat = src.mapInPandas(_make_spimi_fn(cfg), schema=FLAT_SCHEMA + ", build_part int")
+    run_schema = FLAT_SCHEMA + ", build_part int"
+    if with_positions:
+        # the run files carry the packed position lists alongside the
+        # flat rows (read_flat projects them away); positions.parquet
+        # derives from the runs with no second tokenize pass
+        run_schema += ", poss array<long>"
+    flat = src.mapInPandas(_make_spimi_fn(cfg, with_positions), schema=run_schema)
     flat.write.mode("overwrite").parquet(run_dir)
     elapsed = time.time() - t0
     # per-partition lineage (north_star): rows + distinct docs per
@@ -718,6 +771,7 @@ def build_index(
     only_parts: list[int] | None = None,
     validate_pk: bool = True,
     id_col: str | None = None,
+    with_positions: bool = False,
 ) -> InvertedIndex | None:
     """Run the full build. With ``only_parts`` set, runs stage 1 for just
     those build partitions and returns None (partial build — call again
@@ -728,6 +782,14 @@ def build_index(
     ``LuceneBenchmark.java:745-755``); when absent, dense ids are
     assigned deterministically by natural-key rank.
 
+    ``with_positions``: also write the positional-postings artifact
+    (``positions.parquet``) from the SAME tokenize pass as the flat
+    runs — one corpus scan serves both (a separate
+    :func:`operators.positions.build_positions` call re-tokenizes the
+    whole corpus, ~0.8× the build cost again at sf0.1). The artifact
+    stays OUTSIDE the postings/lexicon/docmeta byte-equivalence
+    contract, same as a separately-built one.
+
     Runs under the index ``write.lock`` (Lucene's single-writer law):
     two concurrent builds into one directory would race the idempotent
     stage checkpoints; partial/resume calls are sequential acquires."""
@@ -735,12 +797,14 @@ def build_index(
 
     with write_lock(index_dir):
         return _build_index_locked(
-            spark, corpus, cfg, index_dir, only_parts, validate_pk, id_col
+            spark, corpus, cfg, index_dir, only_parts, validate_pk, id_col,
+            with_positions,
         )
 
 
 def _build_index_locked(
-    spark, corpus, cfg, index_dir, only_parts, validate_pk, id_col
+    spark, corpus, cfg, index_dir, only_parts, validate_pk, id_col,
+    with_positions=False,
 ):
     os.makedirs(index_dir, exist_ok=True)
     metrics_rows: list[tuple] = []
@@ -818,11 +882,51 @@ def _build_index_locked(
 
     # -- stage 1: SPIMI flat runs (resumable)
     t0 = time.time()
-    manifest = build_flat_runs(corpus_ids, cfg, index_dir, only_parts)
+    manifest = build_flat_runs(
+        corpus_ids, cfg, index_dir, only_parts, with_positions=with_positions
+    )
     metrics_rows.append(("flat_runs", len(manifest["completed_parts"]), time.time() - t0))
     if len(manifest["completed_parts"]) < cfg.build_partitions:
         corpus_ids.unpersist()
         return None  # partial build; resume later
+
+    # -- stage 1b: positions artifact from the committed runs (shared
+    # tokenize pass — no second corpus scan). Idempotent like every
+    # stage; a resume whose earlier runs were written WITHOUT poss
+    # falls back to the standalone re-tokenizing builder rather than
+    # failing the build.
+    if with_positions:
+        pos_path = os.path.join(index_dir, "positions.parquet")
+        if not os.path.exists(os.path.join(pos_path, "_SUCCESS")):
+            t0 = time.time()
+            run_dirs = flat_run_dirs(index_dir, manifest)
+            have_poss = bool(run_dirs) and all(
+                "poss" in spark.read.parquet(d).columns for d in run_dirs
+            )
+            if have_poss:
+                pos = spark.read.parquet(*run_dirs).select(
+                    "term", "doc_id", "poss"
+                )
+                # 4x-task-slot partitions + term clustering + 8 MB row
+                # groups — the exact physical shape build_positions
+                # writes (its spill + pruning lessons)
+                n_pos_parts = max(
+                    4 * spark.sparkContext.defaultParallelism, 8
+                )
+                pos.repartition(n_pos_parts, "term").sortWithinPartitions(
+                    "term", "doc_id"
+                ).write.mode("overwrite").option(
+                    "parquet.block.size", 8 * 1024 * 1024
+                ).parquet(pos_path)
+            else:
+                from org_rdkit_lucene_spark.operators.positions import (
+                    build_positions,
+                )
+
+                build_positions(
+                    spark, corpus_ids, index_dir, profile=cfg.tokenizer
+                )
+            metrics_rows.append(("positions", -1, time.time() - t0))
 
     # flat feeds three downstream stages (docmeta dl, lexicon, postings):
     # persist to avoid three parquet re-reads of the widest table.

@@ -236,12 +236,22 @@ def _check_positions(positions, flat, docmeta, add) -> None:
         )
         .join(dl, "doc_id", "full")
         .agg(
+            # zero-token docs are VALID: docmeta keeps them with
+            # doc_len=0 and they correctly have no positions rows, so
+            # absent positions count as 0 and the span checks
+            # (min=0, max=dl-1) gate on dl > 0 — without the gate a
+            # corpus containing one empty-tokenizing doc reads as
+            # corrupt (round-4 advice)
             F.sum(
                 F.when(
-                    F.col("n_pos").isNull() | F.col("dl").isNull()
-                    | (F.col("n_pos") != F.col("dl"))
-                    | (F.col("min_pos") != 0)
-                    | (F.col("max_pos") != F.col("dl") - 1),
+                    F.col("dl").isNull()
+                    | (F.coalesce(F.col("n_pos"), F.lit(0))
+                       != F.coalesce(F.col("dl"), F.lit(-1)))
+                    | (
+                        (F.col("dl") > 0)
+                        & ((F.col("min_pos") != 0)
+                           | (F.col("max_pos") != F.col("dl") - 1))
+                    ),
                     1,
                 ).otherwise(0)
             ).alias("bad")

@@ -61,6 +61,7 @@ def _make_kernel(
     conjunctive: bool,
     codec: str = "varbyte",
     kill: tuple[np.ndarray, np.ndarray] | None = None,
+    after: dict[int, tuple[int, int]] | None = None,
 ):
     kill_ids, kill_ords = kill if kill is not None else (None, None)
 
@@ -289,6 +290,21 @@ def _make_kernel(
             if len(uniq) == 0:
                 continue
             sq = np.floor(sums * quant + 0.5).astype(np.int64)
+            # keyset pagination (searchAfter, K5): admit only hits
+            # STRICTLY after the cursor in the K2 total order BEFORE
+            # heap insertion, so θ rises over page-N candidates and the
+            # shard-local top-k is exact for the page (post-filtering
+            # the finished heap would be unsound — page-1 docs would
+            # occupy the k slots). Paging is query-agnostic, like the
+            # reference collectors (SubstructureScoreDocCollector
+            # .java:97-160).
+            if after is not None and qid in after:
+                a_sq, a_did = after[qid]
+                keep_a = (sq < a_sq) | ((sq == a_sq) & (uniq > a_did))
+                if not keep_a.all():
+                    uniq, sq = uniq[keep_a], sq[keep_a]
+                if len(uniq) == 0:
+                    continue
             top_docs = np.concatenate([top_docs, uniq])
             top_scores = np.concatenate([top_scores, sq])
             # AMORTIZED truncation for large k: an exact (score desc,
@@ -319,13 +335,19 @@ def search_wand(
     queries: list[tuple[int, str, int]],
     mode: str = "disjunctive",
     n_shards: int | None = None,
+    after: dict[int, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Block-max WAND top-k; result-identical to :func:`query.search`.
 
     Queries' term blocks are broadcast-joined, routed to doc-range
     shards (parallelism without cross-shard score splitting), processed
     by the numpy kernel per (query, shard), then globally merged.
-    """
+
+    ``after`` = {query_id: (after_score_q, after_doc_id)} — keyset
+    pagination (searchAfter, K5): the kernel admits only hits strictly
+    after the cursor in the K2 order, so page N is exact and θ-pruning
+    still applies. Result-identical to ``search_after`` on the same
+    workload (tested)."""
     if mode not in ("disjunctive", "conjunctive"):
         raise ValueError(f"unknown mode {mode!r}")
     spark = index.spark
@@ -364,7 +386,7 @@ def search_wand(
     kill = index.kill_pairs() if hasattr(index, "kill_pairs") else None
     kernel = _make_kernel(
         p.k1, p.b, index.avgdl, 10**p.score_decimals, mode == "conjunctive",
-        codec=getattr(index, "codec", "varbyte"), kill=kill,
+        codec=getattr(index, "codec", "varbyte"), kill=kill, after=after,
     )
     # per-(query, shard) groups: measured faster than one-group-per-
     # shard with an internal query loop — the per-query segment sweep

@@ -320,6 +320,9 @@ def query_syntax_sql(
     q_rows, must_rows, mreq_rows, ex_rows, ph_rows, phn_rows = [], [], [], [], [], []
     fld_rows, k_rows, pref_rows, fz_rows, wc_rows, rg_rows = [], [], [], [], [], []
     rx_rows: list[str] = []
+    fexp_rows: list[str] = []  # field-scoped prefix/wildcard (anchored rx)
+    ffz_rows: list[str] = []  # field-scoped fuzzy (word, dist)
+    fexp_cid = 0
     sp_blocks: list[str] = []
     spn_rows: list[str] = []
     sp_id = 0
@@ -397,6 +400,29 @@ def query_syntax_sql(
                     f"  WHERE g1.fld = '{fld}' AND g1.term = '{_sqlq(words[0])}' "
                     f"AND g{len(words)}.p - g1.p <= {bound}"
                 )
+        # field-scoped expansion clauses (field:util* / field:u?il /
+        # field:pyth~N): per-clause DISTINCT over the fposi stream —
+        # same anchored wildcard_regex / levenshtein laws as the
+        # engine's _field_hits, one fhit row per matched clause
+        for fld, pfx in p["field_prefixes"]:
+            fexp_cid += 1
+            fexp_rows.append(
+                "({}, '{}', '{}', {})".format(
+                    qid, fld, _sqlq(wildcard_regex(pfx + "*")), fexp_cid
+                )
+            )
+        for fld, pat in p["field_wildcards"]:
+            fexp_cid += 1
+            fexp_rows.append(
+                "({}, '{}', '{}', {})".format(
+                    qid, fld, _sqlq(wildcard_regex(pat)), fexp_cid
+                )
+            )
+        for fld, w, d in p["field_fuzzies"]:
+            fexp_cid += 1
+            ffz_rows.append(
+                "({}, '{}', '{}', {}, {})".format(qid, fld, _sqlq(w), d, fexp_cid)
+            )
         for pfx in sorted(set(p["prefixes"])):
             pref_rows.append("({}, '{}')".format(qid, pfx.replace("'", "''")))
         for w, d in sorted(set(p["fuzzies"])):
@@ -447,6 +473,21 @@ def query_syntax_sql(
         if fp_blocks
         else ""
     )
+    fexp_union = ""
+    if fexp_rows:
+        fexp_union += (
+            "UNION ALL\n    SELECT query_id, doc_id FROM (\n"
+            "      SELECT DISTINCT e.query_id, p.doc_id, e.cid\n"
+            "      FROM fexpv e JOIN fposi p ON e.query_id IS NOT NULL\n"
+            "       AND p.fld = e.fld AND regexp_matches(p.term, e.pat))\n    "
+        )
+    if ffz_rows:
+        fexp_union += (
+            "UNION ALL\n    SELECT query_id, doc_id FROM (\n"
+            "      SELECT DISTINCT z.query_id, p.doc_id, z.cid\n"
+            "      FROM ffzv z JOIN fposi p ON z.query_id IS NOT NULL\n"
+            "       AND p.fld = z.fld AND levenshtein(p.term, z.word) <= z.dist)\n    "
+        )
     head = f"WITH {extra_cte},\ntok AS" if extra_cte else "WITH tok AS"
     return f"""
 {head} (SELECT doc_id, unnest({toks}) AS term FROM {table}),
@@ -544,6 +585,10 @@ kq(query_id, k) AS (VALUES
     {vals(k_rows, 2)}),
 fieldc(query_id, fld, val) AS (VALUES
     {vals(fld_rows, 3)}),
+fexpv(query_id, fld, pat, cid) AS (VALUES
+    {vals(fexp_rows, 4)}),
+ffzv(query_id, fld, word, dist, cid) AS (VALUES
+    {vals(ffz_rows, 5)}),
 fposi AS (
   SELECT doc_id, 'path' AS fld, unnest(arr) AS term, generate_subscripts(arr, 1) AS p
   FROM (SELECT doc_id, regexp_split_to_array(
@@ -565,6 +610,7 @@ fhit AS (
             regexp_split_to_array(lower(d.source), '[^a-z0-9]+'), f.val))
       OR (f.fld = 'lang' AND lower(d.lang) = f.val))
     {fp_union}
+    {fexp_union}
   ) GROUP BY 1, 2
 ),
 cand AS (

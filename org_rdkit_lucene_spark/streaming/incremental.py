@@ -323,9 +323,16 @@ def _build_segment_locked(
         # packed + term-clustered like the base artifact
         # (build_positions): the pushed `term = w` predicate must skip
         # row groups in every segment the union scans
+        # 4x-task-slot partition floor, same sizing as build_positions:
+        # slot-count partitions made reducer sorts spill super-linearly
+        # at ~510k docs (round-4 advice — a large segment or compact
+        # re-clusters the same-scale packed table)
+        pos_parts = max(
+            4 * ids.sparkSession.sparkContext.defaultParallelism, n_parts
+        )
         packed_positions_df(
             ids, content_col="content", id_col="doc_id", profile=cfg.tokenizer
-        ).repartition(n_parts, "term").sortWithinPartitions(
+        ).repartition(pos_parts, "term").sortWithinPartitions(
             "term", "doc_id"
         ).write.mode("overwrite").option(
             "parquet.block.size", 8 * 1024 * 1024
@@ -857,8 +864,15 @@ def _compact_locked(spark, index_dir, cfg, out_dir, pq):
         # the kill-filtered union is already packed (one row per live
         # (term, doc) with its ascending position list) — re-cluster
         # by term and write, same physical shape as a fresh build
+        # 4x-task-slot floor (build_positions' spill lesson): a large
+        # compact re-clusters a full-corpus-scale packed table, so
+        # cfg.build_partitions alone can hit the same reducer-sort
+        # spill wall the base builder moved off of
+        pos_parts = max(
+            4 * seg.spark.sparkContext.defaultParallelism, cfg.build_partitions
+        )
         seg.positions.repartition(
-            cfg.build_partitions, "term"
+            pos_parts, "term"
         ).sortWithinPartitions("term", "doc_id").write.mode(
             "overwrite"
         ).option("parquet.block.size", 8 * 1024 * 1024).parquet(

@@ -178,3 +178,83 @@ def test_null_keys_rejected_explicitly(spark, tmp_path):
             IndexConfig(build_partitions=2),
             str(tmp_path / "nullkey"),
         )
+
+
+def test_with_positions_shared_pass(spark, tiny_corpus, tmp_path):
+    """build_index(with_positions=True) writes positions.parquet from
+    the SAME tokenize pass as the flat runs — the artifact's row set
+    must equal the standalone re-tokenizing builder's, and the
+    byte-equivalence trio (postings/lexicon/docmeta) must stay
+    bit-identical to a positions-less build."""
+    import os
+
+    from org_rdkit_lucene_spark.operators.build import build_index
+    from org_rdkit_lucene_spark.operators.positions import (
+        build_positions,
+        positions_view,
+    )
+
+    cfg = IndexConfig(build_partitions=4, hot_term_df=40, n_salts=2)
+    d_one = str(tmp_path / "one_pass")
+    d_two = str(tmp_path / "two_pass")
+    idx1 = build_index(spark, tiny_corpus, cfg, d_one, with_positions=True)
+    idx2 = build_index(spark, tiny_corpus, cfg, d_two)
+    assert idx1.has_positions and not idx2.has_positions
+
+    # same row set as the standalone builder (re-tokenizes)
+    corpus_ids = tiny_corpus.join(idx2.docmap, ["repo", "path", "commit"])
+    sep = build_positions(spark, corpus_ids, d_two)
+    got = {tuple(r) for r in positions_view(idx1.positions).collect()}
+    want = {tuple(r) for r in positions_view(sep).collect()}
+    assert got == want and got
+
+    # index artifacts identical to the positions-less build under the
+    # canonical byte-equivalence law (sorted frames, encoded block
+    # BYTES included — the same comparison test_merge_equivalence
+    # gates on; raw parquet file bytes are not the contract, row order
+    # within an output file legitimately varies with scan splits)
+    p1 = idx1.postings.toPandas().sort_values(["term", "block_id"]).reset_index(drop=True)
+    p2 = idx2.postings.toPandas().sort_values(["term", "block_id"]).reset_index(drop=True)
+    for c in ("doc_bytes", "tf_bytes", "dl_bytes"):
+        p1[c] = p1[c].map(bytes)
+        p2[c] = p2[c].map(bytes)
+    pd.testing.assert_frame_equal(p1, p2)
+    l1 = idx1.lexicon.toPandas().sort_values("term").reset_index(drop=True)
+    l2 = idx2.lexicon.toPandas().sort_values("term").reset_index(drop=True)
+    pd.testing.assert_frame_equal(l1, l2)
+    d1 = idx1.docmeta.toPandas().sort_values("doc_id").reset_index(drop=True)
+    d2 = idx2.docmeta.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(d1, d2)
+
+    # searchable end-to-end through the indexed phrase path
+    from org_rdkit_lucene_spark.operators.query import search_syntax
+
+    out = search_syntax(idx1, None, [(1, '"def"', 5)], positions=idx1.positions)
+    assert out.count() >= 0
+
+
+def test_with_positions_zero_token_doc_checks_clean(spark, tmp_path):
+    """A doc that tokenizes to zero tokens must not trip
+    positions_cover_stream (docmeta keeps it with doc_len=0 and it has
+    no positions rows — round-4 advice false positive)."""
+    from org_rdkit_lucene_spark.operators.build import build_index
+    from org_rdkit_lucene_spark.operators.check import check_index
+
+    pdf = pd.DataFrame(
+        {
+            "ext_id": [0, 1, 2],
+            "repo": ["r"] * 3,
+            "path": ["a.py", "b.py", "c.py"],
+            "commit": ["c0", "c1", "c2"],
+            "lang": ["py"] * 3,
+            "content": ["def alpha beta", "   ", "alpha gamma"],
+        }
+    )
+    cfg = IndexConfig(build_partitions=2, hot_term_df=50, n_salts=2)
+    idx = build_index(
+        spark, spark.createDataFrame(pdf), cfg, str(tmp_path / "zt"),
+        id_col="ext_id", with_positions=True,
+    )
+    rep = check_index(idx, deep=True).set_index("check")
+    assert bool(rep.loc["positions_cover_stream", "passed"]), rep.to_string()
+    assert bool(rep.loc["positions_match_flat_tf", "passed"])

@@ -33,6 +33,9 @@ def test_parse_query():
         "opt_boosts": [1.0, 1.0],
         "regexps": [],
         "field_phrases": [],
+        "field_prefixes": [],
+        "field_wildcards": [],
+        "field_fuzzies": [],
     }
     empty = parse_query("")
     assert all(
@@ -1293,3 +1296,179 @@ def test_field_clause_boosts_stripped():
     assert ("lang", "en", 0) in p["field_phrases"]
     assert ("path", "x y", 1) in p["field_phrases"]
     assert p["optional"] == ["alpha"]
+
+
+def test_parse_field_expansions():
+    """Field-scoped Prefix/Wildcard/FuzzyQuery surface
+    (MultiFieldQueryParser rewrites path:util* per field,
+    ChemicalIndex.java:482-485) — previously these were swallowed into
+    a never-matching field literal (the round-4 field-phrase bug
+    class)."""
+    from org_rdkit_lucene_spark.operators.query import parse_query
+
+    p = parse_query("path:util* repo:s?ark lang:pyth~ path:a*b lang:go~2 x")
+    assert p["field_prefixes"] == [("path", "util")]
+    assert sorted(p["field_wildcards"]) == [("path", "a*b"), ("repo", "s?ark")]
+    assert sorted(p["field_fuzzies"]) == [("lang", "go", 2), ("lang", "pyth", 1)]
+    assert p["fields"] == []
+    assert p["optional"] == ["x"]
+    # plain field values and boosted values are untouched
+    p = parse_query("path:plain repo:r^2")
+    assert sorted(p["fields"]) == [("path", "plain"), ("repo", "r")]
+    assert not (p["field_prefixes"] or p["field_wildcards"] or p["field_fuzzies"])
+    # leading wildcard in a field value degrades to a (never-matching)
+    # literal, same allowLeadingWildcard=false law as content clauses
+    p = parse_query("path:*util")
+    assert p["fields"] == [("path", "*util")]
+    assert not p["field_wildcards"]
+    # fuzzy dist clamps to FUZZY_MAX_DIST
+    p = parse_query("lang:py~9")
+    assert p["field_fuzzies"] == [("lang", "py", 2)]
+
+
+def test_field_phrase_sign_consumed():
+    """-path:"a b" / +path:"a b": the sign is CONSUMED by the pre-pass
+    (all field-clause forms are SHOULD-only, documented) — no stray
+    '-' token leaks into the optional terms."""
+    from org_rdkit_lucene_spark.operators.query import parse_query
+
+    p = parse_query('-path:"src util" +repo:"org acme" alpha')
+    assert ("path", "src util", 0) in p["field_phrases"]
+    assert ("repo", "org acme", 0) in p["field_phrases"]
+    assert p["optional"] == ["alpha"]
+    assert p["required"] == [] and p["excluded"] == []
+
+
+def test_field_expansion_law(spark, tmp_path):
+    """Field expansion clauses match over the FIELD token law (any
+    token matches the anchored pattern / edit-distance ball), each
+    matched clause adds exactly one FIELD_BOOST."""
+    import math
+
+    from org_rdkit_lucene_spark.config import IndexConfig
+    from org_rdkit_lucene_spark.operators.build import build_index
+    from org_rdkit_lucene_spark.operators.query import FIELD_BOOST, search_syntax
+
+    rows = [
+        (0, "orgx", "src/utility/a.py", "c0", "python", "alpha doc0"),
+        (1, "orgx", "src/b.py", "c1", "java", "alpha doc1"),
+        (2, "orgx", "util/c.py", "c2", "python", "alpha doc2"),
+        (3, "orgy", "tools/d.py", "c3", "go", "alpha doc3"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["ext_id", "repo", "path", "commit", "lang", "content"]
+    )
+    cfg = IndexConfig(build_partitions=2, hot_term_df=50, n_salts=2)
+    idx = build_index(
+        spark, spark.createDataFrame(pdf), cfg, str(tmp_path / "fx"), id_col="ext_id"
+    )
+    unit = math.floor(FIELD_BOOST * 10 ** cfg.bm25.score_decimals + 0.5)
+
+    # prefix: util* matches 'utility' (doc 0) and 'util' (doc 2)
+    out = search_syntax(idx, None, [(1, "path:util*", 10)]).toPandas()
+    assert sorted(out.doc_id) == [0, 2]
+    assert set(out.score_q) == {unit}
+    # wildcard: p?thon matches lang python (docs 0 and 2)
+    out = search_syntax(idx, None, [(2, "lang:p?thon", 10)]).toPandas()
+    assert sorted(out.doc_id) == [0, 2]
+    # fuzzy: pythn~1 matches python (0) and python (2), not java/go
+    out = search_syntax(idx, None, [(3, "lang:pythn~", 10)]).toPandas()
+    assert sorted(out.doc_id) == [0, 2]
+    # two clauses matching the same doc accumulate 2x FIELD_BOOST
+    out = (
+        search_syntax(idx, None, [(4, "path:util* lang:pyth~2", 10)])
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert int(out.iloc[0].doc_id) == 0
+    assert int(out.iloc[0].score_q) == 2 * unit
+    # field expansion composes with BM25 terms (SHOULD union)
+    out = search_syntax(idx, None, [(5, "doc3 repo:orgy*", 10)]).toPandas()
+    assert sorted(out.doc_id) == [3]
+    assert int(out.score_q.iloc[0]) > unit
+
+
+def test_field_expansion_oracle_parity(spark, tmp_path):
+    """Engine vs DuckDB twin on field-scoped expansions, using the
+    documents-table field mapping (repo→source, path→source||/doc/||id,
+    lang→lang) — the exact shape the driver gate runs."""
+    import duckdb
+
+    from org_rdkit_lucene_spark.config import IndexConfig
+    from org_rdkit_lucene_spark.operators.build import build_index
+    from org_rdkit_lucene_spark.operators.query import search_syntax
+    from org_rdkit_lucene_spark.oracle.sqlgen import query_syntax_sql
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "merge sort quick", "binary search tree", "merge conflict",
+                "hash map util", "sorted list merge", "tree walk",
+            ],
+            "source": ["github", "gitlab", "github", "internal", "webcrawl", "github"],
+            "lang": ["python", "java", "python", "go", "rust", "java"],
+        }
+    )
+    corpus = spark.createDataFrame(docs).select(
+        F.col("source").alias("repo"),
+        F.concat_ws("/", F.col("source"), F.lit("doc"), F.col("doc_id")).alias("path"),
+        F.col("doc_id").cast("string").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        F.col("doc_id").alias("ext_id"),
+    )
+    cfg = IndexConfig(build_partitions=2, hot_term_df=50, n_salts=2)
+    idx = build_index(
+        spark, corpus, cfg, str(tmp_path / "fxo"), id_col="ext_id"
+    )
+    queries = [
+        (1, "merge repo:git* lang:jav~", 10),
+        (2, "path:d?c lang:pyth~2 tree", 10),
+        (3, "repo:inter* repo:web*", 10),
+    ]
+    got = (
+        search_syntax(idx, None, queries)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (
+        con.execute(query_syntax_sql(queries))
+        .df()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.score_q) == list(want.score_q)
+    assert len(got) > 0
+
+
+def test_search_after_syntax_identity(small_index, syn_corpus):
+    """searchAfter over the FULL syntax surface: page1 + page2 ==
+    top-2k (paging is query-agnostic in the reference collectors,
+    SubstructureScoreDocCollector.java:97-160)."""
+    text = "merg +scor path:src index*"
+    full = (
+        search_syntax(small_index, syn_corpus, [(1, text, 20)])
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert len(full) >= 12
+    page1 = full.iloc[:10]
+    last = page1.iloc[-1]
+    page2 = (
+        search_syntax(
+            small_index, syn_corpus, [(1, text, 10)],
+            after={1: (int(last.score_q), int(last.doc_id))},
+        )
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    want2 = full.iloc[10:20].reset_index(drop=True)
+    assert list(page2.doc_id) == list(want2.doc_id)
+    assert list(page2.score_q) == list(want2.score_q)

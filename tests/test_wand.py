@@ -91,3 +91,29 @@ def test_search_auto_routes_and_is_identical(small_index, spark):
     finally:
         qmod.WAND_ROUTE_MIN_CANDIDATES = old
         qmod.search, wmod.search_wand = orig_search, orig_wand
+
+
+def test_wand_search_after_identity(small_index, queries_pdf):
+    """searchAfter through the WAND kernel: the cursor filters BEFORE
+    heap insertion, so page 2 continues exactly after page 1 and
+    equals the DataFrame-path pagination (K5 over K7)."""
+    from org_rdkit_lucene_spark.operators.query import search
+
+    r = queries_pdf[queries_pdf.query_type == "disjunctive"].iloc[2]
+    qid, text = int(r.query_id), r.text
+    full = (
+        search(small_index, [(qid, text, 20)])
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert len(full) >= 12
+    last = full.iloc[9]
+    page2 = (
+        search_wand(
+            small_index, [(qid, text, 10)],
+            after={qid: (int(last.score_q), int(last.doc_id))},
+        )
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    want2 = full.iloc[10:20].reset_index(drop=True)
+    assert list(page2.doc_id) == list(want2.doc_id)
+    assert list(page2.score_q) == list(want2.score_q)
