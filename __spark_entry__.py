@@ -607,6 +607,29 @@ def _q_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_syntax(idx, _corpus_for(spark, sf_dir), BOOST_QUERIES)
 
 
+# Boosts on EVERY clause form (round-5 setBoost completion — the
+# QueryParser surface accepts ^N on phrase/slop/field/field-phrase/
+# prefix/fuzzy/wildcard/regexp/range/field-prefix clauses,
+# ChemicalIndex.java:482-485 analog): phrase boosts pin their tokens
+# at the boost, expansion clauses add their boost per expanded term,
+# field-side boosts multiply FIELD_BOOST, and duplicate clauses' boosts
+# SUM (_clause_weights — 142's mer*^2 mer* weighs 3.0 per expansion).
+BOOST_CLAUSE_QUERIES = [
+    (141, '"table scan"^2 hash', 10),
+    (142, "mer*^2 mer* join", 10),
+    (143, "path:src3^3 merje~^2 hash", 10),
+    (144, "[merg TO mesh]^2 {scan TO seg}^0.5 join", 10),
+    (145, "/m[aeiou]rg/^2 b*ch^0.5 batch", 5),
+    (146, 'path:"src13 doc"^2 value path:src1*^3', 10),
+    (147, '"merge table"~3^2 join', 5),
+]
+
+
+def _q_boosted_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index_for(spark, sf_dir)
+    return search_syntax(idx, _corpus_for(spark, sf_dir), BOOST_CLAUSE_QUERIES)
+
+
 def _q_max_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return max_scores(_index_for(spark, sf_dir), DISJ_QUERIES).orderBy("query_id")
 
@@ -1457,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_boolean_search": _q_boolean_search,
         "q1_boolean_not": _q_boolean_not,
         "q1_boosted_search": _q_boosted_search,
+        "q1_boosted_clauses": _q_boosted_clauses,
         "t3_trigram_search": _q_trigram_search,
         "t3_identifiers_lexicon": _q_identifiers_lexicon,
         "q9_explain": _q_explain,
@@ -1686,6 +1710,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_boolean_search": sqlgen.boolean_search_sql(BOOL_QUERIES),
         "q1_boolean_not": sqlgen.boolean_search_sql(BOOL_NOT_QUERIES),
         "q1_boosted_search": sqlgen.query_syntax_sql(BOOST_QUERIES),
+        "q1_boosted_clauses": sqlgen.query_syntax_sql(BOOST_CLAUSE_QUERIES),
         "t3_trigram_search": _t3_oracle_trigram(),
         "t3_identifiers_lexicon": _t3_oracle_identifiers(),
         "q9_explain": sqlgen.explain_sql(DISJ_QUERIES),

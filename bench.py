@@ -288,13 +288,16 @@ def run_level(
                 return kind, time.time() - t0, hits
 
             solo_walls = []
+            solo_by_kind: dict[str, list[float]] = {}
             for i, item in enumerate(mixed_items):
                 kind, wall, hits = _run_one(item)
                 solo_walls.append(wall)
+                solo_by_kind.setdefault(kind, []).append(wall)
                 csv_rows.append((cores, f"solo_{kind}_{i}", "mixed_solo", 0,
                                  round(wall * 1000, 1), hits))
             rng = random.Random(SEED)
             item_walls: list[float] = []
+            mixed_by_kind: dict[str, list[float]] = {}
             batch_walls: list[float] = []
             for rep in range(repeats):
                 order = list(enumerate(mixed_items))
@@ -305,6 +308,7 @@ def run_level(
                 batch_walls.append(time.time() - t0)
                 for i, kind, wall, hits in rs:
                     item_walls.append(wall)
+                    mixed_by_kind.setdefault(kind, []).append(wall)
                     csv_rows.append((cores, f"mixed_{kind}_{i}", "mixed", rep,
                                      round(wall * 1000, 1), hits))
                 csv_rows.append((cores, "mixed_batch", "mixed", rep,
@@ -315,11 +319,27 @@ def run_level(
                 xs = sorted(xs)
                 return round(xs[max(0, int(len(xs) * 0.95) - 1)], 3)
 
+            # per-kind contention (round-4 verdict #7): the pooled p95
+            # can hide one pathological kind behind many fast items —
+            # each kind's mixed p95 / solo p95 is reported separately
+            per_kind = {
+                k: {
+                    "solo_p95_sec": _p95(solo_by_kind[k]),
+                    "mixed_p95_sec": _p95(mixed_by_kind.get(k, [0.0])),
+                    "contention_ratio": round(
+                        _p95(mixed_by_kind.get(k, [0.0]))
+                        / max(_p95(solo_by_kind[k]), 1e-9),
+                        2,
+                    ),
+                }
+                for k in sorted(solo_by_kind)
+            }
             out["mixed"] = {
                 "batch_sec": round(min(batch_walls), 3),
                 "item_p95_sec": _p95(item_walls),
                 "solo_p95_sec": _p95(solo_walls),
                 "contention_ratio": round(_p95(item_walls) / max(_p95(solo_walls), 1e-9), 2),
+                "per_kind": per_kind,
                 "n_items": len(mixed_items),
                 "pool_workers": 4,
             }

@@ -688,7 +688,14 @@ _BRACE_RE = _re.compile(r"\{\d+(?:,\d*)?\}")
 # RE2 rejects them — outside the portable subset
 _POSSESSIVE_RE = _re.compile(r"[*+?}]\+")
 
-_SYNTAX_RE = _re.compile(r'"([^"]*)"(?:~(\d+))?|(\+|-)?(\S+)')
+_SYNTAX_RE = _re.compile(
+    r'"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?|(\+|-)?(\S+)'
+)
+# trailing ^N boost on ANY unquoted clause word (QueryParser's setBoost
+# surface: term^2, pre*^2, path:src^3, /pat/^2, word~^2, [a TO b]^2 —
+# the last via _RANGE_RE's own boost group). Base must be non-empty and
+# not itself end in '^'.
+_TRAIL_BOOST_RE = _re.compile(r"^(.*[^\^])\^(\d+(?:\.\d+)?)$")
 _FIELD_RE = _re.compile(r"^(repo|path|lang):(.+)$")
 # field:(a b c) — QueryParser's field-grouping surface: each value in
 # the group becomes its own field:value SHOULD clause (pre-expanded
@@ -703,7 +710,7 @@ _FIELD_GROUP_RE = _re.compile(r"\b(repo|path|lang):\(([^()]*)\)")
 # field-clause forms are SHOULD-only, see parse_query docstring) so
 # -path:"a b" can't leave a stray '-' token behind.
 _FIELD_PHRASE_RE = _re.compile(
-    r'[+-]?\b(repo|path|lang):"([^"]*)"(?:~(\d+))?(?:\^\d+(?:\.\d+)?)?'
+    r'[+-]?\b(repo|path|lang):"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?'
 )
 _FIELD_TOKEN_RE = _re.compile(r"[^a-z0-9]+")
 
@@ -727,7 +734,10 @@ _WILDCARD_RE = _re.compile(r'^[^\s*?~:^"][^\s~:^"]*$')
 # bracket syntax; TO must be uppercase, per Lucene). Bounds are plain
 # words or * (open end) — extracted in a pre-pass because they span
 # whitespace.
-_RANGE_RE = _re.compile(r'([\[{])([^\s"{}\[\]]+)\s+TO\s+([^\s"{}\[\]]+)([\]}])')
+_RANGE_RE = _re.compile(
+    r'([\[{])([^\s"{}\[\]]+)\s+TO\s+([^\s"{}\[\]]+)([\]}])'
+    r"(?:\^(\d+(?:\.\d+)?))?"
+)
 
 
 def wildcard_regex(pattern: str) -> str:
@@ -817,13 +827,17 @@ def parse_query(text: str) -> dict:
     must appear in order in the doc's token stream with span
     ``(p_n - p_1) - (n - 1) <= N`` — slop_phrases = [(text, slop)];
     ``~0`` stays the exact verbatim-substring phrase law.
-    ``term^N`` (N a positive int/float) is a
-    BOOST on a plain required/optional term clause — ``req_boosts`` /
-    ``opt_boosts`` run parallel to ``required`` / ``optional`` (1.0
-    unboosted). Boosts on phrase/field/prefix/fuzzy/excluded clauses
-    are not supported: the ``^N`` stays part of the word (QueryParser
-    supports them; this surface, like its prefix-only wildcards, takes
-    the most-used slice).
+    ``term^N`` (N a positive int/float) is a BOOST (QueryParser's
+    setBoost surface), now accepted on EVERY clause form: plain terms
+    (``req_boosts``/``opt_boosts``), phrases (``"a b"^2``,
+    ``"a b"~3^2``), field clauses (``path:src^3``), field phrases
+    (``path:"a b"^2``), and every expansion clause (``pre*^2``,
+    ``te?m^2``, ``word~^2``, ``/pat/^2``, ``[a TO b]^2``,
+    ``path:util*^2``) — each clause list has a parallel ``*_boosts``
+    list (1.0 unboosted). Duplicate clauses' boosts SUM
+    (:func:`_clause_weights`); phrase boosts pin their tokens at the
+    boost; field-side boosts multiply FIELD_BOOST. A boost on an
+    excluded clause is inert (MUST_NOT only filters).
     ``/pattern/`` is a REGEXP clause (RegexpQuery surface): the inner
     text, lowercased, must be in the portable regex subset
     (:data:`_REGEXP_ALLOWED`) and compile — otherwise the word stays a
@@ -844,7 +858,16 @@ def parse_query(text: str) -> dict:
            "fields": [], "prefixes": [], "fuzzies": [], "wildcards": [],
            "ranges": [], "slop_phrases": [], "req_boosts": [], "opt_boosts": [],
            "regexps": [], "field_phrases": [], "field_prefixes": [],
-           "field_wildcards": [], "field_fuzzies": []}
+           "field_wildcards": [], "field_fuzzies": [],
+           # parallel per-clause boost lists (1.0 unboosted) — the
+           # setBoost surface now covers EVERY clause form; duplicate
+           # clauses' boosts SUM downstream (_clause_weights), matching
+           # the a^2 a^3 SHOULD-sum law for plain terms
+           "phrase_boosts": [], "slop_phrase_boosts": [], "field_boosts": [],
+           "field_phrase_boosts": [], "prefix_boosts": [],
+           "wildcard_boosts": [], "fuzzy_boosts": [], "range_boosts": [],
+           "regexp_boosts": [], "field_prefix_boosts": [],
+           "field_wildcard_boosts": [], "field_fuzzy_boosts": []}
 
     def _take_range(m: "_re.Match") -> str:
         lo = None if m.group(2) == "*" else m.group(2).lower()
@@ -853,13 +876,15 @@ def parse_query(text: str) -> dict:
             out["ranges"].append(
                 (lo, hi, m.group(1) == "[", m.group(4) == "]")
             )
+            out["range_boosts"].append(float(m.group(5) or 1.0))
         return " "
 
     def _take_field_group(m: "_re.Match") -> str:
         fld = m.group(1)
         for v in m.group(2).split():
-            vv, _vb = _split_boost(v)  # field:(a b^2) — boost stripped
+            vv, vb = _split_boost(v)  # field:(a b^2) — per-value boost
             out["fields"].append((fld, vv.lower()))
+            out["field_boosts"].append(vb)
         return " "
 
     def _take_field_phrase(m: "_re.Match") -> str:
@@ -869,20 +894,32 @@ def parse_query(text: str) -> dict:
             out["field_phrases"].append(
                 (m.group(1), m.group(2), int(m.group(3) or 0))
             )
+            out["field_phrase_boosts"].append(float(m.group(4) or 1.0))
         return " "
 
     text = _RANGE_RE.sub(_take_range, text)
     text = _FIELD_PHRASE_RE.sub(_take_field_phrase, text)
     text = _FIELD_GROUP_RE.sub(_take_field_group, text)
     for m in _SYNTAX_RE.finditer(text):
-        phrase, slop_s, op, word = m.group(1), m.group(2), m.group(3), m.group(4)
+        phrase, slop_s, pboost = m.group(1), m.group(2), m.group(3)
+        op, word = m.group(4), m.group(5)
         if phrase is not None:
             if phrase.strip():
                 if slop_s is not None and int(slop_s) > 0:
                     out["slop_phrases"].append((phrase.strip(), int(slop_s)))
+                    out["slop_phrase_boosts"].append(float(pboost or 1.0))
                 else:  # "a b"~0 is the exact phrase
                     out["phrases"].append(phrase.strip())
+                    out["phrase_boosts"].append(float(pboost or 1.0))
             continue
+        # generic trailing-boost strip: classification runs on the BASE
+        # so pre*^2 / path:src^3 / /pat/^2 / word~^2 keep their clause
+        # kind (previously the ^N stayed part of the word and the
+        # clause silently degraded to a literal term)
+        tb = _TRAIL_BOOST_RE.match(word)
+        boost = 1.0
+        if tb:
+            word, boost = tb.group(1), float(tb.group(2))
         fm = _FIELD_RE.match(word)
         zm = _FUZZY_RE.match(word)
         if fm:
@@ -892,7 +929,7 @@ def parse_query(text: str) -> dict:
             # rewrites path:util* / path:u?il / lang:pyth~ to per-field
             # Prefix/Wildcard/FuzzyQuery, ChemicalIndex.java:482-485).
             # Matched over the FIELD token law (lower+split, NOT the
-            # analyzer), SHOULD-only, one FIELD_BOOST per matched
+            # analyzer), SHOULD-only, boost×FIELD_BOOST per matched
             # clause — same laws as field:value / field:"a b". Without
             # these branches the value became a field literal that can
             # never match a field token (the round-4 field-phrase bug
@@ -900,41 +937,54 @@ def parse_query(text: str) -> dict:
             if (raw.endswith("*") and len(raw) > 1 and "*" not in raw[:-1]
                     and "?" not in raw):
                 out["field_prefixes"].append((fld, raw[:-1].lower()))
+                out["field_prefix_boosts"].append(boost)
             elif ("*" in raw or "?" in raw) and _WILDCARD_RE.match(raw):
                 out["field_wildcards"].append((fld, raw.lower()))
+                out["field_wildcard_boosts"].append(boost)
             elif fzm and "~" not in fzm.group(1) and "^" not in fzm.group(1):
                 dist = min(int(fzm.group(2)) if fzm.group(2) else 1,
                            FUZZY_MAX_DIST)
                 out["field_fuzzies"].append((fld, fzm.group(1).lower(), dist))
+                out["field_fuzzy_boosts"].append(boost)
             else:
-                # field:value^N — QueryParser accepts a boost here; the
-                # engine's field clauses carry the fixed FIELD_BOOST, so
-                # the boost is STRIPPED (documented) rather than leaving
-                # a 'value^2' literal that can never match a field token
-                fv, _fb = _split_boost(raw)
+                fv, fb = _split_boost(raw)  # legacy inline form kept
                 out["fields"].append((fld, fv.lower()))
+                out["field_boosts"].append(boost if boost != 1.0 else fb)
         elif (len(word) > 2 and word.startswith("/") and word.endswith("/")
               and _valid_regexp_clause(word[1:-1].lower())):
             out["regexps"].append(word[1:-1].lower())
+            out["regexp_boosts"].append(boost)
         elif (word.endswith("*") and len(word) > 1 and "*" not in word[:-1]
               and "?" not in word):
             out["prefixes"].append(word[:-1].lower())
+            out["prefix_boosts"].append(boost)
         elif ("*" in word or "?" in word) and _WILDCARD_RE.match(word):
             out["wildcards"].append(word.lower())
+            out["wildcard_boosts"].append(boost)
         elif zm and "~" not in zm.group(1):
             dist = min(int(zm.group(2)) if zm.group(2) else 1, FUZZY_MAX_DIST)
             out["fuzzies"].append((zm.group(1).lower(), dist))
+            out["fuzzy_boosts"].append(boost)
         elif op == "+":
-            w, b = _split_boost(word)
-            out["required"].append(w)
-            out["req_boosts"].append(b)
+            out["required"].append(word)
+            out["req_boosts"].append(boost)
         elif op == "-":
-            out["excluded"].append(word)
+            out["excluded"].append(word)  # boost on MUST_NOT is inert
         else:
-            w, b = _split_boost(word)
-            out["optional"].append(w)
-            out["opt_boosts"].append(b)
+            out["optional"].append(word)
+            out["opt_boosts"].append(boost)
     return out
+
+
+def _clause_weights(items: list, boosts: list) -> dict:
+    """Distinct clause → summed boost — the Lucene reading where
+    duplicate SHOULD clauses' contributions SUM (``a^2 a^3`` ≡ weight
+    5), now applied uniformly to every expansion/field clause form.
+    SHARED by the engine and the SQL twin."""
+    w: dict = {}
+    for it, b in zip(items, boosts):
+        w[it] = w.get(it, 0.0) + float(b)
+    return w
 
 
 def syntax_scoring_weights(p: dict, profile) -> tuple[dict[str, float], set[str]]:
@@ -945,22 +995,24 @@ def syntax_scoring_weights(p: dict, profile) -> tuple[dict[str, float], set[str]
       the Lucene reading where ``a^2 a^3`` is two SHOULD clauses whose
       contributions sum (5·idf·tf-part);
     - required and phrase tokens are PINNED: once each, at the MAX
-      boost of the clauses that pin them (phrases pin at 1.0),
-      regardless of optional occurrences — the round-1 "required terms
-      appear once in scoring" law, now boost-aware;
-    - prefix/fuzzy expansions (+1 per expanded term) are applied by
+      boost of the clauses that pin them (phrases pin at their clause
+      boost, 1.0 unboosted), regardless of optional occurrences — the
+      round-1 "required terms appear once in scoring" law, boost-aware;
+    - prefix/fuzzy expansions (+boost per expanded term) are applied by
       the CALLER on top, after the pinning, so the order-independence
       of the expansion law is preserved."""
     must_pin: dict[str, float] = {}
     for w, b in zip(p["required"], p["req_boosts"]):
         for t in tokenize_text(w, profile):
             must_pin[t] = max(must_pin.get(t, 0.0), b)
-    for ph in p["phrases"]:
+    ph_boosts = p.get("phrase_boosts") or [1.0] * len(p["phrases"])
+    for ph, b in zip(p["phrases"], ph_boosts):
         for t in tokenize_text(ph, profile):
-            must_pin[t] = max(must_pin.get(t, 0.0), 1.0)
-    for ph, _slop in p["slop_phrases"]:
+            must_pin[t] = max(must_pin.get(t, 0.0), b)
+    sp_boosts = p.get("slop_phrase_boosts") or [1.0] * len(p["slop_phrases"])
+    for (ph, _slop), b in zip(p["slop_phrases"], sp_boosts):
         for t in tokenize_text(ph, profile):
-            must_pin[t] = max(must_pin.get(t, 0.0), 1.0)
+            must_pin[t] = max(must_pin.get(t, 0.0), b)
     weights: dict[str, float] = {}
     for w, b in zip(p["optional"], p["opt_boosts"]):
         for t in tokenize_text(w, profile):
@@ -1253,16 +1305,20 @@ def _field_hits(
     field-scoped PhraseQuery surface: words adjacent (or within the
     span-law window under slop) in the FIELD's token stream, one
     FIELD_BOOST per matched clause, same as field:value.
-    ``field_exp_rows`` = [(query_id, fld, kind, rx, word, dist)] — the
-    field-scoped Prefix/Wildcard/FuzzyQuery surface
+    ``field_exp_rows`` = [(query_id, fld, kind, rx, word, dist, w)] —
+    the field-scoped Prefix/Wildcard/FuzzyQuery surface
     (MultiFieldQueryParser's per-field rewrite): a clause matches when
     ANY token of the FIELD's token stream matches the anchored pattern
     (kind='rx', shared ``wildcard_regex`` law) or is within edit
     distance ``dist`` of ``word`` (kind='fz'). Evaluated as ONE
     docmeta scan with per-clause literal predicates folded into a
     compact array→explode (no per-clause rescans, no UDF, patterns
-    stay foldable for codegen); each matched clause contributes one
-    FIELD_BOOST, like field:value."""
+    stay foldable for codegen).
+
+    Every clause form carries a per-clause weight ``w`` (its parsed
+    boost, 1.0 unboosted); ``n_field`` is the SUM of matched clause
+    weights, which the caller multiplies by FIELD_BOOST — with all
+    weights 1 this is exactly the old matched-clause count."""
     from org_rdkit_lucene_spark.functions.tokenizer import bind_array
 
     spark = index.spark
@@ -1281,36 +1337,47 @@ def _field_hits(
             ) & (F.levenshtein(t, F.lit(word)) <= F.lit(dist))
 
         slots = []
-        for qid, fld, kind, rx, word, dist in field_exp_rows:
+        for qid, fld, kind, rx, word, dist, w in field_exp_rows:
             arr = tok(fld)
             pred = _rx_pred(rx) if kind == "rx" else _fz_pred(word, dist)
-            slots.append(F.when(F.exists(arr, pred), F.lit(qid)))
+            slots.append(
+                F.when(
+                    F.exists(arr, pred),
+                    F.struct(
+                        F.lit(qid).alias("query_id"),
+                        F.lit(float(w)).alias("w"),
+                    ),
+                )
+            )
         exp = (
             dm.select(
                 "doc_id",
                 F.explode(
                     F.filter(F.array(*slots), lambda x: x.isNotNull())
-                ).alias("query_id"),
+                ).alias("s"),
             )
-            .select("query_id", "doc_id")
+            .select(F.col("s.query_id").alias("query_id"), "doc_id",
+                    F.col("s.w").alias("w"))
         )
         hits = exp
     if field_rows:
         fdf = F.broadcast(
-            spark.createDataFrame(field_rows, "query_id int, fld string, val string")
+            spark.createDataFrame(
+                field_rows, "query_id int, fld string, val string, w double"
+            )
         )
         cond = (
             ((F.col("fld") == "path") & F.array_contains(tok("path"), F.col("val")))
             | ((F.col("fld") == "repo") & F.array_contains(tok("repo"), F.col("val")))
             | ((F.col("fld") == "lang") & (F.lower(F.col("lang")) == F.col("val")))
         )
-        lit_hits = dm.join(fdf, cond).select("query_id", "doc_id")
+        lit_hits = dm.join(fdf, cond).select("query_id", "doc_id", "w")
         hits = lit_hits if hits is None else hits.unionByName(lit_hits)
     if field_phrase_rows:
         fpdf = F.broadcast(
             spark.createDataFrame(
                 field_phrase_rows,
-                "query_id int, fld string, vals array<string>, slop int",
+                "query_id int, fld string, vals array<string>, slop int, w double",
             )
         )
         fstr = (
@@ -1325,9 +1392,9 @@ def _field_hits(
                 F.col("vals"), lambda v: _field_span_cond(a, v, F.col("slop"))
             ),
         )
-        ph = dm.join(fpdf, cond2).select("query_id", "doc_id")
+        ph = dm.join(fpdf, cond2).select("query_id", "doc_id", "w")
         hits = ph if hits is None else hits.unionByName(ph)
-    return hits.groupBy("query_id", "doc_id").agg(F.count("*").alias("n_field"))
+    return hits.groupBy("query_id", "doc_id").agg(F.sum("w").alias("n_field"))
 
 
 def search_syntax(
@@ -1394,46 +1461,59 @@ def search_syntax(
 
     scoring, must_counts, excluded_rows, phrase_rows = [], [], [], []
     slop_rows: list[tuple[int, str, int]] = []
-    field_rows: list[tuple[int, str, str]] = []
-    fp_rows: list[tuple[int, str, list[str], int]] = []
-    fexp_rows: list[tuple[int, str, str, str, str, int]] = []
+    field_rows: list[tuple[int, str, str, float]] = []
+    fp_rows: list[tuple[int, str, list[str], int, float]] = []
+    fexp_rows: list[tuple[int, str, str, str, str, int, float]] = []
     for qid, text, k in queries:
         p = parsed[qid]
-        for fld, val in p["fields"]:
-            field_rows.append((qid, fld, val))
-        for fld, val, s in p["field_phrases"]:
-            fp_rows.append((qid, fld, _field_phrase_words(val), int(s)))
+        for (fld, val), b in zip(p["fields"], p["field_boosts"]):
+            field_rows.append((qid, fld, val, float(b)))
+        for (fld, val, s), b in zip(p["field_phrases"], p["field_phrase_boosts"]):
+            fp_rows.append((qid, fld, _field_phrase_words(val), int(s), float(b)))
         # field-scoped expansion clauses share the anchored
         # wildcard_regex law with the content-side rewrites (a prefix
         # is the wildcard 'p*'); fuzzies carry (word, dist) for the
         # levenshtein law
-        for fld, pfx in p["field_prefixes"]:
-            fexp_rows.append((qid, fld, "rx", wildcard_regex(pfx + "*"), "", 0))
-        for fld, pat in p["field_wildcards"]:
-            fexp_rows.append((qid, fld, "rx", wildcard_regex(pat), "", 0))
-        for fld, w, d in p["field_fuzzies"]:
-            fexp_rows.append((qid, fld, "fz", "", w, d))
+        for (fld, pfx), b in zip(p["field_prefixes"], p["field_prefix_boosts"]):
+            fexp_rows.append(
+                (qid, fld, "rx", wildcard_regex(pfx + "*"), "", 0, float(b))
+            )
+        for (fld, pat), b in zip(p["field_wildcards"], p["field_wildcard_boosts"]):
+            fexp_rows.append((qid, fld, "rx", wildcard_regex(pat), "", 0, float(b)))
+        for (fld, w, d), b in zip(p["field_fuzzies"], p["field_fuzzy_boosts"]):
+            fexp_rows.append((qid, fld, "fz", "", w, d, float(b)))
         # boost-aware qtf law, shared with the SQL twin
         counts, must_terms = syntax_scoring_weights(p, prof)
-        # each distinct prefix adds ONE SHOULD occurrence per expanded
-        # term, on top of any literal occurrences (applied after the
-        # must-pinning so the law is order-independent)
-        for pfx in sorted(set(p["prefixes"])):
+        # each distinct expansion clause adds its SUMMED boost (1.0 per
+        # unboosted occurrence) per expanded term, on top of any
+        # literal occurrences (applied after the must-pinning so the
+        # law is order-independent)
+        for pfx, w in sorted(
+            _clause_weights(p["prefixes"], p["prefix_boosts"]).items()
+        ):
             for t in expansions.get(pfx, []):
-                counts[t] = counts.get(t, 0.0) + 1.0
-        for fz in sorted(set(p["fuzzies"])):
+                counts[t] = counts.get(t, 0.0) + w
+        for fz, w in sorted(
+            _clause_weights(p["fuzzies"], p["fuzzy_boosts"]).items()
+        ):
             for t in fuzzy_exp.get(fz, []):
-                counts[t] = counts.get(t, 0.0) + 1.0
-        for wc in sorted(set(p["wildcards"])):
+                counts[t] = counts.get(t, 0.0) + w
+        for wc, w in sorted(
+            _clause_weights(p["wildcards"], p["wildcard_boosts"]).items()
+        ):
             for t in wild_exp.get(wc, []):
-                counts[t] = counts.get(t, 0.0) + 1.0
-        for rg in sorted(set(p["ranges"]),
-                         key=lambda r: (r[0] or "", r[1] or "", r[2], r[3])):
+                counts[t] = counts.get(t, 0.0) + w
+        for rg, w in sorted(
+            _clause_weights(p["ranges"], p["range_boosts"]).items(),
+            key=lambda kv: (kv[0][0] or "", kv[0][1] or "", kv[0][2], kv[0][3]),
+        ):
             for t in range_exp.get(rg, []):
-                counts[t] = counts.get(t, 0.0) + 1.0
-        for rp in sorted(set(p["regexps"])):
+                counts[t] = counts.get(t, 0.0) + w
+        for rp, w in sorted(
+            _clause_weights(p["regexps"], p["regexp_boosts"]).items()
+        ):
             for t in regex_exp.get(rp, []):
-                counts[t] = counts.get(t, 0.0) + 1.0
+                counts[t] = counts.get(t, 0.0) + w
         for term, qtf in counts.items():
             scoring.append((qid, term, float(qtf), len(counts), k))
         must_counts.append((qid, len(must_terms), k))

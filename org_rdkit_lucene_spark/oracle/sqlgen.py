@@ -310,6 +310,7 @@ def query_syntax_sql(
         RANGE_EXPANSION_LIMIT,
         REGEXP_EXPANSION_LIMIT,
         WILDCARD_EXPANSION_LIMIT,
+        _clause_weights,
         _field_phrase_words,
         parse_query,
         regexp_regex,
@@ -369,21 +370,27 @@ def query_syntax_sql(
                     f"AND t{len(words)}.p - t1.p <= {bound}"
                 )
         spn_rows.append(f"({qid}, {n_sp})")
-        for fld, val in p["fields"]:
+        for (fld, val), fb in zip(p["fields"], p["field_boosts"]):
             fld_rows.append(
-                "({}, '{}', '{}')".format(qid, fld, val.replace("'", "''"))
+                "({}, '{}', '{}', {!r})".format(
+                    qid, fld, val.replace("'", "''"), float(fb)
+                )
             )
         # field-scoped phrases (field:"a b"(~n)): one n-way join per
         # clause over the FIELD token-position stream — the engine's
         # span law (_field_span_cond) as an existence join; each
-        # matched clause contributes ONE fhit row (DISTINCT)
-        for fld, val, slop in p["field_phrases"]:
+        # matched clause contributes ONE fhit row (DISTINCT) carrying
+        # its clause boost
+        for (fld, val, slop), fb in zip(
+            p["field_phrases"], p["field_phrase_boosts"]
+        ):
             words = _field_phrase_words(val)
             if not words:
                 continue
             if len(words) == 1:
                 fp_blocks.append(
-                    f"SELECT DISTINCT {qid} AS query_id, doc_id FROM fposi "
+                    f"SELECT DISTINCT {qid} AS query_id, doc_id, "
+                    f"{float(fb)!r} AS w FROM fposi "
                     f"WHERE fld = '{fld}' AND term = '{_sqlq(words[0])}'"
                 )
             else:
@@ -395,7 +402,8 @@ def query_syntax_sql(
                 )
                 bound = len(words) - 1 + int(slop)
                 fp_blocks.append(
-                    f"SELECT DISTINCT {qid} AS query_id, g1.doc_id AS doc_id\n"
+                    f"SELECT DISTINCT {qid} AS query_id, g1.doc_id AS doc_id, "
+                    f"{float(fb)!r} AS w\n"
                     f"  FROM fposi g1 {joins}\n"
                     f"  WHERE g1.fld = '{fld}' AND g1.term = '{_sqlq(words[0])}' "
                     f"AND g{len(words)}.p - g1.p <= {bound}"
@@ -403,45 +411,72 @@ def query_syntax_sql(
         # field-scoped expansion clauses (field:util* / field:u?il /
         # field:pyth~N): per-clause DISTINCT over the fposi stream —
         # same anchored wildcard_regex / levenshtein laws as the
-        # engine's _field_hits, one fhit row per matched clause
-        for fld, pfx in p["field_prefixes"]:
+        # engine's _field_hits, one fhit row (× clause boost) per
+        # matched clause
+        for (fld, pfx), fb in zip(p["field_prefixes"], p["field_prefix_boosts"]):
             fexp_cid += 1
             fexp_rows.append(
-                "({}, '{}', '{}', {})".format(
-                    qid, fld, _sqlq(wildcard_regex(pfx + "*")), fexp_cid
+                "({}, '{}', '{}', {}, {!r})".format(
+                    qid, fld, _sqlq(wildcard_regex(pfx + "*")), fexp_cid, float(fb)
                 )
             )
-        for fld, pat in p["field_wildcards"]:
+        for (fld, pat), fb in zip(
+            p["field_wildcards"], p["field_wildcard_boosts"]
+        ):
             fexp_cid += 1
             fexp_rows.append(
-                "({}, '{}', '{}', {})".format(
-                    qid, fld, _sqlq(wildcard_regex(pat)), fexp_cid
+                "({}, '{}', '{}', {}, {!r})".format(
+                    qid, fld, _sqlq(wildcard_regex(pat)), fexp_cid, float(fb)
                 )
             )
-        for fld, w, d in p["field_fuzzies"]:
+        for (fld, w, d), fb in zip(p["field_fuzzies"], p["field_fuzzy_boosts"]):
             fexp_cid += 1
             ffz_rows.append(
-                "({}, '{}', '{}', {}, {})".format(qid, fld, _sqlq(w), d, fexp_cid)
+                "({}, '{}', '{}', {}, {}, {!r})".format(
+                    qid, fld, _sqlq(w), d, fexp_cid, float(fb)
+                )
             )
-        for pfx in sorted(set(p["prefixes"])):
-            pref_rows.append("({}, '{}')".format(qid, pfx.replace("'", "''")))
-        for w, d in sorted(set(p["fuzzies"])):
-            fz_rows.append("({}, '{}', {})".format(qid, w.replace("'", "''"), d))
-        for wc in sorted(set(p["wildcards"])):
+        # distinct clause → SUMMED boost (the engine's _clause_weights
+        # law — duplicate clauses' contributions sum, 1.0 unboosted)
+        for pfx, cw in sorted(
+            _clause_weights(p["prefixes"], p["prefix_boosts"]).items()
+        ):
+            pref_rows.append(
+                "({}, '{}', {!r})".format(qid, pfx.replace("'", "''"), float(cw))
+            )
+        for (w, d), cw in sorted(
+            _clause_weights(p["fuzzies"], p["fuzzy_boosts"]).items()
+        ):
+            fz_rows.append(
+                "({}, '{}', {}, {!r})".format(
+                    qid, w.replace("'", "''"), d, float(cw)
+                )
+            )
+        for wc, cw in sorted(
+            _clause_weights(p["wildcards"], p["wildcard_boosts"]).items()
+        ):
             wc_rows.append(
-                "({}, '{}')".format(qid, wildcard_regex(wc).replace("'", "''"))
+                "({}, '{}', {!r})".format(
+                    qid, wildcard_regex(wc).replace("'", "''"), float(cw)
+                )
             )
-        for rp in sorted(set(p["regexps"])):
+        for rp, cw in sorted(
+            _clause_weights(p["regexps"], p["regexp_boosts"]).items()
+        ):
             rx_rows.append(
-                "({}, '{}')".format(qid, regexp_regex(rp).replace("'", "''"))
+                "({}, '{}', {!r})".format(
+                    qid, regexp_regex(rp).replace("'", "''"), float(cw)
+                )
             )
-        for lo, hi, lo_i, hi_i in sorted(
-            set(p["ranges"]), key=lambda r: (r[0] or "", r[1] or "", r[2], r[3])
+        for (lo, hi, lo_i, hi_i), cw in sorted(
+            _clause_weights(p["ranges"], p["range_boosts"]).items(),
+            key=lambda kv: (kv[0][0] or "", kv[0][1] or "", kv[0][2], kv[0][3]),
         ):
             sql_lo = "NULL" if lo is None else "'{}'".format(lo.replace("'", "''"))
             sql_hi = "NULL" if hi is None else "'{}'".format(hi.replace("'", "''"))
             rg_rows.append(
-                f"({qid}, {sql_lo}, {sql_hi}, {str(lo_i).upper()}, {str(hi_i).upper()})"
+                f"({qid}, {sql_lo}, {sql_hi}, {str(lo_i).upper()}, "
+                f"{str(hi_i).upper()}, {float(cw)!r})"
             )
         counts, must_terms = syntax_scoring_weights(p, DEFAULT_PROFILE)
         for term, qtf in counts.items():
@@ -476,15 +511,15 @@ def query_syntax_sql(
     fexp_union = ""
     if fexp_rows:
         fexp_union += (
-            "UNION ALL\n    SELECT query_id, doc_id FROM (\n"
-            "      SELECT DISTINCT e.query_id, p.doc_id, e.cid\n"
+            "UNION ALL\n    SELECT query_id, doc_id, w FROM (\n"
+            "      SELECT DISTINCT e.query_id, p.doc_id, e.cid, e.w\n"
             "      FROM fexpv e JOIN fposi p ON e.query_id IS NOT NULL\n"
             "       AND p.fld = e.fld AND regexp_matches(p.term, e.pat))\n    "
         )
     if ffz_rows:
         fexp_union += (
-            "UNION ALL\n    SELECT query_id, doc_id FROM (\n"
-            "      SELECT DISTINCT z.query_id, p.doc_id, z.cid\n"
+            "UNION ALL\n    SELECT query_id, doc_id, w FROM (\n"
+            "      SELECT DISTINCT z.query_id, p.doc_id, z.cid, z.w\n"
             "      FROM ffzv z JOIN fposi p ON z.query_id IS NOT NULL\n"
             "       AND p.fld = z.fld AND levenshtein(p.term, z.word) <= z.dist)\n    "
         )
@@ -509,46 +544,46 @@ dlstat AS (
 dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 q(query_id, term, qtf, n_terms, k) AS (VALUES
     {vals(q_rows, 5)}),
-pref(query_id, prefix) AS (VALUES
-    {vals(pref_rows, 2)}),
+pref(query_id, prefix, w) AS (VALUES
+    {vals(pref_rows, 3)}),
 pref_exp AS (
-  SELECT p.query_id, d.term,
+  SELECT p.query_id, d.term, p.w,
          row_number() OVER (PARTITION BY p.query_id, p.prefix
                             ORDER BY d.df DESC, d.term ASC) AS rn
   FROM pref p JOIN dfs d ON starts_with(d.term, p.prefix)
   WHERE p.query_id IS NOT NULL
 ),
-fz(query_id, fterm, dist) AS (VALUES
-    {vals(fz_rows, 3)}),
+fz(query_id, fterm, dist, w) AS (VALUES
+    {vals(fz_rows, 4)}),
 fz_exp AS (
-  SELECT f.query_id, d.term,
+  SELECT f.query_id, d.term, f.w,
          row_number() OVER (PARTITION BY f.query_id, f.fterm, f.dist
                             ORDER BY d.df DESC, d.term ASC) AS rn
   FROM fz f JOIN dfs d ON levenshtein(d.term, f.fterm) <= f.dist
   WHERE f.query_id IS NOT NULL
 ),
-wc(query_id, pat) AS (VALUES
-    {vals(wc_rows, 2)}),
+wc(query_id, pat, w) AS (VALUES
+    {vals(wc_rows, 3)}),
 wc_exp AS (
-  SELECT w.query_id, d.term,
+  SELECT w.query_id, d.term, w.w,
          row_number() OVER (PARTITION BY w.query_id, w.pat
                             ORDER BY d.df DESC, d.term ASC) AS rn
   FROM wc w JOIN dfs d ON regexp_matches(d.term, w.pat)
   WHERE w.query_id IS NOT NULL
 ),
-rx(query_id, pat) AS (VALUES
-    {vals(rx_rows, 2)}),
+rx(query_id, pat, w) AS (VALUES
+    {vals(rx_rows, 3)}),
 rx_exp AS (
-  SELECT r.query_id, d.term,
+  SELECT r.query_id, d.term, r.w,
          row_number() OVER (PARTITION BY r.query_id, r.pat
                             ORDER BY d.df DESC, d.term ASC) AS rn
   FROM rx r JOIN dfs d ON regexp_matches(d.term, r.pat)
   WHERE r.query_id IS NOT NULL
 ),
-rg(query_id, lo, hi, lo_i, hi_i) AS (VALUES
-    {vals(rg_rows, 5)}),
+rg(query_id, lo, hi, lo_i, hi_i, w) AS (VALUES
+    {vals(rg_rows, 6)}),
 rg_exp AS (
-  SELECT r.query_id, d.term,
+  SELECT r.query_id, d.term, r.w,
          row_number() OVER (PARTITION BY r.query_id, r.lo, r.hi, r.lo_i, r.hi_i
                             ORDER BY d.df DESC, d.term ASC) AS rn
   FROM rg r JOIN dfs d
@@ -560,15 +595,15 @@ qm AS (
   SELECT query_id, term, sum(qtf)::DOUBLE AS qtf FROM (
     SELECT query_id, term, qtf FROM q WHERE query_id IS NOT NULL
     UNION ALL
-    SELECT query_id, term, 1 AS qtf FROM pref_exp WHERE rn <= {PREFIX_EXPANSION_LIMIT}
+    SELECT query_id, term, w AS qtf FROM pref_exp WHERE rn <= {PREFIX_EXPANSION_LIMIT}
     UNION ALL
-    SELECT query_id, term, 1 AS qtf FROM fz_exp WHERE rn <= {FUZZY_EXPANSION_LIMIT}
+    SELECT query_id, term, w AS qtf FROM fz_exp WHERE rn <= {FUZZY_EXPANSION_LIMIT}
     UNION ALL
-    SELECT query_id, term, 1 AS qtf FROM wc_exp WHERE rn <= {WILDCARD_EXPANSION_LIMIT}
+    SELECT query_id, term, w AS qtf FROM wc_exp WHERE rn <= {WILDCARD_EXPANSION_LIMIT}
     UNION ALL
-    SELECT query_id, term, 1 AS qtf FROM rg_exp WHERE rn <= {RANGE_EXPANSION_LIMIT}
+    SELECT query_id, term, w AS qtf FROM rg_exp WHERE rn <= {RANGE_EXPANSION_LIMIT}
     UNION ALL
-    SELECT query_id, term, 1 AS qtf FROM rx_exp WHERE rn <= {REGEXP_EXPANSION_LIMIT}
+    SELECT query_id, term, w AS qtf FROM rx_exp WHERE rn <= {REGEXP_EXPANSION_LIMIT}
   ) GROUP BY 1, 2
 ),
 scored AS (
@@ -583,12 +618,12 @@ scored AS (
 ),
 kq(query_id, k) AS (VALUES
     {vals(k_rows, 2)}),
-fieldc(query_id, fld, val) AS (VALUES
-    {vals(fld_rows, 3)}),
-fexpv(query_id, fld, pat, cid) AS (VALUES
-    {vals(fexp_rows, 4)}),
-ffzv(query_id, fld, word, dist, cid) AS (VALUES
-    {vals(ffz_rows, 5)}),
+fieldc(query_id, fld, val, w) AS (VALUES
+    {vals(fld_rows, 4)}),
+fexpv(query_id, fld, pat, cid, w) AS (VALUES
+    {vals(fexp_rows, 5)}),
+ffzv(query_id, fld, word, dist, cid, w) AS (VALUES
+    {vals(ffz_rows, 6)}),
 fposi AS (
   SELECT doc_id, 'path' AS fld, unnest(arr) AS term, generate_subscripts(arr, 1) AS p
   FROM (SELECT doc_id, regexp_split_to_array(
@@ -601,8 +636,8 @@ fposi AS (
   FROM (SELECT doc_id, regexp_split_to_array(lower(lang), '[^a-z0-9]+') AS arr FROM {table})
 ),
 fhit AS (
-  SELECT query_id, doc_id, count(*) AS nf FROM (
-    SELECT f.query_id, d.doc_id
+  SELECT query_id, doc_id, sum(w) AS nf FROM (
+    SELECT f.query_id, d.doc_id, f.w
     FROM fieldc f JOIN {table} d ON f.query_id IS NOT NULL AND (
          (f.fld = 'path' AND list_contains(
             regexp_split_to_array(lower(d.source || '/doc/' || d.doc_id), '[^a-z0-9]+'), f.val))

@@ -36,6 +36,18 @@ def test_parse_query():
         "field_prefixes": [],
         "field_wildcards": [],
         "field_fuzzies": [],
+        "phrase_boosts": [1.0],
+        "slop_phrase_boosts": [],
+        "field_boosts": [],
+        "field_phrase_boosts": [],
+        "prefix_boosts": [],
+        "wildcard_boosts": [],
+        "fuzzy_boosts": [],
+        "range_boosts": [],
+        "regexp_boosts": [],
+        "field_prefix_boosts": [],
+        "field_wildcard_boosts": [],
+        "field_fuzzy_boosts": [],
     }
     empty = parse_query("")
     assert all(
@@ -52,13 +64,20 @@ def test_parse_query_boosts():
     assert p["optional"] == ["merge", "scan", "plain"]
     assert p["opt_boosts"] == [2.0, 10.0, 1.0]
     assert p["required"] == ["table"] and p["req_boosts"] == [0.5]
-    # malformed / unsupported boosts: the word stays INTACT (boost 1.0)
-    # rather than silently degrading to a different clause type
-    for w in ("a^", "a^b", "a^-1", "pre*^2", "fz~^2", "a^2^3"):
+    # malformed boosts: the word stays INTACT (boost 1.0)
+    for w in ("a^", "a^b", "a^-1"):
         q = parse_query(w)
         assert q["optional"] == [w] and q["opt_boosts"] == [1.0], w
-    assert parse_query("pre*^2")["prefixes"] == []
-    assert parse_query("fz~^2")["fuzzies"] == []
+    # round 5: boosts apply to EVERY clause form — the base keeps its
+    # clause kind (previously pre*^2 degraded to a literal term)
+    q = parse_query("pre*^2")
+    assert q["prefixes"] == ["pre"] and q["prefix_boosts"] == [2.0]
+    q = parse_query("fz~^2")
+    assert q["fuzzies"] == [("fz", 1)] and q["fuzzy_boosts"] == [2.0]
+    # stacked boost: the trailing one wins as the clause boost, the
+    # rest stays part of the word
+    q = parse_query("a^2^3")
+    assert q["optional"] == ["a^2"] and q["opt_boosts"] == [3.0]
 
 
 def test_syntax_scoring_weights_boost_law():
@@ -267,9 +286,10 @@ def test_parse_query_wildcards():
         assert q["wildcards"] == [] and q["optional"] == [w], w
     # combined-operator words degrade without becoming wildcards
     assert parse_query("te?m~")["wildcards"] == []
+    # round 5: a trailing boost no longer hides the wildcard kind
     q = parse_query("a?b^2")
-    assert q["wildcards"] == [] and q["optional"] == ["a?b^2"]
-    assert q["opt_boosts"] == [1.0]  # boost bases exclude wildcards too
+    assert q["wildcards"] == ["a?b"] and q["wildcard_boosts"] == [2.0]
+    assert q["optional"] == []
 
 
 def test_wildcard_regex_law():
@@ -1472,3 +1492,78 @@ def test_search_after_syntax_identity(small_index, syn_corpus):
     want2 = full.iloc[10:20].reset_index(drop=True)
     assert list(page2.doc_id) == list(want2.doc_id)
     assert list(page2.score_q) == list(want2.score_q)
+
+
+def test_clause_boosts_all_forms_oracle_parity(spark, tmp_path):
+    """setBoost on EVERY clause form (phrase, slop phrase, field,
+    field phrase, field expansion, prefix/wildcard/fuzzy/range/regexp):
+    engine == DuckDB twin hash-identically; duplicate clauses' boosts
+    SUM (_clause_weights); boost on an excluded clause is inert."""
+    import duckdb
+
+    from org_rdkit_lucene_spark.config import IndexConfig
+    from org_rdkit_lucene_spark.operators.build import build_index
+    from org_rdkit_lucene_spark.operators.query import search_syntax
+    from org_rdkit_lucene_spark.oracle.sqlgen import query_syntax_sql
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "merge sort quick", "binary search tree", "merge conflict zone",
+                "hash map util", "sorted list merge", "tree walk search",
+            ],
+            "source": ["github", "gitlab", "github", "internal", "webcrawl", "github"],
+            "lang": ["python", "java", "python", "go", "rust", "java"],
+        }
+    )
+    corpus = spark.createDataFrame(docs).select(
+        F.col("source").alias("repo"),
+        F.concat_ws("/", F.col("source"), F.lit("doc"), F.col("doc_id")).alias("path"),
+        F.col("doc_id").cast("string").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        F.col("doc_id").alias("ext_id"),
+    )
+    cfg = IndexConfig(build_partitions=2, hot_term_df=50, n_salts=2)
+    idx = build_index(spark, corpus, cfg, str(tmp_path / "bo"), id_col="ext_id")
+    corpus_ids = corpus.withColumnRenamed("ext_id", "doc_id")
+    queries = [
+        (1, 'merge^3 tree', 10),
+        (2, 'mer*^2 search', 10),            # boosted prefix expansion
+        (3, 'merge repo:git*^2 lang:jav~^3', 10),  # boosted field expansions
+        (4, 'path:d?c^2 sort', 10),           # boosted field wildcard
+        (5, 'tre?^2 walk', 10),               # boosted content wildcard
+        (6, 'mergd~^2 quick', 10),            # boosted fuzzy
+        (7, '[sa TO sz]^2 hash', 10),         # boosted range
+        (8, 'sort^2 sort^3 merge', 10),       # duplicate boosts sum
+        (9, 'merge -quick^5', 10),            # boost on MUST_NOT inert
+        (10, 'lang:python^4 walk', 10),       # boosted field literal
+    ]
+    got = (
+        search_syntax(idx, corpus_ids, queries)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (
+        con.execute(query_syntax_sql(queries))
+        .df().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(got.query_id) == list(want.query_id)
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.score_q) == list(want.score_q)
+    assert len(got) > 0
+    # phrase boost pins its tokens at the boost: engine == twin again
+    pq = [(11, '"merge sort"^2 quick', 10), (12, '"sorted list"~1^3', 10)]
+    got2 = (
+        search_syntax(idx, corpus_ids, pq)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    want2 = (
+        con.execute(query_syntax_sql(pq))
+        .df().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(got2.doc_id) == list(want2.doc_id)
+    assert list(got2.score_q) == list(want2.score_q)
+    assert len(got2) > 0
