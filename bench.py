@@ -251,6 +251,27 @@ def run_level(
             qtimes["q_phrase_indexed"] = round(min(samples), 3)
             out["queries"] = qtimes
 
+            # one-pass build (round 5): build_index(with_positions=True)
+            # emits positions.parquet from the SAME tokenize pass as the
+            # flat runs — the saving vs (separate build + standalone
+            # build_positions, which re-tokenizes the corpus) is the
+            # verdict-#6 claim, so it carries a measured row
+            op_dir = tempfile.mkdtemp(prefix=f"bench_onepass_{cores}_")
+            t0 = time.time()
+            build_index(spark, corpus, cfg, op_dir, validate_pk=False,
+                        id_col="ext_id", with_positions=True)
+            one_pass_sec = round(time.time() - t0, 3)
+            shutil.rmtree(op_dir, ignore_errors=True)
+            qtimes["b_build_with_positions"] = one_pass_sec
+            csv_rows.append((cores, "b_build_with_positions", "onepass_build",
+                             0, round(one_pass_sec * 1000, 1), n_docs))
+            sep_sum = build_sec + qtimes["b_positions"]
+            out["one_pass"] = {
+                "combined_sec": one_pass_sec,
+                "separate_sum_sec": round(sep_sum, 3),
+                "saving_frac": round(1.0 - one_pass_sec / sep_sum, 3),
+            }
+
         # mixed CONCURRENT workload — the reference's actual benchmark
         # shape: a thread pool randomly interleaving FP/SS/MOL items
         # against one index (LuceneBenchmark.java:296-346, random pick
@@ -572,7 +593,7 @@ def main() -> None:
             (c, q, t, r + n_prev, w, h) for c, q, t, r, w, h in high2["csv_rows"]
         ]
         for key in ("queries", "query_total_sec", "query_p95_sec", "training_ops",
-                    "ann_recall", "mixed"):
+                    "ann_recall", "mixed", "one_pass"):
             if key in high:
                 high2[key] = high[key]
         high2["csv_rows"] = high["csv_rows"] + extra_rows
@@ -613,6 +634,7 @@ def main() -> None:
         "training_ops": high.get("training_ops", {}),
         "ann_recall": high.get("ann_recall", {}),
         "mixed": high.get("mixed", {}),
+        "one_pass": high.get("one_pass", {}),
         "scaling": scaling,
     }
 
@@ -659,6 +681,11 @@ LuceneBenchmark.java:296-346,395 — disjunctive/conjunctive/two-phase/
 large-k items, seeded-shuffled, 4 worker threads, one session; per-item
 p95 under contention vs the same items solo):
 {json.dumps(high.get("mixed", {}))}
+
+One-pass positions build (build_index(with_positions=True): the SPIMI
+tokenize pass also emits positions.parquet — no second corpus scan)
+vs separate build + re-tokenizing build_positions:
+{json.dumps(high.get("one_pass", {}))}
 
 Timed build preceded by an EXCLUDED small pilot build that absorbs
 JIT compilation + python worker spawn (the reference also excludes

@@ -50,6 +50,52 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_encode_segmented(
+    values: np.ndarray, counts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Encode MANY VByte segments in one vectorized pass.
+
+    ``values`` is the concatenation of every segment's non-negative
+    ints; ``counts[i]`` is segment i's value count. Returns
+    ``(buf, byte_offsets)`` where ``buf`` is the concatenated byte
+    stream and ``byte_offsets`` (int64, len = n_segments + 1) slices
+    it per segment — ``buf[byte_offsets[i]:byte_offsets[i+1]]`` is
+    bit-identical to ``varbyte_encode(segment_i)`` (VByte encodes each
+    value independently, so concatenation IS the segment encoding).
+    This is the run-file positions encoder: per-row Python encode of
+    millions of (term, doc) position lists would dominate the SPIMI
+    map stage."""
+    v = np.asarray(values, dtype=np.uint64)
+    c = np.asarray(counts, dtype=np.int64)
+    vstarts = np.zeros(c.size + 1, dtype=np.int64)
+    np.cumsum(c, out=vstarts[1:])
+    if v.size == 0:
+        return b"", np.zeros(c.size + 1, dtype=np.int64)
+    if values.min() < 0:
+        raise ValueError("varbyte_encode_segmented requires non-negative values")
+    nb = np.ones(v.size, dtype=np.int64)
+    threshold = np.uint64(128)
+    for _ in range(_MAX_VBYTE_LEN - 1):
+        mask = v >= threshold
+        if not mask.any():
+            break
+        nb += mask
+        if threshold >= np.uint64(1) << np.uint64(57):
+            break
+        threshold = threshold << np.uint64(7)
+    cum_nb = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=cum_nb[1:])
+    out = np.zeros(int(cum_nb[-1]), dtype=np.uint8)
+    starts = cum_nb[:-1]
+    for j in range(int(nb.max())):
+        mask = nb > j
+        idx = starts[mask] + j
+        payload = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nb[mask] - 1 > j).astype(np.uint8) << 7
+        out[idx] = payload.astype(np.uint8) | cont
+    return out.tobytes(), cum_nb[vstarts]
+
+
 def varbyte_decode(buf: bytes) -> np.ndarray:
     """Decode VByte bytes back to a uint64 array (vectorized)."""
     b = np.frombuffer(buf, dtype=np.uint8)

@@ -106,8 +106,8 @@ def assign_doc_ids(corpus: DataFrame, partitions: int = 32) -> DataFrame:
 def _make_spimi_fn(cfg: IndexConfig, with_positions: bool = False):
     """``with_positions``: the SAME tokenize pass also emits each
     (doc, term)'s ascending position list (the packed-positions law,
-    ``operators/positions.py::_make_packed_fn``) as a ``poss`` column
-    on the flat rows — positions.parquet is then derived from the
+    ``operators/positions.py::_make_packed_fn``) as a delta+VByte
+    ``poss_vb`` binary column on the flat rows — positions.parquet is then derived from the
     committed runs instead of re-tokenizing the corpus (round-4
     verdict #6: the separate positions build re-paid ~0.8× the index
     build's tokenize cost). ``read_flat`` projects the classic columns,
@@ -187,7 +187,7 @@ def _make_spimi_fn(cfg: IndexConfig, with_positions: bool = False):
                 }
             )
             if poss is not None:
-                out["poss"] = poss
+                out["poss_vb"] = poss
             yield out
 
     return spimi
@@ -200,7 +200,18 @@ def _group_positions(
     post-analysis stream — the packed-positions law (stable sort on the
     composite key keeps each list ascending, identical to
     ``positions._make_packed_fn``). Returns (sorted unique keys, tf
-    counts, poss object series aligned to the keys)."""
+    counts, poss_vb bytes series aligned to the keys): each list is
+    delta + VByte encoded (first value absolute) — the run-file
+    representation. An ``array<long>`` poss column measured 715 MB of
+    run files at 204k docs (vs ~250 MB without positions) and the
+    np.split into per-row object arrays dominated the map stage;
+    segmented VByte + zero-copy Arrow binary assembly cuts both."""
+    import pyarrow as pa
+
+    from org_rdkit_lucene_spark.functions.codecs import (
+        varbyte_encode_segmented,
+    )
+
     offs = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     pos = np.arange(len(doc_idx), dtype=np.int64) - offs[doc_idx]
@@ -210,8 +221,78 @@ def _group_positions(
     starts = np.concatenate(([0], bounds))
     uk = sk[starts]
     tf = np.diff(np.concatenate((starts, [len(sk)])))
-    poss = pd.Series(np.split(pos[order], bounds), dtype=object)
-    return uk, tf, poss
+    ps = pos[order]
+    # delta within each segment, first value absolute: lists ascend so
+    # deltas are non-negative and VByte-small
+    d = np.empty_like(ps)
+    d[1:] = ps[1:] - ps[:-1]
+    d[starts] = ps[starts]
+    buf, boffs = varbyte_encode_segmented(d, tf)
+    arr = pa.Array.from_buffers(  # zero-copy binary assembly
+        pa.binary(),
+        len(tf),
+        [None, pa.py_buffer(boffs.astype(np.int32)), pa.py_buffer(buf)],
+    )
+    # ArrowDtype keeps the column an Arrow buffer end-to-end — the
+    # pandas->Arrow hop in mapInPandas would otherwise materialize one
+    # Python bytes object per (doc, term) row
+    return uk, tf, pd.Series(arr, dtype=pd.ArrowDtype(pa.binary()))
+
+
+def _vb_decode_fn():
+    """mapInArrow decoder for the positions derive: sorted
+    (term, doc_id, poss_vb) batches -> packed (term, doc_id, poss)
+    batches. One vectorized VByte pass per batch
+    (:func:`codecs.varbyte_decode_many`) + segmented cumsum to undo the
+    per-list deltas + zero-copy ListArray assembly. Order-preserving,
+    so the upstream term-clustering sort survives to the parquet
+    row groups."""
+
+    def dec(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from org_rdkit_lucene_spark.functions.codecs import (
+            varbyte_decode_many,
+        )
+
+        out_schema = pa.schema(
+            [
+                pa.field("term", pa.string()),
+                pa.field("doc_id", pa.int64()),
+                pa.field("poss", pa.list_(pa.int64())),
+            ]
+        )
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            vb = rb.column(names.index("poss_vb"))
+            deltas, counts = varbyte_decode_many(vb.to_pylist())
+            n = len(counts)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            if deltas.size:
+                d = deltas.astype(np.int64)
+                csum = np.cumsum(d)
+                seg_starts = offsets[:-1]
+                base = csum[seg_starts] - d[seg_starts]
+                absv = csum - np.repeat(base, counts)
+            else:
+                absv = np.empty(0, dtype=np.int64)
+            la = pa.LargeListArray.from_arrays(
+                offsets, pa.array(absv, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(rb.column(names.index("term")), pa.string()),
+                    pc.cast(rb.column(names.index("doc_id")), pa.int64()),
+                    pc.cast(la, pa.list_(pa.int64())),
+                ],
+                schema=out_schema,
+            )
+
+    return dec
 
 
 def spark_parallelism(df: DataFrame) -> int:
@@ -253,7 +334,7 @@ def _flat_arrow(
         }
     )
     if poss is not None:
-        out["poss"] = poss
+        out["poss_vb"] = poss
     return out
 
 
@@ -383,7 +464,7 @@ def build_flat_runs(
         # the run files carry the packed position lists alongside the
         # flat rows (read_flat projects them away); positions.parquet
         # derives from the runs with no second tokenize pass
-        run_schema += ", poss array<long>"
+        run_schema += ", poss_vb binary"
     flat = src.mapInPandas(_make_spimi_fn(cfg, with_positions), schema=run_schema)
     flat.write.mode("overwrite").parquet(run_dir)
     elapsed = time.time() - t0
@@ -892,7 +973,7 @@ def _build_index_locked(
 
     # -- stage 1b: positions artifact from the committed runs (shared
     # tokenize pass — no second corpus scan). Idempotent like every
-    # stage; a resume whose earlier runs were written WITHOUT poss
+    # stage; a resume whose earlier runs were written WITHOUT poss_vb
     # falls back to the standalone re-tokenizing builder rather than
     # failing the build.
     if with_positions:
@@ -901,20 +982,27 @@ def _build_index_locked(
             t0 = time.time()
             run_dirs = flat_run_dirs(index_dir, manifest)
             have_poss = bool(run_dirs) and all(
-                "poss" in spark.read.parquet(d).columns for d in run_dirs
+                "poss_vb" in spark.read.parquet(d).columns for d in run_dirs
             )
             if have_poss:
                 pos = spark.read.parquet(*run_dirs).select(
-                    "term", "doc_id", "poss"
+                    "term", "doc_id", "poss_vb"
                 )
                 # 4x-task-slot partitions + term clustering + 8 MB row
                 # groups — the exact physical shape build_positions
-                # writes (its spill + pruning lessons)
+                # writes (its spill + pruning lessons). The VByte blobs
+                # ride the shuffle (~6x fewer bytes than array<long>
+                # rows); the decode to the packed array<long> artifact
+                # runs AFTER the sort, order-preserving, so the term
+                # clustering reaches the row groups.
                 n_pos_parts = max(
                     4 * spark.sparkContext.defaultParallelism, 8
                 )
                 pos.repartition(n_pos_parts, "term").sortWithinPartitions(
                     "term", "doc_id"
+                ).mapInArrow(
+                    _vb_decode_fn(),
+                    schema="term string, doc_id long, poss array<long>",
                 ).write.mode("overwrite").option(
                     "parquet.block.size", 8 * 1024 * 1024
                 ).parquet(pos_path)
