@@ -208,10 +208,6 @@ def _group_positions(
     segmented VByte + zero-copy Arrow binary assembly cuts both."""
     import pyarrow as pa
 
-    from org_rdkit_lucene_spark.functions.codecs import (
-        varbyte_encode_segmented,
-    )
-
     offs = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     pos = np.arange(len(doc_idx), dtype=np.int64) - offs[doc_idx]
@@ -221,78 +217,15 @@ def _group_positions(
     starts = np.concatenate(([0], bounds))
     uk = sk[starts]
     tf = np.diff(np.concatenate((starts, [len(sk)])))
-    ps = pos[order]
-    # delta within each segment, first value absolute: lists ascend so
-    # deltas are non-negative and VByte-small
-    d = np.empty_like(ps)
-    d[1:] = ps[1:] - ps[:-1]
-    d[starts] = ps[starts]
-    buf, boffs = varbyte_encode_segmented(d, tf)
-    arr = pa.Array.from_buffers(  # zero-copy binary assembly
-        pa.binary(),
-        len(tf),
-        [None, pa.py_buffer(boffs.astype(np.int32)), pa.py_buffer(buf)],
+    from org_rdkit_lucene_spark.operators.positions import (
+        vb_encode_positions,
     )
+
+    arr = vb_encode_positions(pos[order], tf)
     # ArrowDtype keeps the column an Arrow buffer end-to-end — the
     # pandas->Arrow hop in mapInPandas would otherwise materialize one
     # Python bytes object per (doc, term) row
     return uk, tf, pd.Series(arr, dtype=pd.ArrowDtype(pa.binary()))
-
-
-def _vb_decode_fn():
-    """mapInArrow decoder for the positions derive: sorted
-    (term, doc_id, poss_vb) batches -> packed (term, doc_id, poss)
-    batches. One vectorized VByte pass per batch
-    (:func:`codecs.varbyte_decode_many`) + segmented cumsum to undo the
-    per-list deltas + zero-copy ListArray assembly. Order-preserving,
-    so the upstream term-clustering sort survives to the parquet
-    row groups."""
-
-    def dec(batches):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        from org_rdkit_lucene_spark.functions.codecs import (
-            varbyte_decode_many,
-        )
-
-        out_schema = pa.schema(
-            [
-                pa.field("term", pa.string()),
-                pa.field("doc_id", pa.int64()),
-                pa.field("poss", pa.list_(pa.int64())),
-            ]
-        )
-        for rb in batches:
-            if rb.num_rows == 0:
-                continue
-            names = rb.schema.names
-            vb = rb.column(names.index("poss_vb"))
-            deltas, counts = varbyte_decode_many(vb.to_pylist())
-            n = len(counts)
-            offsets = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(counts, out=offsets[1:])
-            if deltas.size:
-                d = deltas.astype(np.int64)
-                csum = np.cumsum(d)
-                seg_starts = offsets[:-1]
-                base = csum[seg_starts] - d[seg_starts]
-                absv = csum - np.repeat(base, counts)
-            else:
-                absv = np.empty(0, dtype=np.int64)
-            la = pa.LargeListArray.from_arrays(
-                offsets, pa.array(absv, type=pa.int64())
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pc.cast(rb.column(names.index("term")), pa.string()),
-                    pc.cast(rb.column(names.index("doc_id")), pa.int64()),
-                    pc.cast(la, pa.list_(pa.int64())),
-                ],
-                schema=out_schema,
-            )
-
-    return dec
 
 
 def spark_parallelism(df: DataFrame) -> int:
@@ -998,10 +931,14 @@ def _build_index_locked(
                 n_pos_parts = max(
                     4 * spark.sparkContext.defaultParallelism, 8
                 )
+                from org_rdkit_lucene_spark.operators.positions import (
+                    vb_decode_fn,
+                )
+
                 pos.repartition(n_pos_parts, "term").sortWithinPartitions(
                     "term", "doc_id"
                 ).mapInArrow(
-                    _vb_decode_fn(),
+                    vb_decode_fn(),
                     schema="term string, doc_id long, poss array<long>",
                 ).write.mode("overwrite").option(
                     "parquet.block.size", 8 * 1024 * 1024

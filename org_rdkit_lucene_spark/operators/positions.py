@@ -63,7 +63,93 @@ def positions_view(df: DataFrame) -> DataFrame:
     return df.select(*others, F.explode("poss").alias("pos"))
 
 
-def _make_packed_fn(profile):
+PACKED_VB_SCHEMA = "term string, doc_id long, poss_vb binary"
+
+
+def vb_encode_positions(ps_sorted, counts):
+    """Zero-copy Arrow binary array of per-segment delta+VByte encoded
+    position lists. ``ps_sorted`` concatenates every (doc, term)'s
+    ascending positions; ``counts[i]`` is list i's length. First value
+    absolute, then gaps — non-negative and VByte-small since lists
+    ascend. Inverse: :func:`vb_decode_fn`."""
+    import numpy as np
+    import pyarrow as pa
+
+    from org_rdkit_lucene_spark.functions.codecs import (
+        varbyte_encode_segmented,
+    )
+
+    seg_starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=seg_starts[1:]) if len(counts) > 1 else None
+    d = np.empty_like(ps_sorted)
+    d[1:] = ps_sorted[1:] - ps_sorted[:-1]
+    d[seg_starts] = ps_sorted[seg_starts]
+    buf, boffs = varbyte_encode_segmented(d, counts)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(counts),
+        [None, pa.py_buffer(boffs.astype(np.int32)), pa.py_buffer(buf)],
+    )
+
+
+def vb_decode_fn():
+    """mapInArrow decoder: (term, doc_id, poss_vb) batches -> packed
+    (term, doc_id, poss) batches. One vectorized VByte pass per batch
+    (:func:`codecs.varbyte_decode_many`) + segmented cumsum to undo the
+    per-list deltas + zero-copy ListArray assembly. Order-preserving,
+    so an upstream term-clustering sort survives to the parquet row
+    groups — this is why writers shuffle the COMPACT vb rows and decode
+    after the sort (~6x fewer shuffle bytes than array<long> rows)."""
+
+    def dec(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from org_rdkit_lucene_spark.functions.codecs import (
+            varbyte_decode_many,
+        )
+
+        out_schema = pa.schema(
+            [
+                pa.field("term", pa.string()),
+                pa.field("doc_id", pa.int64()),
+                pa.field("poss", pa.list_(pa.int64())),
+            ]
+        )
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            vb = rb.column(names.index("poss_vb"))
+            deltas, counts = varbyte_decode_many(vb.to_pylist())
+            n = len(counts)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            if deltas.size:
+                d = deltas.astype(np.int64)
+                csum = np.cumsum(d)
+                seg_starts = offsets[:-1]
+                base = csum[seg_starts] - d[seg_starts]
+                absv = csum - np.repeat(base, counts)
+            else:
+                absv = np.empty(0, dtype=np.int64)
+            la = pa.LargeListArray.from_arrays(
+                offsets, pa.array(absv, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(rb.column(names.index("term")), pa.string()),
+                    pc.cast(rb.column(names.index("doc_id")), pa.int64()),
+                    pc.cast(la, pa.list_(pa.int64())),
+                ],
+                schema=out_schema,
+            )
+
+    return dec
+
+
+def _make_packed_fn(profile, vb: bool = False):
     """mapInArrow producer: (doc_id, content) record batches -> packed
     (term, doc_id, poss) batches. ASCII batches tokenize entirely in
     Arrow C++ kernels (the build kernel's fast path — no per-token
@@ -75,7 +161,12 @@ def _make_packed_fn(profile):
     51k docs and paid pandas→Arrow conversion per list (measured 22s
     → 12s map-side). Positions are 0-based ordinals over the
     POST-analysis stream (the slop-law stream), grouped per
-    (doc, term) with a stable sort so each list ascends."""
+    (doc, term) with a stable sort so each list ascends.
+
+    ``vb=True`` emits the lists as delta+VByte binary instead
+    (:func:`vb_encode_positions`, schema :data:`PACKED_VB_SCHEMA`) —
+    the writers' shuffle representation; :func:`vb_decode_fn` restores
+    the packed law exactly."""
     import numpy as np
     import pandas as pd
 
@@ -93,7 +184,9 @@ def _make_packed_fn(profile):
             [
                 pa.field("term", pa.string()),
                 pa.field("doc_id", pa.int64()),
-                pa.field("poss", pa.list_(pa.int64())),
+                pa.field("poss_vb", pa.binary())
+                if vb
+                else pa.field("poss", pa.list_(pa.int64())),
             ]
         )
         for rb in batches:
@@ -144,14 +237,20 @@ def _make_packed_fn(profile):
             g_doc = (uk // n_uniq).astype(np.int64)
             g_code = (uk % n_uniq).astype(np.int64)
             list_offsets = np.concatenate((starts, [len(sk)])).astype(np.int64)
-            poss_arr = pa.LargeListArray.from_arrays(
-                list_offsets, pa.array(pos[order], type=pa.int64())
-            )
+            if vb:
+                poss_col = vb_encode_positions(
+                    pos[order], np.diff(list_offsets)
+                )
+            else:
+                poss_arr = pa.LargeListArray.from_arrays(
+                    list_offsets, pa.array(pos[order], type=pa.int64())
+                )
+                poss_col = pc.cast(poss_arr, pa.list_(pa.int64()))
             yield pa.RecordBatch.from_arrays(
                 [
                     take_terms(g_code),
                     pa.array(doc_ids[g_doc], type=pa.int64()),
-                    pc.cast(poss_arr, pa.list_(pa.int64())),
+                    poss_col,
                 ],
                 schema=out_schema,
             )
@@ -177,6 +276,61 @@ def packed_positions_df(
     return src.mapInArrow(_make_packed_fn(prof), schema=PACKED_SCHEMA)
 
 
+def packed_vb_df(
+    corpus: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    profile=None,
+) -> DataFrame:
+    """The VByte form of :func:`packed_positions_df` — same rows, lists
+    encoded per :func:`vb_encode_positions`. Writers shuffle THIS frame
+    and decode after the term-clustering sort (:func:`vb_decode_fn`),
+    so the shuffle moves the compact blobs, not array<long> rows."""
+    from org_rdkit_lucene_spark.functions.tokenizer import DEFAULT_PROFILE
+
+    prof = profile or DEFAULT_PROFILE
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(content_col).cast("string").alias("content"),
+    )
+    return src.mapInArrow(_make_packed_fn(prof, vb=True), schema=PACKED_VB_SCHEMA)
+
+
+def write_packed_positions(
+    pos_df: DataFrame, out_path: str, min_parts: int = 8
+) -> None:
+    """The shared positions-artifact writer: term-clustered layout
+    (repartition + sortWithinPartitions on term — parquet row-group
+    min/max is the pruning unit), 4x-task-slot partition floor (the
+    SPIMI wave-smoothing + reducer-spill lessons: slot-count
+    partitions made reducer sorts spill super-linearly, 79s @204k ->
+    392s @510k), 8 MB row groups.
+
+    Accepts either the packed list form (``poss`` — written straight
+    from the JVM sorter) or the VByte form (``poss_vb`` — decoded
+    AFTER the sort via an order-preserving mapInArrow). The producers
+    choose: tokenizing builders emit lists (an interleaved A/B at 204k
+    measured the list pipeline 51s vs 72-91s for vb+decode — on one
+    box the reduce-side Python round trip of the decoded table costs
+    more than the local shuffle saves; on a real cluster with NETWORK
+    shuffle the ~6x byte reduction of :func:`packed_vb_df` is the
+    lever, which is why both forms stay supported); the one-pass index
+    build derives from run files that already carry vb."""
+    n_parts = max(
+        4 * pos_df.sparkSession.sparkContext.defaultParallelism, min_parts
+    )
+    clustered = pos_df.repartition(n_parts, "term").sortWithinPartitions(
+        "term", "doc_id"
+    )
+    if "poss_vb" in pos_df.columns:
+        clustered = clustered.mapInArrow(vb_decode_fn(), schema=PACKED_SCHEMA)
+    (
+        clustered.write.mode("overwrite")
+        .option("parquet.block.size", 8 * 1024 * 1024)
+        .parquet(out_path)
+    )
+
+
 def build_positions(
     spark: SparkSession,
     corpus: DataFrame,
@@ -192,7 +346,6 @@ def build_positions(
     path here accepts it; row-view consumers use positions_view)."""
     out = os.path.join(index_dir, POSITIONS_NAME)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        pos = packed_positions_df(corpus, content_col, id_col, profile)
         # TERM-CLUSTERED layout (same law as postings): written in
         # corpus order every row group would span most of the
         # vocabulary and the pushed `term = w` predicate could never
@@ -200,22 +353,9 @@ def build_positions(
         # table. Repartition+sort by term makes the parquet min/max
         # stats selective, so a phrase query reads only its words'
         # slices at any corpus size.
-        # 4x task slots (the SPIMI wave-smoothing lesson): slot-count
-        # partitions make each reducer sort ~250 MB at 500k docs and
-        # spill — measured super-linear build time (79s @204k ->
-        # 392s @510k); 4x keeps per-task sorts in memory and smooths
-        # the skewed-term wave
-        n_parts = max(4 * pos.sparkSession.sparkContext.defaultParallelism, 8)
-        pos = pos.repartition(n_parts, "term").sortWithinPartitions(
-            "term", "doc_id"
+        write_packed_positions(
+            packed_positions_df(corpus, content_col, id_col, profile), out
         )
-        # small row groups (8 MB vs the 128 MB default): row-group
-        # min/max on the sorted term column is the pruning unit — one
-        # giant row group per file makes the pushed term filter read
-        # the whole file
-        pos.write.mode("overwrite").option(
-            "parquet.block.size", 8 * 1024 * 1024
-        ).parquet(out)
     return spark.read.parquet(out)
 
 

@@ -81,6 +81,7 @@ from org_rdkit_lucene_spark.operators.positions import (
     POSITIONS_NAME,
     _as_packed as _as_packed_cols,
     packed_positions_df,
+    write_packed_positions,
 )
 
 FLAT_COLS = ["doc_id", "term", "tf", "dl"]
@@ -327,16 +328,14 @@ def _build_segment_locked(
         # slot-count partitions made reducer sorts spill super-linearly
         # at ~510k docs (round-4 advice — a large segment or compact
         # re-clusters the same-scale packed table)
-        pos_parts = max(
-            4 * ids.sparkSession.sparkContext.defaultParallelism, n_parts
+        write_packed_positions(
+            packed_positions_df(
+                ids, content_col="content", id_col="doc_id",
+                profile=cfg.tokenizer,
+            ),
+            os.path.join(seg_dir, POSITIONS_NAME),
+            min_parts=n_parts,
         )
-        packed_positions_df(
-            ids, content_col="content", id_col="doc_id", profile=cfg.tokenizer
-        ).repartition(pos_parts, "term").sortWithinPartitions(
-            "term", "doc_id"
-        ).write.mode("overwrite").option(
-            "parquet.block.size", 8 * 1024 * 1024
-        ).parquet(os.path.join(seg_dir, POSITIONS_NAME))
 
     tmp = os.path.join(seg_dir, "stats.json.tmp")
     with open(tmp, "w") as f:

@@ -76,3 +76,73 @@ def test_varbyte_decode_many_parity():
             assert (got == e).all()
             off += len(e)
     assert decode_ints_many([], "varbyte")[0].size == 0
+
+
+def test_varbyte_encode_segmented_parity():
+    """Segmented encode == per-segment varbyte_encode concatenation
+    (VByte encodes each value independently), including empty segments
+    and multi-byte values; varbyte_decode_many round-trips the slices."""
+    import numpy as np
+    from org_rdkit_lucene_spark.functions.codecs import (
+        varbyte_decode_many,
+        varbyte_encode,
+        varbyte_encode_segmented,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        n_seg = int(rng.integers(1, 40))
+        counts = rng.integers(0, 9, n_seg).astype(np.int64)
+        vals = rng.integers(
+            0, 1 << int(rng.integers(1, 40)), int(counts.sum())
+        ).astype(np.uint64)
+        buf, offs = varbyte_encode_segmented(vals, counts)
+        assert len(offs) == n_seg + 1 and offs[-1] == len(buf)
+        vs = np.concatenate(([0], np.cumsum(counts)))
+        for i in range(n_seg):
+            assert buf[offs[i] : offs[i + 1]] == varbyte_encode(
+                vals[vs[i] : vs[i + 1]]
+            )
+        dec, cnt = varbyte_decode_many(
+            [bytes(buf[offs[i] : offs[i + 1]]) for i in range(n_seg)]
+        )
+        assert (cnt == counts).all() and (dec == vals).all()
+    # all-empty and fully-empty edges
+    buf, offs = varbyte_encode_segmented(
+        np.empty(0, dtype=np.uint64), np.zeros(3, dtype=np.int64)
+    )
+    assert buf == b"" and offs.tolist() == [0, 0, 0, 0]
+
+
+def test_vb_positions_roundtrip_law():
+    """vb_encode_positions ∘ vb_decode_fn is the identity on packed
+    position lists — the writers' shuffle representation must restore
+    the packed law exactly (ascending lists, first value absolute,
+    gap deltas)."""
+    import numpy as np
+    import pyarrow as pa
+    from org_rdkit_lucene_spark.operators.positions import (
+        vb_decode_fn,
+        vb_encode_positions,
+    )
+
+    rng = np.random.default_rng(5)
+    lists = []
+    for _ in range(500):
+        n = int(rng.integers(1, 30))
+        ps = np.unique(rng.integers(0, 10_000, n)).astype(np.int64)
+        lists.append(ps)
+    counts = np.array([len(x) for x in lists], dtype=np.int64)
+    flat = np.concatenate(lists)
+    arr = vb_encode_positions(flat, counts)
+    rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array(["t%d" % i for i in range(len(lists))], pa.string()),
+            pa.array(np.arange(len(lists)), pa.int64()),
+            arr,
+        ],
+        names=["term", "doc_id", "poss_vb"],
+    )
+    (out,) = list(vb_decode_fn()([rb]))
+    got = out.column(2).to_pylist()
+    assert got == [x.tolist() for x in lists]
