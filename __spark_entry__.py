@@ -346,6 +346,28 @@ def _q_field_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_syntax(idx, None, FIELD_EXP_QUERIES)
 
 
+# field:[a TO b] (field TermRangeQuery) + field:/pat/ (field
+# RegexpQuery) — the last two field-clause forms, completing the
+# matrix (value, phrase, prefix, wildcard, fuzzy, range, regexp).
+# Bounds/patterns run over the FIELD token law; boosts multiply
+# FIELD_BOOST per matched clause.
+FIELD_RANGE_REGEXP_QUERIES = [
+    (93, "lang:[de TO es] merge", 10),
+    (94, "repo:{src1 TO src12] join", 10),
+    (95, "lang:/e(n|s)/ scan", 10),
+    (96, "path:/d.c/ -merge lang:[fr TO *]", 8),
+    (97, "lang:[de TO en]^2 repo:/src[0-9]/^3 hash", 10),
+]
+
+
+def _q_field_range_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field:[a TO b] / field:/pat/ — field-scoped TermRangeQuery and
+    RegexpQuery (QueryParser's remaining field-clause forms), same
+    single-docmeta-scan plan as the other field expansions."""
+    idx = _index_for(spark, sf_dir)
+    return search_syntax(idx, None, FIELD_RANGE_REGEXP_QUERIES)
+
+
 # searchAfter over the FULL syntax surface (paging is query-agnostic
 # in the reference collectors, SubstructureScoreDocCollector.java:
 # 97-160): page 2 of a mixed MUST/SHOULD/field-expansion query.
@@ -1476,7 +1498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_range_search": _q_range_search,
         "q1_sloppy_phrase": _q_sloppy_phrase,
         "q7_more_like_this": _q_more_like_this,
-        "q8_snippets": _q_snippets,
         "q1_boolean_search": _q_boolean_search,
         "q1_boolean_not": _q_boolean_not,
         "q1_boosted_search": _q_boosted_search,
@@ -1486,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_explain": _q_explain,
         "q1_sorted_by_field": _q_sorted_by_field,
         "q1_field_prefix": _q_field_prefix,
+        "q1_field_range_regexp": _q_field_range_regexp,
         "k5_search_after_syntax": _q_search_after_syntax,
         "a4_facet_counts": _q_facet_counts,
         "k5_search_after": _q_search_after,
@@ -1512,7 +1534,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_upsert_wand": _q_upsert_wand,
         "b_lexicon_top_df": _q_lexicon,
         "b_docmeta_sha256": _q_docmeta,
+        # q8_snippets moved out of the window to make room for
+        # q1_field_range_regexp: its snippet path is untouched in r5
+        # and it holds a fresh r4 hard row (rotation documented in
+        # SURVEY §13)
         "a4_hit_counts": _q_hit_counts,
+        "q8_snippets": _q_snippets,
         "td_importance_weights": _td_importance_weights,
         "b2_add_indexes": _q_add_indexes,
         "td_lm_perplexity": _td_lm_perplexity,
@@ -1729,6 +1756,9 @@ def oracle_sql() -> dict[str, str]:
         "b_positions_packed": sqlgen.positions_packed_stats_sql(25),
         "q1_field_phrase": sqlgen.query_syntax_sql(FIELD_PHRASE_QUERIES),
         "q1_field_prefix": sqlgen.query_syntax_sql(FIELD_EXP_QUERIES),
+        "q1_field_range_regexp": sqlgen.query_syntax_sql(
+            FIELD_RANGE_REGEXP_QUERIES
+        ),
         "k5_search_after_syntax": _page2_syntax_sql(),
         "q1_phrase_bm25": sqlgen.phrase_bm25_sql(PHRASE_QUERIES),
         "b1_phrase_positions_segmented": sqlgen.phrase_positions_sql(

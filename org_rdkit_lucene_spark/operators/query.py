@@ -733,8 +733,12 @@ _WILDCARD_RE = _re.compile(r'^[^\s*?~:^"][^\s~:^"]*$')
 # [a TO b] / {a TO b} term ranges (TermRangeQuery through the parser's
 # bracket syntax; TO must be uppercase, per Lucene). Bounds are plain
 # words or * (open end) — extracted in a pre-pass because they span
-# whitespace.
+# whitespace. An optional field: prefix scopes the range to the FIELD
+# token stream (QueryParser's field:[a TO b] TermRangeQuery form); a
+# leading +/- on the field form is CONSUMED and ignored, matching the
+# SHOULD-only law of every other field clause.
 _RANGE_RE = _re.compile(
+    r'(?:[+-]?\b(repo|path|lang):)?'
     r'([\[{])([^\s"{}\[\]]+)\s+TO\s+([^\s"{}\[\]]+)([\]}])'
     r"(?:\^(\d+(?:\.\d+)?))?"
 )
@@ -849,7 +853,19 @@ def parse_query(text: str) -> dict:
     ``ChemicalIndex.java:482-485``): matched over the FIELD token law,
     SHOULD-only, one FIELD_BOOST per matched clause —
     field_prefixes = [(fld, prefix)], field_wildcards = [(fld, pat)],
-    field_fuzzies = [(fld, word, dist)]. NOTE: ALL field-clause forms
+    field_fuzzies = [(fld, word, dist)].
+    ``field:[a TO b]`` / ``field:{a TO b}`` is a FIELD-SCOPED RANGE
+    (QueryParser's field TermRangeQuery form, extracted in the same
+    pre-pass as content ranges): a doc matches when ANY token of the
+    FIELD's token stream is lexicographically within the bounds —
+    field_ranges = [(fld, lo, hi, lo_incl, hi_incl)], ``*`` an open
+    end, ``field:[* TO *]`` inert. ``field:/pat/`` is a FIELD-SCOPED
+    REGEXP (RegexpQuery on the field): the pattern must pass the same
+    portable-subset validation as content ``/pat/`` clauses (else the
+    word degrades to a field literal) and is full-token-anchored.
+    Both are SHOULD-only with one boost×FIELD_BOOST per matched
+    clause, completing the field-clause matrix (value, phrase, prefix,
+    wildcard, fuzzy, range, regexp). NOTE: ALL field-clause forms
     (value, phrase, expansion) are SHOULD-only — a leading ``+``/``-``
     is consumed by the clause and ignored (the documented narrowing of
     QueryParser's required/prohibited field clauses; ``-path:"a b"``
@@ -859,6 +875,7 @@ def parse_query(text: str) -> dict:
            "ranges": [], "slop_phrases": [], "req_boosts": [], "opt_boosts": [],
            "regexps": [], "field_phrases": [], "field_prefixes": [],
            "field_wildcards": [], "field_fuzzies": [],
+           "field_ranges": [], "field_regexps": [],
            # parallel per-clause boost lists (1.0 unboosted) — the
            # setBoost surface now covers EVERY clause form; duplicate
            # clauses' boosts SUM downstream (_clause_weights), matching
@@ -867,16 +884,22 @@ def parse_query(text: str) -> dict:
            "field_phrase_boosts": [], "prefix_boosts": [],
            "wildcard_boosts": [], "fuzzy_boosts": [], "range_boosts": [],
            "regexp_boosts": [], "field_prefix_boosts": [],
-           "field_wildcard_boosts": [], "field_fuzzy_boosts": []}
+           "field_wildcard_boosts": [], "field_fuzzy_boosts": [],
+           "field_range_boosts": [], "field_regexp_boosts": []}
 
     def _take_range(m: "_re.Match") -> str:
-        lo = None if m.group(2) == "*" else m.group(2).lower()
-        hi = None if m.group(3) == "*" else m.group(3).lower()
+        fld = m.group(1)
+        lo = None if m.group(3) == "*" else m.group(3).lower()
+        hi = None if m.group(4) == "*" else m.group(4).lower()
         if lo is not None or hi is not None:  # [* TO *] is inert
-            out["ranges"].append(
-                (lo, hi, m.group(1) == "[", m.group(4) == "]")
-            )
-            out["range_boosts"].append(float(m.group(5) or 1.0))
+            lo_i, hi_i = m.group(2) == "[", m.group(5) == "]"
+            boost = float(m.group(6) or 1.0)
+            if fld:  # field:[a TO b] — TermRangeQuery on the FIELD
+                out["field_ranges"].append((fld, lo, hi, lo_i, hi_i))
+                out["field_range_boosts"].append(boost)
+            else:
+                out["ranges"].append((lo, hi, lo_i, hi_i))
+                out["range_boosts"].append(boost)
         return " "
 
     def _take_field_group(m: "_re.Match") -> str:
@@ -934,7 +957,15 @@ def parse_query(text: str) -> dict:
             # these branches the value became a field literal that can
             # never match a field token (the round-4 field-phrase bug
             # class).
-            if (raw.endswith("*") and len(raw) > 1 and "*" not in raw[:-1]
+            if (len(raw) > 2 and raw.startswith("/") and raw.endswith("/")
+                    and _valid_regexp_clause(raw[1:-1].lower())):
+                # field:/pat/ — RegexpQuery on the FIELD (checked
+                # before the wildcard branch: the slashes pass
+                # _WILDCARD_RE's charset, and a '*'/'?' INSIDE the
+                # slashes is regexp syntax, not wildcard syntax)
+                out["field_regexps"].append((fld, raw[1:-1].lower()))
+                out["field_regexp_boosts"].append(boost)
+            elif (raw.endswith("*") and len(raw) > 1 and "*" not in raw[:-1]
                     and "?" not in raw):
                 out["field_prefixes"].append((fld, raw[:-1].lower()))
                 out["field_prefix_boosts"].append(boost)
@@ -1305,12 +1336,17 @@ def _field_hits(
     field-scoped PhraseQuery surface: words adjacent (or within the
     span-law window under slop) in the FIELD's token stream, one
     FIELD_BOOST per matched clause, same as field:value.
-    ``field_exp_rows`` = [(query_id, fld, kind, rx, word, dist, w)] —
-    the field-scoped Prefix/Wildcard/FuzzyQuery surface
-    (MultiFieldQueryParser's per-field rewrite): a clause matches when
-    ANY token of the FIELD's token stream matches the anchored pattern
-    (kind='rx', shared ``wildcard_regex`` law) or is within edit
-    distance ``dist`` of ``word`` (kind='fz'). Evaluated as ONE
+    ``field_exp_rows`` = [(query_id, fld, kind, payload, w)] — the
+    field-scoped Prefix/Wildcard/Regexp/Fuzzy/RangeQuery surface
+    (MultiFieldQueryParser's per-field rewrite plus QueryParser's
+    field range/regexp forms): a clause matches when ANY token of the
+    FIELD's token stream matches the anchored pattern (kind='rx',
+    payload=(pattern,) — shared ``wildcard_regex``/``regexp_regex``
+    laws), is within edit distance of the word (kind='fz',
+    payload=(word, dist)), or falls lexicographically within the
+    bounds (kind='rg', payload=(lo, hi, lo_incl, hi_incl), None an
+    open end — TermRangeQuery's law; field tokens are [a-z0-9]+ so
+    code-point order is unambiguous across engines). Evaluated as ONE
     docmeta scan with per-clause literal predicates folded into a
     compact array→explode (no per-clause rescans, no UDF, patterns
     stay foldable for codegen).
@@ -1336,10 +1372,25 @@ def _field_hits(
                 F.abs(F.length(t) - F.lit(len(word))) <= F.lit(dist)
             ) & (F.levenshtein(t, F.lit(word)) <= F.lit(dist))
 
+        def _rg_pred(lo, hi, lo_i, hi_i):
+            def pred(t):
+                conds = []
+                if lo is not None:
+                    conds.append(t >= F.lit(lo) if lo_i else t > F.lit(lo))
+                if hi is not None:
+                    conds.append(t <= F.lit(hi) if hi_i else t < F.lit(hi))
+                c = conds[0]  # [* TO *] was dropped at parse time
+                for extra in conds[1:]:
+                    c = c & extra
+                return c
+
+            return pred
+
+        _PREDS = {"rx": _rx_pred, "fz": _fz_pred, "rg": _rg_pred}
         slots = []
-        for qid, fld, kind, rx, word, dist, w in field_exp_rows:
+        for qid, fld, kind, payload, w in field_exp_rows:
             arr = tok(fld)
-            pred = _rx_pred(rx) if kind == "rx" else _fz_pred(word, dist)
+            pred = _PREDS[kind](*payload)
             slots.append(
                 F.when(
                     F.exists(arr, pred),
@@ -1463,7 +1514,7 @@ def search_syntax(
     slop_rows: list[tuple[int, str, int]] = []
     field_rows: list[tuple[int, str, str, float]] = []
     fp_rows: list[tuple[int, str, list[str], int, float]] = []
-    fexp_rows: list[tuple[int, str, str, str, str, int, float]] = []
+    fexp_rows: list[tuple[int, str, str, tuple, float]] = []
     for qid, text, k in queries:
         p = parsed[qid]
         for (fld, val), b in zip(p["fields"], p["field_boosts"]):
@@ -1472,16 +1523,25 @@ def search_syntax(
             fp_rows.append((qid, fld, _field_phrase_words(val), int(s), float(b)))
         # field-scoped expansion clauses share the anchored
         # wildcard_regex law with the content-side rewrites (a prefix
-        # is the wildcard 'p*'); fuzzies carry (word, dist) for the
-        # levenshtein law
+        # is the wildcard 'p*', a field regexp the same regexp_regex
+        # anchoring as /pat/); fuzzies carry (word, dist) for the
+        # levenshtein law, ranges their bounds for the lexicographic
+        # law. Rows are (qid, fld, kind, payload, w) — payload shape
+        # is per-kind, consumed driver-side by _field_hits.
         for (fld, pfx), b in zip(p["field_prefixes"], p["field_prefix_boosts"]):
             fexp_rows.append(
-                (qid, fld, "rx", wildcard_regex(pfx + "*"), "", 0, float(b))
+                (qid, fld, "rx", (wildcard_regex(pfx + "*"),), float(b))
             )
         for (fld, pat), b in zip(p["field_wildcards"], p["field_wildcard_boosts"]):
-            fexp_rows.append((qid, fld, "rx", wildcard_regex(pat), "", 0, float(b)))
+            fexp_rows.append((qid, fld, "rx", (wildcard_regex(pat),), float(b)))
+        for (fld, pat), b in zip(p["field_regexps"], p["field_regexp_boosts"]):
+            fexp_rows.append((qid, fld, "rx", (regexp_regex(pat),), float(b)))
         for (fld, w, d), b in zip(p["field_fuzzies"], p["field_fuzzy_boosts"]):
-            fexp_rows.append((qid, fld, "fz", "", w, d, float(b)))
+            fexp_rows.append((qid, fld, "fz", (w, d), float(b)))
+        for (fld, lo, hi, li, hi_i), b in zip(
+            p["field_ranges"], p["field_range_boosts"]
+        ):
+            fexp_rows.append((qid, fld, "rg", (lo, hi, li, hi_i), float(b)))
         # boost-aware qtf law, shared with the SQL twin
         counts, must_terms = syntax_scoring_weights(p, prof)
         # each distinct expansion clause adds its SUMMED boost (1.0 per

@@ -321,8 +321,9 @@ def query_syntax_sql(
     q_rows, must_rows, mreq_rows, ex_rows, ph_rows, phn_rows = [], [], [], [], [], []
     fld_rows, k_rows, pref_rows, fz_rows, wc_rows, rg_rows = [], [], [], [], [], []
     rx_rows: list[str] = []
-    fexp_rows: list[str] = []  # field-scoped prefix/wildcard (anchored rx)
+    fexp_rows: list[str] = []  # field-scoped prefix/wildcard/regexp (anchored rx)
     ffz_rows: list[str] = []  # field-scoped fuzzy (word, dist)
+    frg_rows: list[str] = []  # field-scoped range (lo, hi, incl flags)
     fexp_cid = 0
     sp_blocks: list[str] = []
     spn_rows: list[str] = []
@@ -429,12 +430,32 @@ def query_syntax_sql(
                     qid, fld, _sqlq(wildcard_regex(pat)), fexp_cid, float(fb)
                 )
             )
+        for (fld, pat), fb in zip(p["field_regexps"], p["field_regexp_boosts"]):
+            fexp_cid += 1
+            fexp_rows.append(
+                "({}, '{}', '{}', {}, {!r})".format(
+                    qid, fld, _sqlq(regexp_regex(pat)), fexp_cid, float(fb)
+                )
+            )
         for (fld, w, d), fb in zip(p["field_fuzzies"], p["field_fuzzy_boosts"]):
             fexp_cid += 1
             ffz_rows.append(
                 "({}, '{}', '{}', {}, {}, {!r})".format(
                     qid, fld, _sqlq(w), d, fexp_cid, float(fb)
                 )
+            )
+        # field:[a TO b] — lexicographic bounds over the fposi stream
+        # (TermRangeQuery on the field; field tokens are [a-z0-9]+ so
+        # code-point order agrees between Spark and DuckDB)
+        for (fld, lo, hi, lo_i, hi_i), fb in zip(
+            p["field_ranges"], p["field_range_boosts"]
+        ):
+            fexp_cid += 1
+            sql_lo = "NULL" if lo is None else f"'{_sqlq(lo)}'"
+            sql_hi = "NULL" if hi is None else f"'{_sqlq(hi)}'"
+            frg_rows.append(
+                f"({qid}, '{fld}', {sql_lo}, {sql_hi}, {str(lo_i).upper()}, "
+                f"{str(hi_i).upper()}, {fexp_cid}, {float(fb)!r})"
             )
         # distinct clause → SUMMED boost (the engine's _clause_weights
         # law — duplicate clauses' contributions sum, 1.0 unboosted)
@@ -522,6 +543,15 @@ def query_syntax_sql(
             "      SELECT DISTINCT z.query_id, p.doc_id, z.cid, z.w\n"
             "      FROM ffzv z JOIN fposi p ON z.query_id IS NOT NULL\n"
             "       AND p.fld = z.fld AND levenshtein(p.term, z.word) <= z.dist)\n    "
+        )
+    if frg_rows:
+        fexp_union += (
+            "UNION ALL\n    SELECT query_id, doc_id, w FROM (\n"
+            "      SELECT DISTINCT r.query_id, p.doc_id, r.cid, r.w\n"
+            "      FROM frgv r JOIN fposi p ON r.query_id IS NOT NULL\n"
+            "       AND p.fld = r.fld\n"
+            "       AND (r.lo IS NULL OR p.term > r.lo OR (r.lo_i AND p.term = r.lo))\n"
+            "       AND (r.hi IS NULL OR p.term < r.hi OR (r.hi_i AND p.term = r.hi)))\n    "
         )
     head = f"WITH {extra_cte},\ntok AS" if extra_cte else "WITH tok AS"
     return f"""
@@ -624,6 +654,8 @@ fexpv(query_id, fld, pat, cid, w) AS (VALUES
     {vals(fexp_rows, 5)}),
 ffzv(query_id, fld, word, dist, cid, w) AS (VALUES
     {vals(ffz_rows, 6)}),
+frgv(query_id, fld, lo, hi, lo_i, hi_i, cid, w) AS (VALUES
+    {vals(frg_rows, 8)}),
 fposi AS (
   SELECT doc_id, 'path' AS fld, unnest(arr) AS term, generate_subscripts(arr, 1) AS p
   FROM (SELECT doc_id, regexp_split_to_array(

@@ -36,6 +36,8 @@ def test_parse_query():
         "field_prefixes": [],
         "field_wildcards": [],
         "field_fuzzies": [],
+        "field_ranges": [],
+        "field_regexps": [],
         "phrase_boosts": [1.0],
         "slop_phrase_boosts": [],
         "field_boosts": [],
@@ -48,6 +50,8 @@ def test_parse_query():
         "field_prefix_boosts": [],
         "field_wildcard_boosts": [],
         "field_fuzzy_boosts": [],
+        "field_range_boosts": [],
+        "field_regexp_boosts": [],
     }
     empty = parse_query("")
     assert all(
@@ -1346,6 +1350,38 @@ def test_parse_field_expansions():
     assert p["field_fuzzies"] == [("lang", "py", 2)]
 
 
+def test_parse_field_ranges_and_regexps():
+    """field:[a TO b] (field TermRangeQuery) and field:/pat/ (field
+    RegexpQuery) complete the field-clause matrix — previously the
+    range left a dangling 'path:' token and the regexp became a
+    never-matching field literal."""
+    from org_rdkit_lucene_spark.operators.query import parse_query
+
+    p = parse_query("path:[abc TO util] -lang:{a TO c}^2 x repo:[m TO *}")
+    assert p["field_ranges"] == [
+        ("path", "abc", "util", True, True),
+        ("lang", "a", "c", False, False),
+        ("repo", "m", None, True, False),
+    ]
+    assert p["field_range_boosts"] == [1.0, 2.0, 1.0]
+    assert p["optional"] == ["x"]  # the '-' sign was consumed
+    assert p["excluded"] == [] and p["ranges"] == []
+    # field:[* TO *] is inert, like the content form
+    q = parse_query("path:[* TO *] alpha")
+    assert q["field_ranges"] == [] and q["optional"] == ["alpha"]
+    # field regexp: portable-subset patterns parse, invalid ones
+    # degrade to a field literal (same law as content /pat/)
+    r = parse_query("path:/ut.l/ lang:/py(thon)?/^3 repo:/bad(/")
+    assert r["field_regexps"] == [("path", "ut.l"), ("lang", "py(thon)?")]
+    assert r["field_regexp_boosts"] == [1.0, 3.0]
+    assert r["fields"] == [("repo", "/bad(/")]
+    # content ranges and regexps are untouched by the field forms
+    s = parse_query("[a TO m] /sc.n/")
+    assert s["ranges"] == [("a", "m", True, True)]
+    assert s["regexps"] == ["sc.n"]
+    assert s["field_ranges"] == [] and s["field_regexps"] == []
+
+
 def test_field_phrase_sign_consumed():
     """-path:"a b" / +path:"a b": the sign is CONSUMED by the pre-pass
     (all field-clause forms are SHOULD-only, documented) — no stray
@@ -1406,6 +1442,21 @@ def test_field_expansion_law(spark, tmp_path):
     out = search_syntax(idx, None, [(5, "doc3 repo:orgy*", 10)]).toPandas()
     assert sorted(out.doc_id) == [3]
     assert int(out.score_q.iloc[0]) > unit
+    # field range: lang tokens in [go TO java] — go (3), java (1);
+    # exclusive upper {go TO java} drops java
+    out = search_syntax(idx, None, [(6, "lang:[go TO java]", 10)]).toPandas()
+    assert sorted(out.doc_id) == [1, 3]
+    out = search_syntax(idx, None, [(7, "lang:[go TO java}", 10)]).toPandas()
+    assert sorted(out.doc_id) == [3]
+    # open upper bound: path tokens >= utility (doc 0 'utility')
+    out = search_syntax(idx, None, [(8, "path:[utility TO *]", 10)]).toPandas()
+    assert 0 in set(out.doc_id)
+    # field regexp: anchored full-token law — /utilit./ matches
+    # 'utility' (doc 0) but NOT 'util' (doc 2)
+    out = search_syntax(idx, None, [(9, "path:/utilit./", 10)]).toPandas()
+    assert sorted(out.doc_id) == [0]
+    out = search_syntax(idx, None, [(10, "lang:/(python|go)/", 10)]).toPandas()
+    assert sorted(out.doc_id) == [0, 2, 3]
 
 
 def test_field_expansion_oracle_parity(spark, tmp_path):
@@ -1446,6 +1497,9 @@ def test_field_expansion_oracle_parity(spark, tmp_path):
         (1, "merge repo:git* lang:jav~", 10),
         (2, "path:d?c lang:pyth~2 tree", 10),
         (3, "repo:inter* repo:web*", 10),
+        (4, "lang:[go TO python} sort repo:{git TO gitlab]", 10),
+        (5, "lang:/ja.a/ path:/doc/ -tree", 10),
+        (6, 'lang:[java TO rust]^2 repo:/git(hub)?/^3 merge', 10),
     ]
     got = (
         search_syntax(idx, None, queries)
