@@ -66,6 +66,8 @@ from org_rdkit_lucene_spark.operators.query import (
     search_name_or_key,
     search_syntax,
     search_two_phase,
+    search_grouped,
+    suggest_terms,
 )
 from org_rdkit_lucene_spark.operators.wand import search_wand
 from org_rdkit_lucene_spark.oracle import sqlgen
@@ -386,6 +388,49 @@ def _q_search_after_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, None, [(qid, text, k)],
         after={qid: (last["score_q"], last["doc_id"])},
     )
+
+
+# Grouped top-k (Lucene grouping module, TopGroupsCollector law):
+# k counts GROUPS; groups rank by their head doc (score_q DESC, group
+# ASC), docs inside a group by the K2 law, group_limit docs per group.
+# lang has 5 values in the documents table, so k=3 exercises real
+# group truncation; 103 is the zero-hit case.
+GROUPED_QUERIES = [
+    (101, "merge join spark", 3),
+    (102, "hash table scan", 2),
+    (103, "zzzmissingterm", 3),
+]
+
+
+def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped search — one docmeta join for the group key on the BM25
+    candidate stream, then a per-(query, group) rank window (MORE
+    partitions than the plain rank) and a metadata-sized head window.
+    No collect, no UDF."""
+    idx = _index_for(spark, sf_dir)
+    return search_grouped(idx, GROUPED_QUERIES, "lang", group_limit=2)
+
+
+# Spell suggestion (Lucene suggest module, DirectSpellChecker law):
+# top-k lexicon terms within 2 edits, (dist ASC, df DESC, term ASC),
+# the word itself excluded. Misspellings of high-df corpus vocabulary
+# plus one nothing-within-distance word.
+SUGGEST_WORDS = [
+    ("mrge", 5),
+    ("jion", 4),
+    ("scann", 3),
+    ("qury", 4),
+    ("zzzzzzzz", 3),
+]
+
+
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-word union of pushed lexicon scans with a length-band
+    prefilter and JVM levenshtein inside codegen, truncated Spark-side
+    (TakeOrderedAndProject) — nothing lexicon-sized reaches the
+    driver, and the result stays a DataFrame."""
+    idx = _index_for(spark, sf_dir)
+    return suggest_terms(idx, SUGGEST_WORDS)
 
 
 def _q_positions_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1497,7 +1542,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_regexp_search": _q_regexp_search,
         "q1_range_search": _q_range_search,
         "q1_sloppy_phrase": _q_sloppy_phrase,
-        "q7_more_like_this": _q_more_like_this,
         "q1_boolean_search": _q_boolean_search,
         "q1_boolean_not": _q_boolean_not,
         "q1_boosted_search": _q_boosted_search,
@@ -1508,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_sorted_by_field": _q_sorted_by_field,
         "q1_field_prefix": _q_field_prefix,
         "q1_field_range_regexp": _q_field_range_regexp,
+        "q10_grouped_topk": _q_grouped_topk,
+        "q11_suggest_terms": _q_suggest,
         "k5_search_after_syntax": _q_search_after_syntax,
         "a4_facet_counts": _q_facet_counts,
         "k5_search_after": _q_search_after,
@@ -1518,7 +1564,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_phrase_positions": _q1_phrase_positions,
         "q1_phrase_bm25": _q1_phrase_bm25,
         "q1_slop_positions": _q1_slop_positions,
-        "q7_term_vectors": _q7_term_vectors,
         "k6_max_scores": _q_max_scores,
         "b_positions_packed": _q_positions_packed,
         "q1_field_phrase": _q_field_phrase,
@@ -1534,6 +1579,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_upsert_wand": _q_upsert_wand,
         "b_lexicon_top_df": _q_lexicon,
         "b_docmeta_sha256": _q_docmeta,
+        # q10_grouped_topk / q11_suggest_terms took the last two window
+        # slots; q7_more_like_this and q7_term_vectors moved here —
+        # both hold fresh r4 hard rows and their functions are
+        # untouched in r5 (rotation documented in SURVEY §13)
+        "q7_more_like_this": _q_more_like_this,
+        "q7_term_vectors": _q7_term_vectors,
         # q8_snippets moved out of the window to make room for
         # q1_field_range_regexp: its snippet path is untouched in r5
         # and it holds a fresh r4 hard row (rotation documented in
@@ -1760,6 +1811,10 @@ def oracle_sql() -> dict[str, str]:
             FIELD_RANGE_REGEXP_QUERIES
         ),
         "k5_search_after_syntax": _page2_syntax_sql(),
+        "q10_grouped_topk": sqlgen.grouped_topk_sql(
+            GROUPED_QUERIES, "lang", group_limit=2
+        ),
+        "q11_suggest_terms": sqlgen.suggest_sql(SUGGEST_WORDS),
         "q1_phrase_bm25": sqlgen.phrase_bm25_sql(PHRASE_QUERIES),
         "b1_phrase_positions_segmented": sqlgen.phrase_positions_sql(
             SEGPOS_QUERIES,

@@ -2325,3 +2325,134 @@ def search_auto(
     if est >= WAND_ROUTE_MIN_CANDIDATES:
         return search_wand(index, queries, mode=mode)
     return search(index, queries, mode=mode)
+
+
+def search_grouped(
+    index: InvertedIndex,
+    queries: list[tuple[int, str, int]],
+    group_field: str = "lang",
+    group_limit: int = 3,
+    mode: str = "disjunctive",
+) -> DataFrame:
+    """Grouped top-k — the Lucene grouping-module analog
+    (``TopGroupsCollector``: reference users run it alongside
+    ``ChemicalIndex``'s searches to collapse hits per source). Each
+    query's k counts GROUPS, not docs: groups are ranked by their most
+    relevant doc (head score_q DESC, group value ASC on ties) and each
+    group carries its top ``group_limit`` docs under the K2 tie law
+    (score_q DESC, doc_id ASC).
+
+    Plan shape: the BM25 candidate stream joins docmeta once for the
+    group key (the same candidates×docmeta join ``search_sorted``
+    already pays), then two windows — per-(query, group) doc ranking,
+    whose partition count is naturally n_queries × n_groups (MORE
+    parallel than the plain per-query rank), and a metadata-sized
+    group-head ranking over one row per group. No collect, no UDF."""
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    out_schema = (
+        "query_id int, group_rank int, grp string, "
+        "hit_rank int, doc_id long, score_q long"
+    )
+    if len(qterms) == 0:
+        return index.spark.createDataFrame([], out_schema)
+    scored, _ = _bm25_scored(index, qterms)
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    elif mode != "disjunctive":
+        raise ValueError(f"unknown mode {mode!r}")
+    dec = index.cfg.bm25.score_decimals
+    # the group key is lowercased — the same normalization every other
+    # metadata-field law uses, and the SQL twin mirrors it
+    dm = index.docmeta.select("doc_id", F.lower(F.col(group_field)).alias("grp"))
+    hits = (
+        scored.join(dm, "doc_id")
+        .withColumn("score_q", _quantize(F.col("score_raw"), dec))
+        .withColumn(
+            "hit_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id", "grp").orderBy(
+                    F.desc("score_q"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("hit_rank") <= F.lit(int(group_limit)))
+        .select("query_id", "grp", "hit_rank", "doc_id", "score_q", "k")
+    )
+    heads = (
+        hits.filter(F.col("hit_rank") == 1)
+        .withColumn(
+            "group_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("score_q"), F.asc("grp")
+                )
+            ),
+        )
+        .filter(F.col("group_rank") <= F.col("k"))
+        .select("query_id", "grp", "group_rank")
+    )
+    return (
+        hits.join(heads, ["query_id", "grp"])
+        .select(
+            F.col("query_id").cast("int"),
+            F.col("group_rank").cast("int"),
+            "grp",
+            F.col("hit_rank").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score_q").cast("long"),
+        )
+        .orderBy("query_id", "group_rank", "hit_rank")
+    )
+
+
+def suggest_terms(
+    index: InvertedIndex,
+    words: list[tuple[str, int]],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Spell suggestion — the Lucene suggest/spellchecker analog
+    (``DirectSpellChecker.suggestSimilar``): for each (word, k), the
+    top-k lexicon terms within edit distance ``max_dist`` of the word
+    (the word itself excluded), ranked by (dist ASC, df DESC, term
+    ASC) — closest first, popularity breaks distance ties.
+
+    Plan shape: one union of per-word branches over the metadata-scale
+    lexicon; each branch is a pushed scan + cheap length-band
+    prefilter + JVM ``levenshtein`` inside codegen, truncated
+    Spark-side by TakeOrderedAndProject (the `_lexicon_topn` law) — at
+    a 10⁸-term lexicon nothing word-count-independent ever reaches the
+    driver, and the result stays a DataFrame."""
+    out_schema = "word string, rank int, term string, dist int, df long"
+    uniq = sorted({(w.lower(), int(k)) for w, k in words if w})
+    if not uniq:
+        return index.spark.createDataFrame([], out_schema)
+    lex = index.lexicon.select("term", "df")
+    uni = None
+    for w, k in uniq:
+        branch = (
+            lex.filter(
+                (F.abs(F.length("term") - F.lit(len(w))) <= F.lit(max_dist))
+                & (F.col("term") != F.lit(w))
+                & (F.levenshtein(F.col("term"), F.lit(w)) <= F.lit(max_dist))
+            )
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(w)))
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(int(k))
+            .select(F.lit(w).alias("word"), "term", "dist", "df")
+        )
+        uni = branch if uni is None else uni.unionAll(branch)
+    ranked = uni.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("word").orderBy(
+                F.asc("dist"), F.desc("df"), F.asc("term")
+            )
+        ),
+    )
+    return ranked.select(
+        "word",
+        F.col("rank").cast("int"),
+        "term",
+        F.col("dist").cast("int"),
+        F.col("df").cast("long"),
+    ).orderBy("word", "rank")

@@ -2642,3 +2642,96 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, CAST(rnk AS INTEGER) AS rank,
        vec_id::BIGINT AS vec_id, cos_q
 FROM ranked WHERE rnk <= {int(k)} ORDER BY query_id, rank"""
+
+
+# docmeta group columns as the documents-table expressions the entry
+# index is built over (repo <- source, path <- source/doc/doc_id,
+# lang <- lang — the same mapping the field-clause CTEs use)
+_GROUP_EXPRS = {
+    "lang": "lower(d.lang)",
+    "repo": "lower(d.source)",
+}
+
+
+def grouped_topk_sql(
+    queries: list[tuple[int, str, int]],
+    group_field: str = "lang",
+    group_limit: int = 3,
+    mode: str = "disjunctive",
+    table: str = "documents",
+) -> str:
+    """Twin of ``query.search_grouped`` (Lucene grouping-module
+    analog): k counts GROUPS, groups rank by their head doc's score_q
+    (ties: group value ASC), docs within a group by the K2 law."""
+    expr = _GROUP_EXPRS[group_field]
+    flt = "WHERE n_matched = n_terms" if mode == "conjunctive" else ""
+    return (
+        _bm25_ctes(queries, table=table)
+        + f""",
+gsc AS (
+  SELECT s.query_id, s.doc_id, s.k,
+         CAST(floor(s.score_raw * {_QUANT} + 0.5) AS BIGINT) AS score_q,
+         {expr} AS grp
+  FROM (SELECT * FROM scored {flt}) s JOIN {table} d USING (doc_id)
+),
+ghits AS (
+  SELECT query_id, doc_id, k, score_q, grp,
+         row_number() OVER (PARTITION BY query_id, grp
+                            ORDER BY score_q DESC, doc_id ASC) AS hit_rank
+  FROM gsc
+),
+gheads AS (
+  SELECT query_id, grp, k,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, grp ASC) AS group_rank
+  FROM ghits WHERE hit_rank = 1
+)
+SELECT CAST(g.query_id AS INTEGER) AS query_id,
+       CAST(h.group_rank AS INTEGER) AS group_rank,
+       g.grp AS grp,
+       CAST(g.hit_rank AS INTEGER) AS hit_rank,
+       CAST(g.doc_id AS BIGINT) AS doc_id,
+       g.score_q AS score_q
+FROM ghits g
+JOIN gheads h ON g.query_id = h.query_id AND g.grp = h.grp
+WHERE h.group_rank <= h.k AND g.hit_rank <= {int(group_limit)}
+ORDER BY query_id, group_rank, hit_rank"""
+    )
+
+
+def suggest_sql(
+    words: list[tuple[str, int]],
+    max_dist: int = 2,
+    table: str = "documents",
+    profile: TokenizerProfile = DEFAULT_PROFILE,
+) -> str:
+    """Twin of ``query.suggest_terms`` (Lucene DirectSpellChecker
+    analog): per word, top-k dictionary terms within ``max_dist``
+    edits (the word itself excluded), by (dist ASC, df DESC, term
+    ASC) — all-integer ordering, no float law needed."""
+    toks = duckdb_tokens_sql("text", profile)
+    uniq = sorted({(w.lower(), int(k)) for w, k in words if w})
+    rows = [
+        "('{}', {})".format(w.replace("'", "''"), k) for w, k in uniq
+    ] or ["(NULL, NULL)"]
+    vals = ",\n    ".join(rows)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM {table}),
+tf AS (SELECT doc_id, term FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+w(word, k) AS (VALUES
+    {vals}),
+cand AS (
+  SELECT w.word, d.term, levenshtein(d.term, w.word) AS dist, d.df, w.k,
+         row_number() OVER (PARTITION BY w.word
+                            ORDER BY levenshtein(d.term, w.word) ASC,
+                                     d.df DESC, d.term ASC) AS rnk
+  FROM w JOIN dfs d
+    ON w.word IS NOT NULL
+   AND abs(length(d.term) - length(w.word)) <= {int(max_dist)}
+   AND d.term <> w.word
+   AND levenshtein(d.term, w.word) <= {int(max_dist)}
+)
+SELECT word, CAST(rnk AS INTEGER) AS rank, term,
+       CAST(dist AS INTEGER) AS dist, df
+FROM cand WHERE rnk <= k ORDER BY word, rank"""

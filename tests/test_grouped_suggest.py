@@ -1,0 +1,111 @@
+"""Lucene grouping-module and suggest-module analogs:
+``search_grouped`` (TopGroupsCollector law — groups ranked by their
+head doc, K2 law inside a group) and ``suggest_terms``
+(DirectSpellChecker.suggestSimilar law — dist ASC, df DESC, term ASC,
+the word itself excluded). Engine == DuckDB twin on both."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from org_rdkit_lucene_spark.config import IndexConfig
+from org_rdkit_lucene_spark.operators.build import build_index
+from org_rdkit_lucene_spark.operators.query import search, search_grouped, suggest_terms
+from org_rdkit_lucene_spark.oracle import sqlgen
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": range(8),
+        "text": [
+            "merge sort quick", "binary search tree", "merge conflict",
+            "hash map util", "sorted list merge", "tree walk",
+            "merge merge tree", "hash tree scan",
+        ],
+        "source": [
+            "github", "gitlab", "github", "internal",
+            "webcrawl", "github", "gitlab", "internal",
+        ],
+        "lang": ["python", "java", "python", "go", "rust", "java", "go", "python"],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def gs_index(spark, tmp_path_factory):
+    corpus = spark.createDataFrame(DOCS).select(
+        F.col("source").alias("repo"),
+        F.concat_ws("/", "source", F.lit("doc"), "doc_id").alias("path"),
+        F.col("doc_id").cast("string").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+        F.col("doc_id").alias("ext_id"),
+    )
+    return build_index(
+        spark,
+        corpus,
+        IndexConfig(build_partitions=2, hot_term_df=50, n_salts=2),
+        str(tmp_path_factory.mktemp("gsidx")),
+        id_col="ext_id",
+    )
+
+
+def test_grouped_topk_law(gs_index):
+    out = (
+        search_grouped(gs_index, [(1, "merge tree", 3)], "lang", group_limit=2)
+        .toPandas()
+    )
+    # groups rank by their head doc's score; docs inside a group by
+    # (score_q DESC, doc_id ASC); no group exceeds group_limit rows
+    assert out.groupby("grp").size().max() <= 2
+    heads = out[out.hit_rank == 1].sort_values("group_rank")
+    assert list(heads.score_q) == sorted(heads.score_q, reverse=True)
+    for _, g in out.groupby("grp"):
+        gg = g.sort_values("hit_rank")
+        assert list(gg.score_q) == sorted(gg.score_q, reverse=True)
+    # k bounds the number of GROUPS, not docs
+    assert out.group_rank.max() <= 3
+    # every returned doc actually matches the disjunctive query (same
+    # candidate set as plain search with a large k)
+    full = search(gs_index, [(1, "merge tree", 100)]).toPandas()
+    assert set(out.doc_id) <= set(full.doc_id)
+
+
+def test_grouped_topk_oracle_parity(gs_index):
+    queries = [(1, "merge tree", 2), (2, "hash scan", 3), (3, "absentterm", 2)]
+    got = search_grouped(gs_index, queries, "lang", group_limit=2).toPandas()
+    con = duckdb.connect()
+    con.register("documents", DOCS)
+    want = con.execute(sqlgen.grouped_topk_sql(queries, "lang", 2)).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) > 0
+    # repo grouping rides the same law
+    got = search_grouped(gs_index, queries[:2], "repo", group_limit=1).toPandas()
+    want = con.execute(sqlgen.grouped_topk_sql(queries[:2], "repo", 1)).df()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_suggest_law(gs_index):
+    out = suggest_terms(gs_index, [("mrge", 5), ("tre", 4)]).toPandas()
+    # closest-first: dist is non-decreasing down each word's ranking,
+    # df breaks distance ties descending, the input word never appears
+    for w, g in out.groupby("word"):
+        gg = g.sort_values("rank")
+        assert list(gg.dist) == sorted(gg.dist)
+        assert w not in set(gg.term)
+    assert ("mrge", "merge") in set(zip(out.word, out.term))
+    # k caps per-word suggestions
+    assert out[out.word == "tre"].shape[0] <= 4
+    # unknown word with nothing within max_dist yields no rows
+    empty = suggest_terms(gs_index, [("zzzzzzzz", 5)]).toPandas()
+    assert len(empty) == 0
+
+
+def test_suggest_oracle_parity(gs_index):
+    words = [("mrge", 5), ("scann", 3), ("tre", 4), ("hsah", 2)]
+    got = suggest_terms(gs_index, words).toPandas()
+    con = duckdb.connect()
+    con.register("documents", DOCS)
+    want = con.execute(sqlgen.suggest_sql(words)).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) > 0

@@ -200,3 +200,14 @@ def test_field_phrase_plan_jvm_only_no_content(spark, tmp_path):
     assert "content" not in plan
     assert audit.count_nodes(df, "BatchEvalPython") == 0
     assert audit.count_nodes(df, "CartesianProduct") == 0
+    # the full field-expansion matrix (prefix/wildcard/fuzzy/range/
+    # regexp) rides the same single-docmeta-scan law: pure Catalyst,
+    # no content column, no Python evaluator
+    df = search_syntax(
+        idx, None,
+        [(2, "path:util* repo:o?gx lang:py~ path:[a TO m] lang:/p./ alpha", 5)],
+    )
+    plan = audit.physical_plan(df)
+    assert "content" not in plan
+    assert audit.count_nodes(df, "BatchEvalPython") == 0
+    assert audit.count_nodes(df, "CartesianProduct") == 0
