@@ -2378,9 +2378,28 @@ def search_grouped(
         .filter(F.col("hit_rank") <= F.lit(int(group_limit)))
         .select("query_id", "grp", "hit_rank", "doc_id", "score_q", "k")
     )
+    # Group heads: ONE row per (query, group). At a high-cardinality
+    # group field (repo at web scale: 10⁷ groups) the global head
+    # ranking would funnel every group through a single window task —
+    # the same hazard the K1 local-top-k stage solves for docs. The
+    # same fix is exact here: a query's global top-k head is a
+    # fortiori in its partition's top-k, so a partition-local rank
+    # (partitioned by (query_id, current partition)) prunes the global
+    # window's input to parts×k rows per query. Built-in ops only; the
+    # pid assignment is non-deterministic but any partition-local
+    # top-k superset contains the global top-k, and the global window
+    # re-ranks exactly.
+    heads = hits.filter(F.col("hit_rank") == 1).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("query_id", "pid").orderBy(
+        F.desc("score_q"), F.asc("grp")
+    )
+    heads = heads.withColumn("lrank", F.row_number().over(local_w)).filter(
+        F.col("lrank") <= F.col("k")
+    )
     heads = (
-        hits.filter(F.col("hit_rank") == 1)
-        .withColumn(
+        heads.withColumn(
             "group_rank",
             F.row_number().over(
                 Window.partitionBy("query_id").orderBy(
