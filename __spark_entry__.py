@@ -67,6 +67,7 @@ from org_rdkit_lucene_spark.operators.query import (
     search_syntax,
     search_two_phase,
     search_grouped,
+    suggest_completions,
     suggest_terms,
 )
 from org_rdkit_lucene_spark.operators.wand import search_wand
@@ -431,6 +432,26 @@ def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver, and the result stays a DataFrame."""
     idx = _index_for(spark, sf_dir)
     return suggest_terms(idx, SUGGEST_WORDS)
+
+
+# Completion suggester (AnalyzingSuggester law: prefix completions
+# weighted by df, term ASC ties; a term equal to the prefix is a
+# legal completion). One-letter prefix exercises the wide-slice
+# truncation; "zz" the zero-completion case.
+COMPLETION_PREFIXES = [
+    ("me", 5),
+    ("s", 4),
+    ("wind", 3),
+    ("zz", 3),
+]
+
+
+def _q_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-prefix pushed lexicon scans (StringStartsWith reaches the
+    parquet filter) truncated Spark-side — at most k rows leave each
+    branch regardless of lexicon size."""
+    idx = _index_for(spark, sf_dir)
+    return suggest_completions(idx, COMPLETION_PREFIXES)
 
 
 def _q_positions_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1548,12 +1569,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_boosted_clauses": _q_boosted_clauses,
         "t3_trigram_search": _q_trigram_search,
         "t3_identifiers_lexicon": _q_identifiers_lexicon,
-        "q9_explain": _q_explain,
         "q1_sorted_by_field": _q_sorted_by_field,
         "q1_field_prefix": _q_field_prefix,
         "q1_field_range_regexp": _q_field_range_regexp,
         "q10_grouped_topk": _q_grouped_topk,
         "q11_suggest_terms": _q_suggest,
+        "q11_suggest_completions": _q_completions,
         "k5_search_after_syntax": _q_search_after_syntax,
         "a4_facet_counts": _q_facet_counts,
         "k5_search_after": _q_search_after,
@@ -1579,12 +1600,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_upsert_wand": _q_upsert_wand,
         "b_lexicon_top_df": _q_lexicon,
         "b_docmeta_sha256": _q_docmeta,
-        # q10_grouped_topk / q11_suggest_terms took the last two window
-        # slots; q7_more_like_this and q7_term_vectors moved here —
-        # both hold fresh r4 hard rows and their functions are
-        # untouched in r5 (rotation documented in SURVEY §13)
+        # q10_grouped_topk / q11_suggest_terms / q11_suggest_completions
+        # took three window slots; q7_more_like_this, q7_term_vectors
+        # and q9_explain moved here — all hold fresh r4 hard rows and
+        # their functions are untouched in r5 (rotation documented in
+        # SURVEY §13)
         "q7_more_like_this": _q_more_like_this,
         "q7_term_vectors": _q7_term_vectors,
+        "q9_explain": _q_explain,
         # q8_snippets moved out of the window to make room for
         # q1_field_range_regexp: its snippet path is untouched in r5
         # and it holds a fresh r4 hard row (rotation documented in
@@ -1815,6 +1838,9 @@ def oracle_sql() -> dict[str, str]:
             GROUPED_QUERIES, "lang", group_limit=2
         ),
         "q11_suggest_terms": sqlgen.suggest_sql(SUGGEST_WORDS),
+        "q11_suggest_completions": sqlgen.suggest_completions_sql(
+            COMPLETION_PREFIXES
+        ),
         "q1_phrase_bm25": sqlgen.phrase_bm25_sql(PHRASE_QUERIES),
         "b1_phrase_positions_segmented": sqlgen.phrase_positions_sql(
             SEGPOS_QUERIES,

@@ -2475,3 +2475,49 @@ def suggest_terms(
         F.col("dist").cast("int"),
         F.col("df").cast("long"),
     ).orderBy("word", "rank")
+
+
+def suggest_completions(
+    index: InvertedIndex,
+    prefixes: list[tuple[str, int]],
+) -> DataFrame:
+    """Prefix autocomplete — the Lucene AnalyzingSuggester analog
+    (suggest module: completions weighted by a popularity field; here
+    the weight is df, the classic dictionary-from-index setup): for
+    each (prefix, k), the top-k lexicon terms starting with the prefix,
+    ranked by (df DESC, term ASC). The prefix itself is a legal
+    completion when it is a term.
+
+    Plan shape: per-prefix union branches over the metadata-scale
+    lexicon, each a pushed scan (``startswith`` plans as a
+    StringStartsWith parquet filter — the Spark analog of Lucene
+    seeking a term-dictionary range) truncated Spark-side by
+    TakeOrderedAndProject (the ``_lexicon_topn`` law); at a 10⁸-term
+    lexicon a one-letter prefix never ships its slice anywhere — at
+    most k rows leave each branch, and the result stays a DataFrame."""
+    out_schema = "prefix string, rank int, term string, df long"
+    uniq = sorted({(p.lower(), int(k)) for p, k in prefixes if p})
+    if not uniq:
+        return index.spark.createDataFrame([], out_schema)
+    lex = index.lexicon.select("term", "df")
+    uni = None
+    for p, k in uniq:
+        branch = (
+            lex.filter(F.col("term").startswith(p))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(k))
+            .select(F.lit(p).alias("prefix"), "term", "df")
+        )
+        uni = branch if uni is None else uni.unionAll(branch)
+    ranked = uni.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+        ),
+    )
+    return ranked.select(
+        "prefix",
+        F.col("rank").cast("int"),
+        "term",
+        F.col("df").cast("long"),
+    ).orderBy("prefix", "rank")

@@ -2735,3 +2735,36 @@ cand AS (
 SELECT word, CAST(rnk AS INTEGER) AS rank, term,
        CAST(dist AS INTEGER) AS dist, df
 FROM cand WHERE rnk <= k ORDER BY word, rank"""
+
+
+def suggest_completions_sql(
+    prefixes: list[tuple[str, int]],
+    table: str = "documents",
+    profile: TokenizerProfile = DEFAULT_PROFILE,
+) -> str:
+    """Twin of ``query.suggest_completions`` (Lucene AnalyzingSuggester
+    analog): per prefix, top-k dictionary terms starting with the
+    prefix, by (df DESC, term ASC) — the prefix itself is a legal
+    completion when it is a term."""
+    toks = duckdb_tokens_sql("text", profile)
+    uniq = sorted({(p.lower(), int(k)) for p, k in prefixes if p})
+    rows = [
+        "('{}', {})".format(p.replace("'", "''"), k) for p, k in uniq
+    ] or ["(NULL, NULL)"]
+    vals = ",\n    ".join(rows)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM {table}),
+tf AS (SELECT doc_id, term FROM tok GROUP BY 1, 2),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+w(prefix, k) AS (VALUES
+    {vals}),
+cand AS (
+  SELECT w.prefix, d.term, d.df, w.k,
+         row_number() OVER (PARTITION BY w.prefix
+                            ORDER BY d.df DESC, d.term ASC) AS rnk
+  FROM w JOIN dfs d
+    ON w.prefix IS NOT NULL
+   AND starts_with(d.term, w.prefix)
+)
+SELECT prefix, CAST(rnk AS INTEGER) AS rank, term, df
+FROM cand WHERE rnk <= k ORDER BY prefix, rank"""

@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 
 from org_rdkit_lucene_spark.config import IndexConfig
 from org_rdkit_lucene_spark.operators.build import build_index
-from org_rdkit_lucene_spark.operators.query import search, search_grouped, suggest_terms
+from org_rdkit_lucene_spark.operators.query import (
+    search,
+    search_grouped,
+    suggest_completions,
+    suggest_terms,
+)
 from org_rdkit_lucene_spark.oracle import sqlgen
 
 DOCS = pd.DataFrame(
@@ -107,5 +112,26 @@ def test_suggest_oracle_parity(gs_index):
     con = duckdb.connect()
     con.register("documents", DOCS)
     want = con.execute(sqlgen.suggest_sql(words)).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) > 0
+
+
+def test_completion_law_and_parity(gs_index):
+    prefixes = [("s", 3), ("me", 2), ("tr", 4), ("zzz", 3)]
+    got = suggest_completions(gs_index, prefixes).toPandas()
+    # every completion starts with its prefix; df non-increasing down
+    # each ranking (term ASC breaks df ties); k caps per-prefix rows
+    for p, g in got.groupby("prefix"):
+        gg = g.sort_values("rank")
+        assert all(t.startswith(p) for t in gg.term)
+        assert list(gg.df) == sorted(gg.df, reverse=True)
+    assert got[got.prefix == "s"].shape[0] <= 3
+    assert "zzz" not in set(got.prefix)
+    # a term that IS the prefix is a legal completion
+    exact = suggest_completions(gs_index, [("merge", 1)]).toPandas()
+    assert list(exact.term) == ["merge"]
+    con = duckdb.connect()
+    con.register("documents", DOCS)
+    want = con.execute(sqlgen.suggest_completions_sql(prefixes)).df()
     assert got.values.tolist() == want.values.tolist()
     assert len(got) > 0
