@@ -55,6 +55,7 @@ from org_rdkit_lucene_spark.operators.multimodal import (
 from org_rdkit_lucene_spark.operators.query import (
     explain_scores,
     facet_counts,
+    range_facet_counts,
     hit_counts,
     max_scores,
     search_sorted,
@@ -185,6 +186,41 @@ def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_counts(
         _index_for(spark, sf_dir), DISJ_QUERIES, facet_col="lang"
     ).orderBy("query_id", "facet")
+
+
+# numeric facet buckets over docmeta.doc_len (Lucene LongRangeFacetCounts
+# law: [lo, hi) half-open, buckets may overlap — "all" overlaps every
+# other bucket on purpose — and empty buckets emit 0)
+DL_RANGES = [
+    ("short", 0, 60),
+    ("mid", 60, 180),
+    ("long", 180, 1 << 30),
+    ("all", 0, 1 << 30),
+]
+
+
+def _q_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 range facets: matching docs per doc_len bucket per query."""
+    return range_facet_counts(
+        _index_for(spark, sf_dir), DISJ_QUERIES, DL_RANGES
+    ).orderBy("query_id", "facet")
+
+
+def _q_classic_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 pluggable similarity: ClassicSimilarity (TF-IDF) top-k."""
+    return search(_index_for(spark, sf_dir), DISJ_QUERIES, similarity="classic")
+
+
+def _q_lmdirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 pluggable similarity: LMDirichlet (µ=2000) top-k."""
+    return search(
+        _index_for(spark, sf_dir), DISJ_QUERIES, similarity="lmdirichlet"
+    )
+
+
+def _q_boolean_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 pluggable similarity: BooleanSimilarity (coverage-ranked)."""
+    return search(_index_for(spark, sf_dir), DISJ_QUERIES, similarity="boolean")
 
 
 def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1576,6 +1612,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_suggest_terms": _q_suggest,
         "q11_suggest_completions": _q_completions,
         "k5_search_after_syntax": _q_search_after_syntax,
+        # --- round-5 session 4: pluggable similarities + range facets.
+        # These ride _bm25_scored, which changed this session (cf in the
+        # lexicon slice, similarity branch), so they sit inside the
+        # first-50 window; the displacement pushes b1_natural_key_upsert,
+        # b1_upsert_wand, b_lexicon_top_df and b_docmeta_sha256 out —
+        # deliberate: all four carry fresh r04 hard rows and none of
+        # their code paths changed this session (upsert/lexicon/docmeta
+        # are untouched; the segmented entries at the very front keep
+        # incremental.py gated).
+        "a3_classic_similarity": _q_classic_similarity,
+        "a3_lmdirichlet": _q_lmdirichlet,
+        "a3_boolean_similarity": _q_boolean_similarity,
+        "a4_range_facets": _q_range_facets,
         "a4_facet_counts": _q_facet_counts,
         "k5_search_after": _q_search_after,
         "q3_name_search": _q_name_search,
@@ -1700,6 +1749,10 @@ def oracle_sql() -> dict[str, str]:
         "q5_bm25_conjunctive": sqlgen.bm25_topk_sql(CONJ_QUERIES, "conjunctive"),
         "q6_two_phase_verify": sqlgen.two_phase_sql(PHRASE_QUERIES),
         "a4_hit_counts": sqlgen.hit_counts_sql(DISJ_QUERIES),
+        "a3_classic_similarity": sqlgen.similarity_topk_sql(DISJ_QUERIES, "classic"),
+        "a3_lmdirichlet": sqlgen.similarity_topk_sql(DISJ_QUERIES, "lmdirichlet"),
+        "a3_boolean_similarity": sqlgen.similarity_topk_sql(DISJ_QUERIES, "boolean"),
+        "a4_range_facets": sqlgen.range_facet_counts_sql(DISJ_QUERIES, DL_RANGES),
         "a4_facet_counts": sqlgen.facet_counts_sql(DISJ_QUERIES, facet_col="lang"),
         "k5_search_after": _page2_sql(),
         "b_lexicon_top_df": sqlgen.lexicon_sql(30),

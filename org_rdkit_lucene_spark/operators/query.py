@@ -142,7 +142,10 @@ _SCORED_SCHEMA_MT = _SCORED_SCHEMA + ", mt array<string>"
 
 
 def _bm25_scored(
-    index: InvertedIndex, qterms: pd.DataFrame, with_matched: bool = False
+    index: InvertedIndex,
+    qterms: pd.DataFrame,
+    with_matched: bool = False,
+    sim=None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """(query_id, doc_id, score_raw, n_matched) for all candidate docs,
     plus driver-side CANDIDATE-COUNT upper bounds derived from the same
@@ -159,13 +162,19 @@ def _bm25_scored(
     of two — measured ~10% off the whole scored stage. A query term
     absent from the lexicon drops here exactly as the inner lexicon
     join dropped it (and conjunctive still can't match: n_terms counts
-    the FULL query term set)."""
+    the FULL query term set).
+
+    ``sim`` (None = the engine-default BM25 expression, kept INLINE so
+    the default path's plan is byte-for-byte what it always was) plugs
+    a :class:`~..functions.similarity.Similarity`: its driver law adds
+    the broadcast constants, its executor law replaces the contrib
+    expression — nothing else in the stream changes."""
     spark = index.spark
     p = index.cfg.bm25
     terms = qterms["term"].unique().tolist()
     lex_pdf = (
         index.lexicon.filter(F.col("term").isin(terms))
-        .select("term", "idf", "df")
+        .select("term", "idf", "df", "cf")
         .toPandas()
     )
     qw = qterms.merge(lex_pdf, on="term")
@@ -186,7 +195,12 @@ def _bm25_scored(
         "disjunctive": min(int(per_q["sum"].max()), index.n_docs),
         "conjunctive": min(int(per_q["min"].max()), index.n_docs),
     }
-    qw = qw.assign(w=qw["qtf"] * qw["idf"])
+    if sim is None:
+        qw = qw.assign(w=qw["qtf"] * qw["idf"])
+        sim_cols: list[str] = []
+    else:
+        qw = sim.driver_cols(qw, index)
+        sim_cols = list(sim.extra_cols)
     # the hot pre-aggregation stream carries ONLY (query_id, doc_id,
     # contrib[, term]): the per-query constants n_terms/k ride a second
     # metadata-sized broadcast joined AFTER the groupBy, so the
@@ -199,12 +213,12 @@ def _bm25_scored(
     # keeps real terms (collect_set feeds the syntax/boolean trees).
     if with_matched:
         term_ids, jkey = None, "term"
-        qcols = qw[["query_id", "term", "w"]]
+        qcols = qw[["query_id", "term", "w", *sim_cols]]
     else:
         term_ids = {t: i for i, t in enumerate(terms)}
         jkey = "tid"
         qcols = qw.assign(tid=qw["term"].map(term_ids).astype("int32"))[
-            ["query_id", "tid", "w"]
+            ["query_id", "tid", "w", *sim_cols]
         ]
     qdf = F.broadcast(spark.createDataFrame(qcols))
     qmeta = F.broadcast(
@@ -213,18 +227,21 @@ def _bm25_scored(
         )
     )
     flat = decoded_postings(index, terms, term_ids=term_ids)
-    scored = (
-        flat.join(qdf, jkey)
-        .withColumn(
-            "contrib",
+    if sim is None:
+        contrib = (
             F.col("w")
             * (F.col("tf") * F.lit(p.k1 + 1.0))
             / (
                 F.col("tf")
                 + F.lit(p.k1)
                 * (F.lit(1.0 - p.b) + F.lit(p.b) * F.col("dl") / F.lit(index.avgdl))
-            ),
+            )
         )
+    else:
+        contrib = sim.contrib_expr(index)
+    scored = (
+        flat.join(qdf, jkey)
+        .withColumn("contrib", contrib)
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum("contrib").alias("score_raw"),
@@ -357,6 +374,7 @@ def search(
     index: InvertedIndex,
     queries: list[tuple[int, str, int]],
     mode: str = "disjunctive",
+    similarity=None,
 ) -> DataFrame:
     """BM25 top-k. queries = [(query_id, text, k)].
 
@@ -364,11 +382,18 @@ def search(
     mode="conjunctive": every distinct query term must match the doc —
     superset containment, the fingerprint-match search Q5
     (``ChemicalIndex.java:623-632``: all clauses Occur.MUST).
+
+    ``similarity``: None (engine-default BM25) or a name/instance from
+    :mod:`..functions.similarity` (the IndexSearcher.setSimilarity
+    analog — classic TF-IDF, LMDirichlet, boolean). Every similarity
+    shares the quantization + K2 tie-break laws.
     """
+    from ..functions.similarity import resolve_similarity
+
     qterms = tokenize_queries(queries, index.cfg.tokenizer)
     if len(qterms) == 0:
         return index.spark.createDataFrame([], RESULT_SCHEMA)
-    scored, est = _bm25_scored(index, qterms)
+    scored, est = _bm25_scored(index, qterms, sim=resolve_similarity(similarity))
     if mode == "conjunctive":
         scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
     elif mode != "disjunctive":
@@ -2142,6 +2167,75 @@ def facet_counts(
         .groupBy("query_id", "facet")
         .agg(F.count("*").alias("n_docs"))
         .select(F.col("query_id").cast("int").alias("query_id"), "facet", "n_docs")
+    )
+
+
+def range_facet_counts(
+    index: InvertedIndex,
+    queries: list[tuple[int, str, int]],
+    ranges: list[tuple[str, int, int]],
+    facet_col: str = "doc_len",
+    mode: str = "disjunctive",
+) -> DataFrame:
+    """Numeric range facets (Lucene facet module, LongRangeFacetCounts):
+    per query, how many matching docs fall in each ``[lo, hi)`` bucket
+    of a stored numeric docmeta field. ``ranges`` =
+    [(label, lo, hi), ...]; buckets MAY OVERLAP (Lucene counts a doc
+    once per range it falls in, not once total), and every requested
+    range emits a row — empty buckets count 0, so a dashboard's bucket
+    set is stable across queries.
+
+    Scale shape: candidates stream from the pushed postings scan and
+    join docmeta on doc_id once (the same join facet_counts pays); the
+    ranges table is a HANDFUL of rows broadcast into a theta-join
+    (BroadcastNestedLoopJoin — correct here BECAUSE the build side is
+    driver-literal-sized, never data-sized), then a two-key groupBy
+    with map-side partial aggregation. No collect, no UDF."""
+    spark = index.spark
+    out_schema = "query_id int, facet string, n_docs long"
+    if not ranges:
+        return spark.createDataFrame([], out_schema)
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    rng = F.broadcast(
+        spark.createDataFrame(
+            [(str(lbl), int(lo), int(hi)) for lbl, lo, hi in ranges],
+            schema="facet string, lo long, hi long",
+        )
+    )
+    qids = sorted({qid for qid, _, _ in queries})
+    # every (query, range) pair exists in the output — zero-filled via
+    # a left join from the driver-literal query×range grid (the grid is
+    # the stream side, so the broadcast goes on `counted`, which is
+    # bounded by |queries|·|ranges| rows)
+    grid = spark.createDataFrame(
+        [(q,) for q in qids], schema="query_id int"
+    ).crossJoin(rng.select("facet"))
+    if len(qterms) == 0:
+        return grid.select(
+            "query_id", "facet", F.lit(0).cast("long").alias("n_docs")
+        )
+    scored, _ = _bm25_scored(index, qterms)
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    elif mode != "disjunctive":
+        raise ValueError(f"unknown mode {mode!r}")
+    meta = index.docmeta.select(
+        "doc_id", F.col(facet_col).cast("long").alias("fval")
+    )
+    counted = (
+        scored.select("query_id", "doc_id")
+        .join(meta, "doc_id")
+        .join(rng, (F.col("fval") >= F.col("lo")) & (F.col("fval") < F.col("hi")))
+        .groupBy("query_id", "facet")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        grid.join(F.broadcast(counted), ["query_id", "facet"], "left")
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "facet",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
     )
 
 

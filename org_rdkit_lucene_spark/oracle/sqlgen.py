@@ -156,6 +156,69 @@ ORDER BY query_id, rank"""
     )
 
 
+def similarity_topk_sql(
+    queries: list[tuple[int, str, int]],
+    similarity: str,
+    mode: str = "disjunctive",
+    table: str = "documents",
+    profile: TokenizerProfile = DEFAULT_PROFILE,
+    mu: float = 2000.0,
+) -> str:
+    """Oracle twin of ``search(..., similarity=...)`` — recomputes the
+    pluggable-similarity laws (functions/similarity.py) from the raw
+    corpus: classic TF-IDF (idf_c² · √tf / √dl), LMDirichlet with the
+    per-term clamp at 0 and collection model cf/total, boolean (qtf
+    sum). Shares the ranked/K2 tail with the BM25 twin."""
+    toks = duckdb_tokens_sql("text", profile)
+    if similarity == "classic":
+        contrib = (
+            "q.qtf * pow(1.0 + ln(((SELECT n FROM nstat) + 1.0) / (dfs.df + 1.0)), 2)"
+            " * sqrt(tf.tf) / sqrt(dl.dl)"
+        )
+    elif similarity == "lmdirichlet":
+        contrib = (
+            f"q.qtf * greatest(0.0,"
+            f" ln(1.0 + tf.tf / ({mu} * cfs.cf / (SELECT total FROM totstat)))"
+            f" + ln({mu} / (dl.dl + {mu})))"
+        )
+    elif similarity == "boolean":
+        contrib = "q.qtf * 1.0"
+    else:
+        raise ValueError(f"unknown similarity {similarity!r}")
+    cf_join = "\n  JOIN cfs USING (term)" if similarity == "lmdirichlet" else ""
+    conj = mode == "conjunctive"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+nstat AS (SELECT count(*)::DOUBLE AS n FROM {table}),
+totstat AS (SELECT sum(dl)::DOUBLE AS total FROM dl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+cfs AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY 1),
+q(query_id, term, qtf, n_terms, k) AS (
+  VALUES
+    {_values_qterms(queries, profile)}
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({contrib}) AS score_raw,
+         count(*) AS n_matched,
+         max(q.n_terms) AS n_terms,
+         max(q.k) AS k
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfs USING (term){cf_join}
+  JOIN dl USING (doc_id)
+  GROUP BY 1, 2
+)""" + _ranked(conj) + """
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score_q
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank"""
+
+
 def hit_counts_sql(queries: list[tuple[int, str, int]], mode: str = "disjunctive") -> str:
     flt = "WHERE n_matched = n_terms" if mode == "conjunctive" else ""
     return (
@@ -1671,6 +1734,45 @@ FROM scored s JOIN {table} d ON d.doc_id = s.doc_id
 {flt}
 GROUP BY 1, 2
 ORDER BY query_id, facet"""
+    )
+
+
+def range_facet_counts_sql(
+    queries: list[tuple[int, str, int]],
+    ranges: list[tuple[str, int, int]],
+    mode: str = "disjunctive",
+    table: str = "documents",
+) -> str:
+    """Range-facet twin of ``range_facet_counts`` (facet_col=doc_len):
+    matching docs per (query, [lo, hi) bucket) over the same scored
+    candidate set; buckets may overlap, empty buckets emit 0."""
+    flt = "AND s.n_matched = s.n_terms" if mode == "conjunctive" else ""
+    rng_rows = ",\n    ".join(
+        "('{}', {}, {})".format(str(lbl).replace("'", "''"), int(lo), int(hi))
+        for lbl, lo, hi in ranges
+    )
+    qid_rows = ", ".join(f"({qid})" for qid in sorted({q for q, _, _ in queries}))
+    return (
+        _bm25_ctes(queries, table=table)
+        + f""",
+rng(facet, lo, hi) AS (
+  VALUES
+    {rng_rows}
+),
+qids(query_id) AS (VALUES {qid_rows}),
+counted AS (
+  SELECT s.query_id, r.facet, count(*)::BIGINT AS n_docs
+  FROM scored s
+  JOIN dl ON dl.doc_id = s.doc_id
+  JOIN rng r ON dl.dl >= r.lo AND dl.dl < r.hi
+  WHERE TRUE {flt}
+  GROUP BY 1, 2
+)
+SELECT CAST(q.query_id AS INTEGER) AS query_id, r.facet AS facet,
+       coalesce(c.n_docs, 0)::BIGINT AS n_docs
+FROM qids q CROSS JOIN rng r
+LEFT JOIN counted c ON c.query_id = q.query_id AND c.facet = r.facet
+ORDER BY 1, 2"""
     )
 
 
