@@ -53,10 +53,12 @@ from org_rdkit_lucene_spark.operators.multimodal import (
     frame_sample_plan,
 )
 from org_rdkit_lucene_spark.operators.query import (
+    drill_sideways_counts,
     explain_scores,
     facet_counts,
     range_facet_counts,
     hit_counts,
+    search_drill_down,
     max_scores,
     search_sorted,
     search_multi_field,
@@ -221,6 +223,28 @@ def _q_lmdirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_boolean_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 pluggable similarity: BooleanSimilarity (coverage-ranked)."""
     return search(_index_for(spark, sf_dir), DISJ_QUERIES, similarity="boolean")
+
+
+# drill-down facet constraints (exact equality on the stored docmeta
+# value; oracle side maps repo -> source, lang -> lang)
+DRILL_DOWN = {"lang": "en", "repo": "src3"}
+DRILL_DIMS = ["lang", "repo"]
+DRILL_COLMAP = {"repo": "source", "lang": "lang"}
+
+
+def _q_drill_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 DrillDownQuery analog: ranked top-k under facet constraints."""
+    return search_drill_down(
+        _index_for(spark, sf_dir), DISJ_QUERIES, DRILL_DOWN
+    )
+
+
+def _q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 DrillSideways analog: per-dim counts, constrained dims counted
+    under every OTHER constraint but not their own."""
+    return drill_sideways_counts(
+        _index_for(spark, sf_dir), DISJ_QUERIES, DRILL_DOWN, DRILL_DIMS
+    ).orderBy("query_id", "dim", "facet")
 
 
 def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1591,7 +1615,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_delete_by_query": _q_delete_by_query,
         "q1_all_fields": _q1_all_fields,
         "k7_wand_topk_large": _q_wand_large_k,
-        "k7_wand_topk_xlarge": _q_wand_xlarge_k,
         "q1_field_qualified": _q_field_qualified,
         "q1_prefix_search": _q_prefix_search,
         "q1_fuzzy_search": _q_fuzzy_search,
@@ -1625,6 +1648,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_lmdirichlet": _q_lmdirichlet,
         "a3_boolean_similarity": _q_boolean_similarity,
         "a4_range_facets": _q_range_facets,
+        # drill-down/sideways ride _bm25_scored + a fresh query.py path,
+        # so they take window slots; displaced: k7_wand_topk_xlarge
+        # (same kernel as k7_wand_topk_large, which stays, plus two more
+        # WAND entries below — all r4-hard-rowed) and b1_upsert_requery
+        # (r4 hard row; the upsert merge path is untouched in r5 — the
+        # segmented/compacted entries at the front keep incremental.py
+        # gated).
+        "a4_drill_down": _q_drill_down,
+        "a4_drill_sideways": _q_drill_sideways,
         "a4_facet_counts": _q_facet_counts,
         "k5_search_after": _q_search_after,
         "q3_name_search": _q_name_search,
@@ -1644,7 +1676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k7_wand_disjunctive": _q_wand_disjunctive,
         "k7_wand_conjunctive": _q_wand_conjunctive,
         "q1_query_syntax": _q_syntax,
+        # displaced from the window by the drill entries (see above):
         "b1_upsert_requery": _q_upsert_requery,
+        "k7_wand_topk_xlarge": _q_wand_xlarge_k,
         "b1_natural_key_upsert": _q_natural_key_upsert,
         "b1_upsert_wand": _q_upsert_wand,
         "b_lexicon_top_df": _q_lexicon,
@@ -1753,6 +1787,12 @@ def oracle_sql() -> dict[str, str]:
         "a3_lmdirichlet": sqlgen.similarity_topk_sql(DISJ_QUERIES, "lmdirichlet"),
         "a3_boolean_similarity": sqlgen.similarity_topk_sql(DISJ_QUERIES, "boolean"),
         "a4_range_facets": sqlgen.range_facet_counts_sql(DISJ_QUERIES, DL_RANGES),
+        "a4_drill_down": sqlgen.drill_down_topk_sql(
+            DISJ_QUERIES, DRILL_DOWN, DRILL_COLMAP
+        ),
+        "a4_drill_sideways": sqlgen.drill_sideways_sql(
+            DISJ_QUERIES, DRILL_DOWN, DRILL_DIMS, DRILL_COLMAP
+        ),
         "a4_facet_counts": sqlgen.facet_counts_sql(DISJ_QUERIES, facet_col="lang"),
         "k5_search_after": _page2_sql(),
         "b_lexicon_top_df": sqlgen.lexicon_sql(30),

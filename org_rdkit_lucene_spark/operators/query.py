@@ -2239,6 +2239,121 @@ def range_facet_counts(
     )
 
 
+def _drill_constraints(drill_down: dict[str, str]):
+    """Validated (dim, value) constraint list; the matching law is
+    exact equality on the stored docmeta value cast to string (the
+    facet-path equality of Lucene's DrillDownQuery)."""
+    if not drill_down:
+        raise ValueError("drill_down needs at least one (dim, value)")
+    return [(str(d), str(v)) for d, v in drill_down.items()]
+
+
+def search_drill_down(
+    index: InvertedIndex,
+    queries: list[tuple[int, str, int]],
+    drill_down: dict[str, str],
+    mode: str = "disjunctive",
+) -> DataFrame:
+    """DrillDownQuery analog (Lucene facet module): the base query's
+    ranked top-k restricted to docs satisfying EVERY facet constraint
+    (``{dim: value}`` over stored docmeta fields, exact-equality law).
+
+    Plan shape: the constraint is a pure filter on the scored candidate
+    stream — one docmeta join keyed on doc_id (co-partitioned at
+    cluster scale, constraint predicates pushed into the docmeta
+    parquet scan so only matching meta rows reach the join), applied
+    BEFORE the adaptive two-stage rank; filters only shrink the
+    candidate set, so the lexicon-derived rank bounds stay valid."""
+    cons = _drill_constraints(drill_down)
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    if len(qterms) == 0:
+        return index.spark.createDataFrame([], RESULT_SCHEMA)
+    scored, est = _bm25_scored(index, qterms)
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    elif mode != "disjunctive":
+        raise ValueError(f"unknown mode {mode!r}")
+    meta = index.docmeta
+    for dim, val in cons:
+        meta = meta.filter(F.col(dim).cast("string") == val)
+    scored = scored.join(meta.select("doc_id"), "doc_id")
+    return rank_topk(
+        scored,
+        index.cfg.bm25.score_decimals,
+        est_candidates=est[mode],
+        max_k=max(k for _, _, k in queries),
+    )
+
+
+def drill_sideways_counts(
+    index: InvertedIndex,
+    queries: list[tuple[int, str, int]],
+    drill_down: dict[str, str],
+    dims: list[str],
+    mode: str = "disjunctive",
+) -> DataFrame:
+    """DrillSideways analog (Lucene facet module): per query and per
+    requested facet ``dim``, matching-doc counts per value — where a
+    dim that carries a drill-down constraint is counted under every
+    OTHER constraint but NOT its own (the "what would I get if I
+    switched this dim's value" panel), and an unconstrained dim is
+    counted under ALL constraints (the drill-down's facet panel).
+    Output: (query_id, dim, facet, n_docs).
+
+    Plan shape — ONE pass, not one job per dim: the scored candidate
+    stream joins docmeta once (doc_id-keyed) pulling the union of
+    needed columns; each constraint becomes an int flag, the flag sum
+    gives every (doc, dim) its sideways/full predicate as arithmetic;
+    a literal-sized array<struct> explode fans each candidate to its
+    |dims| facet rows, then one two-key groupBy with map-side partial
+    aggregation. No collect, no UDF, no per-dim rescans."""
+    cons = _drill_constraints(drill_down)
+    if not dims:
+        raise ValueError("dims must name at least one facet field")
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    out_schema = "query_id int, dim string, facet string, n_docs long"
+    if len(qterms) == 0:
+        return index.spark.createDataFrame([], out_schema)
+    scored, _ = _bm25_scored(index, qterms)
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    elif mode != "disjunctive":
+        raise ValueError(f"unknown mode {mode!r}")
+    need = sorted({d for d in dims} | {d for d, _ in cons})
+    meta = index.docmeta.select(
+        "doc_id", *[F.col(d).cast("string").alias(d) for d in need]
+    )
+    joined = scored.select("query_id", "doc_id").join(meta, "doc_id")
+    ok = {d: (F.col(d) == F.lit(v)).cast("int") for d, v in cons}
+    n_ok = sum(ok.values(), F.lit(0))
+    entries = []
+    for dim in dims:
+        if dim in ok:
+            # sideways: every constraint EXCEPT this dim's holds
+            flag = (n_ok - ok[dim]) == F.lit(len(cons) - 1)
+        else:
+            flag = n_ok == F.lit(len(cons))
+        entries.append(
+            F.struct(
+                F.lit(dim).alias("dim"),
+                F.col(dim).alias("facet"),
+                flag.alias("ok"),
+            )
+        )
+    return (
+        joined.select(
+            "query_id", F.explode(F.array(*entries)).alias("e")
+        )
+        .filter(F.col("e.ok"))
+        .groupBy(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("e.dim").alias("dim"),
+            F.col("e.facet").alias("facet"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 SNIPPET_RADIUS = 40
 
 

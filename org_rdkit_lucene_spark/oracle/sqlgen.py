@@ -1776,6 +1776,95 @@ ORDER BY 1, 2"""
     )
 
 
+def _drill_cond(colmap: dict[str, str], dim: str, val: str) -> str:
+    col = colmap.get(dim, dim)
+    return "CAST(d.{} AS VARCHAR) = '{}'".format(col, str(val).replace("'", "''"))
+
+
+def drill_down_topk_sql(
+    queries: list[tuple[int, str, int]],
+    drill_down: dict[str, str],
+    colmap: dict[str, str],
+    mode: str = "disjunctive",
+    table: str = "documents",
+) -> str:
+    """Twin of ``search_drill_down``: BM25 ranked top-k over the scored
+    candidates restricted to docs satisfying every facet constraint
+    (exact equality on the stored value). ``colmap`` maps engine
+    docmeta dims to ``table`` columns (repo → source, lang → lang)."""
+    conj = "AND s.n_matched = s.n_terms" if mode == "conjunctive" else ""
+    cond = " AND ".join(_drill_cond(colmap, d, v) for d, v in drill_down.items())
+    return (
+        _bm25_ctes(queries, table=table)
+        + f""",
+dd AS (
+  SELECT s.query_id, s.doc_id, s.score_raw, s.k
+  FROM scored s JOIN {table} d ON d.doc_id = s.doc_id
+  WHERE {cond} {conj}
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(floor(score_raw * {_QUANT} + 0.5) AS BIGINT) AS score_q, k,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(floor(score_raw * {_QUANT} + 0.5) AS BIGINT) DESC, doc_id ASC
+         ) AS rnk
+  FROM dd
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score_q
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank"""
+    )
+
+
+def drill_sideways_sql(
+    queries: list[tuple[int, str, int]],
+    drill_down: dict[str, str],
+    dims: list[str],
+    colmap: dict[str, str],
+    mode: str = "disjunctive",
+    table: str = "documents",
+) -> str:
+    """Twin of ``drill_sideways_counts``: per (query, dim, value)
+    matching-doc counts where a constrained dim is counted under every
+    OTHER constraint (sideways) and an unconstrained dim under ALL of
+    them — one UNION ALL branch per requested dim over the shared
+    scored-candidates × ``table`` join."""
+    conj = "WHERE s.n_matched = s.n_terms" if mode == "conjunctive" else ""
+    hits = f"""
+hits AS (
+  SELECT s.query_id, d.*
+  FROM scored s JOIN {table} d ON d.doc_id = s.doc_id
+  {conj}
+)"""
+    branches = []
+    for dim in dims:
+        # a constrained dim drops ITS OWN constraint; an unconstrained
+        # dim keeps all of them
+        others = [
+            _drill_cond(colmap, cd, cv)
+            for cd, cv in drill_down.items()
+            if cd != dim
+        ]
+        flt = ("WHERE " + " AND ".join(others)) if others else ""
+        col = colmap.get(dim, dim)
+        branches.append(
+            f"""SELECT CAST(d.query_id AS INTEGER) AS query_id, '{dim}' AS dim,
+       CAST(d.{col} AS VARCHAR) AS facet, count(*)::BIGINT AS n_docs
+FROM hits d {flt}
+GROUP BY 1, 2, 3"""
+        )
+    return (
+        _bm25_ctes(queries, table=table)
+        + ","
+        + hits
+        + "\n"
+        + "\nUNION ALL\n".join(branches)
+        + "\nORDER BY 1, 2, 3"
+    )
+
+
 def _curate_ctes(min_quality_q: int, langs: tuple, table: str) -> str:
     """The curation-decision CTE chain ending in ``cur(doc_id, keep,
     reason)`` — shared by :func:`curate_corpus_sql` and the composed
