@@ -232,6 +232,22 @@ DRILL_DIMS = ["lang", "repo"]
 DRILL_COLMAP = {"repo": "source", "lang": "lang"}
 
 
+def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator (Lucene monitor analog): the registered DISJ_QUERIES
+    matched in reverse against the corpus stream (here: the index's own
+    corpus, making the result identical to the forward conjunctive
+    search — the law the oracle recomputes)."""
+    from org_rdkit_lucene_spark.streaming.percolate import percolate
+
+    idx = _index_for(spark, sf_dir)
+    docs = documents_as_corpus(spark, sf_dir).selectExpr(
+        "ext_id AS doc_id", "content"
+    )
+    return percolate(idx, docs, DISJ_QUERIES, mode="conjunctive").orderBy(
+        "doc_id", "query_id"
+    )
+
+
 def _q_drill_down(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 DrillDownQuery analog: ranked top-k under facet constraints."""
     return search_drill_down(
@@ -1657,11 +1673,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gated).
         "a4_drill_down": _q_drill_down,
         "a4_drill_sideways": _q_drill_sideways,
+        # percolator (new r5 surface, needs a hard row); displaces
+        # q3_multi_field_bm25 — fresh r4 hard row, and git confirms
+        # search_multi_field + its SQL twin are byte-untouched since
+        # the r4 commit (the boost work changed parse_query only).
+        "ev_percolate": _q_percolate,
         "a4_facet_counts": _q_facet_counts,
         "k5_search_after": _q_search_after,
         "q3_name_search": _q_name_search,
         "q2_point_lookup": _q_point_lookup,
-        "q3_multi_field_bm25": _q3_multi_field_bm25,
         "q4_exact_match": _q_exact_match,
         "q1_phrase_positions": _q1_phrase_positions,
         "q1_phrase_bm25": _q1_phrase_bm25,
@@ -1676,9 +1696,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k7_wand_disjunctive": _q_wand_disjunctive,
         "k7_wand_conjunctive": _q_wand_conjunctive,
         "q1_query_syntax": _q_syntax,
-        # displaced from the window by the drill entries (see above):
+        # displaced from the window by the drill/percolate entries (see above):
         "b1_upsert_requery": _q_upsert_requery,
         "k7_wand_topk_xlarge": _q_wand_xlarge_k,
+        "q3_multi_field_bm25": _q3_multi_field_bm25,
         "b1_natural_key_upsert": _q_natural_key_upsert,
         "b1_upsert_wand": _q_upsert_wand,
         "b_lexicon_top_df": _q_lexicon,
@@ -1793,6 +1814,7 @@ def oracle_sql() -> dict[str, str]:
         "a4_drill_sideways": sqlgen.drill_sideways_sql(
             DISJ_QUERIES, DRILL_DOWN, DRILL_DIMS, DRILL_COLMAP
         ),
+        "ev_percolate": sqlgen.percolate_sql(DISJ_QUERIES, "conjunctive"),
         "a4_facet_counts": sqlgen.facet_counts_sql(DISJ_QUERIES, facet_col="lang"),
         "k5_search_after": _page2_sql(),
         "b_lexicon_top_df": sqlgen.lexicon_sql(30),

@@ -219,6 +219,33 @@ FROM ranked WHERE rnk <= k
 ORDER BY query_id, rank"""
 
 
+def percolate_sql(
+    queries: list[tuple[int, str, int]],
+    mode: str = "conjunctive",
+    min_should_match: int = 1,
+    table: str = "documents",
+) -> str:
+    """Twin of ``streaming.percolate.percolate`` over the index's own
+    corpus: reverse search == forward search on the same table, so the
+    twin is the BM25 scored set (frozen idf/avgdl = the same table's
+    stats) with the coverage filter and NO ranking — one row per
+    (doc, query) match."""
+    if mode == "conjunctive":
+        flt = "WHERE s.n_matched = s.n_terms"
+    else:
+        flt = f"WHERE s.n_matched >= {int(min_should_match)}"
+    return (
+        _bm25_ctes(queries, table=table)
+        + f"""
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(s.query_id AS INTEGER) AS query_id,
+       CAST(floor(s.score_raw * {_QUANT} + 0.5) AS BIGINT) AS score_q,
+       CAST(s.n_matched AS INTEGER) AS n_matched
+FROM scored s {flt}
+ORDER BY 1, 2"""
+    )
+
+
 def hit_counts_sql(queries: list[tuple[int, str, int]], mode: str = "disjunctive") -> str:
     flt = "WHERE n_matched = n_terms" if mode == "conjunctive" else ""
     return (

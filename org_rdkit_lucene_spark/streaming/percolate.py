@@ -1,0 +1,213 @@
+"""Percolator / reverse search — the Lucene Monitor analog.
+
+Lucene's monitor module (MonitorQuery + Presearcher; the "percolator"
+of the wider Lucene ecosystem) inverts the reference's index-then-
+search contract (``ChemicalIndex.java``: build index, run queries):
+a REGISTERED query set is matched against every arriving document —
+alerting, routing, saved searches over a firehose.
+
+Spark-first shape — a MAP-ONLY streaming operator:
+
+- The registered queries are tokenized driver-side and joined with
+  the base index's metadata-scale lexicon slice ONCE, at registration
+  (idf per term, exactly the lexicon lookup ``search`` pays). Each
+  query becomes one broadcast row: (query_id, terms[], ws[],
+  n_terms) with ``w = qtf · idf``.
+- Each arriving doc tokenizes via the CATALYST tokenizer column (the
+  same three-way-parity pipeline the index build uses), then a
+  broadcast nested-loop join fans it across the query rows — the
+  Monitor cost model (every doc × every registered query), with the
+  per-pair work pure codegen'd array arithmetic: per-term tf by
+  array filter, coverage count, and the engine's default BM25
+  contribution folded with ``F.aggregate``.
+- NO shuffle, NO groupBy, NO state: tf/dl come from the doc's own
+  token array, idf/avgdl are FROZEN from the base index (the
+  registered corpus model — deterministic and oracle-twinnable), so
+  the whole operator is stateless narrow ops after a broadcast join.
+  It runs unchanged on a batch DataFrame or a Structured Streaming
+  source in append mode; at 100 TB/day the stream partitions scale
+  the operator linearly with zero coordination.
+
+Laws shared with ``search``: query terms absent from the base lexicon
+drop from scoring but still count in ``n_terms`` (so a conjunctive
+query with an unseen term can never match — ``search``'s law);
+``score_q`` is the shared quantization; duplicated query terms weight
+via qtf. The registered set is broadcast-scale by design (alerting
+sets are 10^3-10^5 queries); ``MAX_QUERIES`` guards the contract.
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokens_column
+from ..operators.query import _quantize, tokenize_queries
+
+#: structural bound on the broadcast registered-query table — beyond
+#: this the right design is sharding the query set, not one broadcast
+MAX_QUERIES = 100_000
+
+PERCOLATE_SCHEMA = "doc_id long, query_id int, score_q long, n_matched int"
+
+
+def _registered_queries(index, queries: list[tuple[int, str, int]]):
+    """One broadcast row per registered query:
+    (query_id, terms[], ws[], n_terms). Driver work is metadata-scale
+    and happens once per registration (the search-path lexicon slice)."""
+    if len(queries) > MAX_QUERIES:
+        raise ValueError(
+            f"{len(queries)} registered queries > MAX_QUERIES={MAX_QUERIES}; "
+            "shard the query set across percolators instead"
+        )
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    if len(qterms) == 0:
+        return None
+    lex = (
+        index.lexicon.filter(
+            F.col("term").isin(qterms["term"].unique().tolist())
+        )
+        .select("term", "idf")
+        .toPandas()
+    )
+    qw = qterms.merge(lex, on="term")  # unseen terms drop (search's law)
+    qw = qw.assign(w=qw["qtf"].astype("float64") * qw["idf"])
+    rows = []
+    for qid, grp in qw.groupby("query_id", sort=True):
+        grp = grp.sort_values("term")
+        rows.append(
+            (
+                int(qid),
+                grp["term"].tolist(),
+                grp["w"].tolist(),
+                int(grp["n_terms"].iloc[0]),
+            )
+        )
+    # queries whose terms ALL miss the lexicon still exist (n_matched
+    # can never reach n_terms; disjunctive can never match) — skip them
+    if not rows:
+        return None
+    return index.spark.createDataFrame(
+        rows, schema="query_id int, terms array<string>, ws array<double>, n_terms int"
+    )
+
+
+def percolate(
+    index,
+    docs: DataFrame,
+    queries: list[tuple[int, str, int]],
+    mode: str = "conjunctive",
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    min_should_match: int = 1,
+) -> DataFrame:
+    """Match every doc in ``docs`` against the registered ``queries``
+    (MonitorQuery.match analog). Output: (doc_id, query_id, score_q,
+    n_matched) — one row per (doc, query) hit, scored by the engine's
+    default BM25 against the FROZEN base-index model (idf, avgdl).
+
+    mode="conjunctive": every query term must appear in the doc (the
+    alerting default — Occur.MUST, search()'s Q5 law).
+    mode="disjunctive": at least ``min_should_match`` distinct query
+    terms appear.
+
+    Works identically on a batch or streaming ``docs`` DataFrame —
+    stateless narrow ops after a broadcast join (append-mode safe)."""
+    if mode not in ("conjunctive", "disjunctive"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if min_should_match < 1:
+        raise ValueError("min_should_match must be >= 1")
+    spark = index.spark
+    qdf = _registered_queries(index, queries)
+    if qdf is None:
+        return spark.createDataFrame([], PERCOLATE_SCHEMA)
+    p = index.cfg.bm25
+    avgdl = float(index.avgdl)
+    toks = tokens_column(content_col, index.cfg.tokenizer)
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        toks.alias("toks"),
+    ).withColumn("dl", F.size("toks"))
+    paired = base.crossJoin(F.broadcast(qdf))
+    # per-term tf from the doc's own token array; nested HOF keeps the
+    # whole pair evaluation inside codegen (no Python, no shuffle).
+    # "toks" and "tfs" are PROJECTED ATTRIBUTES (not spliced expression
+    # trees), so the multi-reference re-evaluation hazard bind_array
+    # exists for does not arise — each is computed once per row.
+    tfs = F.transform(
+        F.col("terms"),
+        lambda t: F.size(F.filter(F.col("toks"), lambda x: x == t)).cast(
+            "double"
+        ),
+    )
+    paired = paired.withColumn("tfs", tfs)
+    n_matched = F.size(F.filter(F.col("tfs"), lambda c: c > 0))
+    contrib = F.zip_with(
+        F.col("tfs"),
+        F.col("ws"),
+        lambda tf, w: w
+        * (tf * F.lit(p.k1 + 1.0))
+        / (
+            tf
+            + F.lit(p.k1)
+            * (F.lit(1.0 - p.b) + F.lit(p.b) * F.col("dl") / F.lit(avgdl))
+        ),
+    )
+    score = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+    out = paired.withColumn("n_matched", n_matched)
+    if mode == "conjunctive":
+        out = out.filter(F.col("n_matched") == F.col("n_terms"))
+    else:
+        out = out.filter(F.col("n_matched") >= F.lit(min_should_match))
+    return out.select(
+        "doc_id",
+        "query_id",
+        _quantize(score, p.score_decimals).alias("score_q"),
+        F.col("n_matched").cast("int").alias("n_matched"),
+    )
+
+
+def percolate_stream(
+    index,
+    spark: SparkSession,
+    docs_path: str,
+    docs_schema: str,
+    queries: list[tuple[int, str, int]],
+    mode: str = "conjunctive",
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    min_should_match: int = 1,
+    query_name: str = "percolated",
+) -> DataFrame:
+    """Structured Streaming wrapper: file-source parquet docs →
+    :func:`percolate` → memory sink (availableNow), returning the
+    matches table. The operator is stateless, so append mode needs no
+    watermark and a restart reprocesses only new files.
+
+    ``docs_path`` may be a directory or a single parquet file (the
+    file source requires a directory; a file resolves to its parent
+    plus a ``pathGlobFilter``)."""
+    reader = spark.readStream.schema(docs_schema)
+    if os.path.isfile(docs_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(docs_path))
+        docs_path = os.path.dirname(docs_path)
+    stream = reader.parquet(docs_path)
+    matched = percolate(
+        index,
+        stream,
+        queries,
+        mode=mode,
+        id_col=id_col,
+        content_col=content_col,
+        min_should_match=min_should_match,
+    )
+    q = (
+        matched.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
