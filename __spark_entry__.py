@@ -61,6 +61,7 @@ from org_rdkit_lucene_spark.operators.query import (
     search_drill_down,
     max_scores,
     search_sorted,
+    search_synonyms,
     search_multi_field,
     more_like_this,
     search,
@@ -230,6 +231,21 @@ def _q_boolean_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRILL_DOWN = {"lang": "en", "repo": "src3"}
 DRILL_DIMS = ["lang", "repo"]
 DRILL_COLMAP = {"repo": "source", "lang": "lang"}
+
+
+# query-time synonym groups (SynonymQuery law: tf blends, df = max)
+SYN_QUERIES = [
+    (1, "merge spark", 10),
+    (2, "hash window", 10),
+    (3, "batch", 5),
+]
+SYN_MAP = {"merge": ["join", "sort"], "batch": ["stream"]}
+
+
+def _q_synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 SynonymQuery: query-time synonym expansion, groups score as
+    one pseudo-term (tf_group = Σ member tf, df_group = max member df)."""
+    return search_synonyms(_index_for(spark, sf_dir), SYN_QUERIES, SYN_MAP)
 
 
 def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1642,7 +1658,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_boolean_not": _q_boolean_not,
         "q1_boosted_search": _q_boosted_search,
         "q1_boosted_clauses": _q_boosted_clauses,
-        "t3_trigram_search": _q_trigram_search,
+        # q1_synonym_search (new r5 surface) takes t3_trigram_search's
+        # slot — that entry holds a fresh r4 hard row and its paths
+        # (tokenizer profiles, config) are byte-untouched since the r4
+        # commit; t3_identifiers_lexicon stays in-window to keep one
+        # profile entry under the hard gate.
+        "q1_synonym_search": _q_synonym_search,
         "t3_identifiers_lexicon": _q_identifiers_lexicon,
         "q1_sorted_by_field": _q_sorted_by_field,
         "q1_field_prefix": _q_field_prefix,
@@ -1700,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_upsert_requery": _q_upsert_requery,
         "k7_wand_topk_xlarge": _q_wand_xlarge_k,
         "q3_multi_field_bm25": _q3_multi_field_bm25,
+        "t3_trigram_search": _q_trigram_search,
         "b1_natural_key_upsert": _q_natural_key_upsert,
         "b1_upsert_wand": _q_upsert_wand,
         "b_lexicon_top_df": _q_lexicon,
@@ -1815,6 +1837,7 @@ def oracle_sql() -> dict[str, str]:
             DISJ_QUERIES, DRILL_DOWN, DRILL_DIMS, DRILL_COLMAP
         ),
         "ev_percolate": sqlgen.percolate_sql(DISJ_QUERIES, "conjunctive"),
+        "q1_synonym_search": sqlgen.synonym_topk_sql(SYN_QUERIES, SYN_MAP),
         "a4_facet_counts": sqlgen.facet_counts_sql(DISJ_QUERIES, facet_col="lang"),
         "k5_search_after": _page2_sql(),
         "b_lexicon_top_df": sqlgen.lexicon_sql(30),

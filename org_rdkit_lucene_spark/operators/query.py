@@ -443,6 +443,156 @@ def search_after(
     )
 
 
+def _norm_synonym(word: str, profile) -> str:
+    """A synonym map entry must analyze to exactly ONE term under the
+    index profile (Lucene's single-token SynonymMap arc — multi-token
+    synonyms are a graph feature out of scope)."""
+    toks = tokenize_text(word, profile)
+    if len(toks) != 1:
+        raise ValueError(
+            f"synonym entry {word!r} analyzes to {toks!r}; need exactly one token"
+        )
+    return toks[0]
+
+
+def search_synonyms(
+    index: InvertedIndex,
+    queries: list[tuple[int, str, int]],
+    synonyms: dict[str, list[str]],
+    mode: str = "disjunctive",
+) -> DataFrame:
+    """BM25 top-k with query-time synonym expansion — the Lucene
+    SynonymQuery law (SynonymQuery.java semantics, the query type the
+    analyzer's SynonymGraphFilter emits): each query token and its
+    synonyms form ONE group that scores as a single pseudo-term with
+
+    - ``tf_group(doc) = Σ member tf`` (term frequencies BLEND — a doc
+      mentioning two members is as good as one mentioning either
+      twice), and
+    - ``df_group = max member df`` (the most common member's document
+      frequency sets the group idf — Lucene's docFreq law, keeping a
+      rare synonym from inflating a common concept's idf).
+
+    Groups replace terms everywhere downstream: qtf weights the group,
+    ``n_terms`` counts groups (so mode="conjunctive" requires every
+    GROUP matched, any member sufficing), and the quantization + K2
+    tie-break laws are shared with :func:`search`.
+
+    Scale shape: same as the plain scorer with one extra map-side
+    stage — the pushed postings scan covers the member-term union, a
+    broadcast (query, gid, tid) table maps members to groups, tf sums
+    per (query, gid, doc) BEFORE the saturation (the one semantic
+    that needs its own aggregation), then the usual per-(query, doc)
+    sum. Both aggregations get map-side partials; everything stays in
+    codegen."""
+    spark = index.spark
+    prof = index.cfg.tokenizer
+    p = index.cfg.bm25
+    qterms = tokenize_queries(queries, prof)
+    if len(qterms) == 0:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    syn = {
+        _norm_synonym(kw, prof): sorted(
+            {_norm_synonym(a, prof) for a in alts}
+        )
+        for kw, alts in synonyms.items()
+    }
+    # one group per (query_id, term) row; members = term + its synonyms
+    qterms = qterms.reset_index(drop=True)
+    qterms["gid"] = qterms.index.astype("int32")
+    members = []  # (gid, member_term)
+    for r in qterms.itertuples():
+        for t in dict.fromkeys([r.term, *syn.get(r.term, [])]):
+            members.append((int(r.gid), t))
+    all_terms = sorted({t for _, t in members})
+    lex_pdf = (
+        index.lexicon.filter(F.col("term").isin(all_terms))
+        .select("term", "df")
+        .toPandas()
+    )
+    df_map = dict(zip(lex_pdf["term"], lex_pdf["df"].astype("int64")))
+    term_ids = {t: i for i, t in enumerate(all_terms)}
+    mem_pdf = pd.DataFrame(
+        [(g, t) for g, t in members if t in df_map], columns=["gid", "term"]
+    )
+    n = float(index.n_docs)
+    # group df = max member df; the group idf re-derives the build-time
+    # formula (build.py stage 3) from that df
+    gdf = mem_pdf.assign(df=mem_pdf["term"].map(df_map)).groupby("gid")["df"].max()
+    meta = qterms.assign(df=qterms["gid"].map(gdf)).dropna(subset=["df"])
+    if len(meta) == 0:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    idf = np.log(1.0 + (n - meta["df"] + 0.5) / (meta["df"] + 0.5))
+    meta = meta.assign(w=meta["qtf"].astype("float64") * idf)
+    # candidate bounds from member dfs (a group's candidates are at
+    # most the UNION of its members' postings)
+    gsum = (
+        mem_pdf.assign(df=mem_pdf["term"].map(df_map))
+        .groupby("gid")["df"]
+        .sum()
+    )
+    per_q = (
+        qterms.assign(gdf=qterms["gid"].map(gsum).fillna(0))
+        .groupby("query_id")["gdf"]
+        .agg(["sum", "min"])
+    )
+    est = {
+        "disjunctive": min(int(per_q["sum"].max()), index.n_docs),
+        "conjunctive": min(int(per_q["min"].max()), index.n_docs),
+    }
+    mem_rows = mem_pdf.merge(qterms[["gid", "query_id"]], on="gid")
+    mdf = F.broadcast(
+        spark.createDataFrame(
+            mem_rows.assign(
+                tid=mem_rows["term"].map(term_ids).astype("int32")
+            )[["query_id", "gid", "tid"]]
+        )
+    )
+    gmeta = F.broadcast(
+        spark.createDataFrame(meta[["query_id", "gid", "w"]])
+    )
+    qmeta = F.broadcast(
+        spark.createDataFrame(
+            qterms[["query_id", "n_terms", "k"]].drop_duplicates("query_id")
+        )
+    )
+    flat = decoded_postings(index, all_terms, term_ids=term_ids)
+    grouped = (
+        flat.join(mdf, "tid")
+        .groupBy("query_id", "gid", "doc_id")
+        .agg(F.sum("tf").alias("gtf"), F.max("dl").alias("dl"))
+    )
+    contrib = (
+        F.col("w")
+        * (F.col("gtf") * F.lit(p.k1 + 1.0))
+        / (
+            F.col("gtf")
+            + F.lit(p.k1)
+            * (F.lit(1.0 - p.b) + F.lit(p.b) * F.col("dl") / F.lit(index.avgdl))
+        )
+    )
+    scored = (
+        grouped.join(gmeta, ["query_id", "gid"])
+        .withColumn("contrib", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").alias("score_raw"),
+            F.count("*").alias("n_matched"),
+        )
+        .join(qmeta, "query_id")
+    )
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    elif mode != "disjunctive":
+        raise ValueError(f"unknown mode {mode!r}")
+    return rank_topk(
+        scored,
+        p.score_decimals,
+        est_candidates=est[mode],
+        max_k=max(k for _, _, k in queries),
+    )
+
+
 def search_by_key(index: InvertedIndex, repo: str, path: str, commit: str) -> DataFrame:
     """Q2 analog (``ChemicalIndex.java:505-519``): exact PK lookup, k=1."""
     return (

@@ -219,6 +219,92 @@ FROM ranked WHERE rnk <= k
 ORDER BY query_id, rank"""
 
 
+def synonym_topk_sql(
+    queries: list[tuple[int, str, int]],
+    synonyms: dict[str, list[str]],
+    mode: str = "disjunctive",
+    table: str = "documents",
+    profile: TokenizerProfile = DEFAULT_PROFILE,
+) -> str:
+    """Twin of ``search_synonyms`` — the SynonymQuery law recomputed
+    from the raw corpus: per (query token) group, tf_group = Σ member
+    tf, df_group = max member df, idf from df_group, qtf weights the
+    group, n_terms counts groups."""
+    from org_rdkit_lucene_spark.operators.query import _norm_synonym
+
+    syn = {
+        _norm_synonym(kw, profile): sorted(
+            {_norm_synonym(a, profile) for a in alts}
+        )
+        for kw, alts in synonyms.items()
+    }
+    gq_rows, syn_rows, gid = [], [], 0
+    for qid, text, k in queries:
+        toks = tokenize_text(text, profile)
+        if not toks:
+            continue
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        for term, qtf in counts.items():
+            gq_rows.append(f"({qid}, {gid}, {qtf}, {len(counts)}, {k})")
+            for m in dict.fromkeys([term, *syn.get(term, [])]):
+                esc = m.replace("'", "''")
+                syn_rows.append(f"({gid}, '{esc}')")
+            gid += 1
+    toks_sql = duckdb_tokens_sql("text", profile)
+    conj = mode == "conjunctive"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks_sql}) AS term FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+nstat AS (SELECT count(*)::DOUBLE AS n FROM {table}),
+dlstat AS (
+  SELECT sum(coalesce(dl.dl, 0)) / (SELECT n FROM nstat) AS avgdl
+  FROM {table} LEFT JOIN dl USING (doc_id)
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+gq(query_id, gid, qtf, n_terms, k) AS (
+  VALUES
+    {", ".join(gq_rows)}
+),
+syn(gid, term) AS (
+  VALUES
+    {", ".join(syn_rows)}
+),
+gdf AS (
+  SELECT s.gid, max(dfs.df) AS df
+  FROM syn s JOIN dfs USING (term)
+  GROUP BY 1
+),
+gtf AS (
+  SELECT s.gid, tf.doc_id, sum(tf.tf) AS gtf
+  FROM tf JOIN syn s USING (term)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT q.query_id, g.doc_id,
+         sum(q.qtf * ln(1.0 + ((SELECT n FROM nstat) - d.df + 0.5) / (d.df + 0.5))
+             * g.gtf * {P.k1 + 1.0}
+             / (g.gtf + {P.k1} * (1.0 - {P.b} + {P.b} * dl.dl / (SELECT avgdl FROM dlstat)))
+         ) AS score_raw,
+         count(*) AS n_matched,
+         max(q.n_terms) AS n_terms,
+         max(q.k) AS k
+  FROM gtf g
+  JOIN gq q USING (gid)
+  JOIN gdf d USING (gid)
+  JOIN dl USING (doc_id)
+  GROUP BY 1, 2
+)""" + _ranked(conj) + """
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score_q
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank"""
+
+
 def percolate_sql(
     queries: list[tuple[int, str, int]],
     mode: str = "conjunctive",
