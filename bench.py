@@ -38,11 +38,14 @@ sys.path.insert(0, REPO)
 from org_rdkit_lucene_spark.config import IndexConfig
 from org_rdkit_lucene_spark.operators.build import build_index
 from org_rdkit_lucene_spark.operators.query import (
+    drill_sideways_counts,
     hit_counts,
     search,
     search_auto,
+    search_synonyms,
     search_two_phase,
 )
+from org_rdkit_lucene_spark.streaming.percolate import percolate
 from org_rdkit_lucene_spark.operators.wand import search_wand
 from org_rdkit_lucene_spark.session import get_spark
 from org_rdkit_lucene_spark.sources.fixtures import make_corpus_pdf, make_query_set
@@ -205,6 +208,23 @@ def run_level(
             # kernel (expected ≈ kernel latency, not DataFrame-path)
             ("q_disjunctive_auto", "auto_routed",
              lambda: search_auto(idx, batches["disj"], "disjunctive")),
+            # round-5 surfaces, tracked like every op with a scale
+            # claim: reverse search fans the corpus across a 16-query
+            # registered set (map-only broadcast NLJ), sideways facets
+            # pay one docmeta join + one explode + one groupBy, and
+            # synonym groups add the pre-saturation aggregation stage
+            ("q_percolate", "percolate",
+             lambda: percolate(
+                 idx, corpus_ids.select("doc_id", "content"),
+                 batches["disj"][:16], mode="conjunctive")),
+            ("q_drill_sideways", "drill_sideways",
+             lambda: drill_sideways_counts(
+                 idx, batches["disj"][:10], {"lang": "py"},
+                 ["lang", "repo"])),
+            ("q_synonyms", "synonym_groups",
+             lambda: search_synonyms(
+                 idx, batches["disj"],
+                 {"merg": ["join"], "scan": ["filter"], "hash": ["digest"]})),
         ]:
             samples = []
             for rep in range(repeats):

@@ -13,13 +13,14 @@ Spark-first shape — a MAP-ONLY streaming operator:
   (idf per term, exactly the lexicon lookup ``search`` pays). Each
   query becomes one broadcast row: (query_id, terms[], ws[],
   n_terms) with ``w = qtf · idf``.
-- Each arriving doc tokenizes via the CATALYST tokenizer column (the
-  same three-way-parity pipeline the index build uses), then a
-  broadcast nested-loop join fans it across the query rows — the
-  Monitor cost model (every doc × every registered query), with the
-  per-pair work pure codegen'd array arithmetic: per-term tf by
-  array filter, coverage count, and the engine's default BM25
-  contribution folded with ``F.aggregate``.
+- Each arriving doc goes through ONE vectorized Arrow counting pass
+  (the canonical pandas tokenizer — the SPIMI build's hot path —
+  plus factorize/bincount against the registered-term union),
+  emitting (doc_id, dl, tf-vector). A broadcast join then fans each
+  doc across the query rows — the Monitor cost model (every doc ×
+  every registered query) — with the per-pair work reduced to O(1)
+  tf-vector indexing, a coverage count, and the engine's default
+  BM25 contribution folded with ``F.aggregate``, all codegen'd.
 - NO shuffle, NO groupBy, NO state: tf/dl come from the doc's own
   token array, idf/avgdl are FROZEN from the base index (the
   registered corpus model — deterministic and oracle-twinnable), so
@@ -42,7 +43,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tokenizer import tokens_column
 from ..operators.query import _quantize, tokenize_queries
 
 #: structural bound on the broadcast registered-query table — beyond
@@ -73,24 +73,71 @@ def _registered_queries(index, queries: list[tuple[int, str, int]]):
     )
     qw = qterms.merge(lex, on="term")  # unseen terms drop (search's law)
     qw = qw.assign(w=qw["qtf"].astype("float64") * qw["idf"])
+    if len(qw) == 0:
+        # queries whose terms ALL miss the lexicon can never match
+        # (n_matched can never reach n_terms; disjunctive matches
+        # nothing either)
+        return None
+    union = sorted(qw["term"].unique().tolist())
+    tidx = {t: i for i, t in enumerate(union)}
     rows = []
     for qid, grp in qw.groupby("query_id", sort=True):
         grp = grp.sort_values("term")
         rows.append(
             (
                 int(qid),
-                grp["term"].tolist(),
+                [tidx[t] for t in grp["term"]],
                 grp["w"].tolist(),
                 int(grp["n_terms"].iloc[0]),
             )
         )
-    # queries whose terms ALL miss the lexicon still exist (n_matched
-    # can never reach n_terms; disjunctive can never match) — skip them
-    if not rows:
-        return None
-    return index.spark.createDataFrame(
-        rows, schema="query_id int, terms array<string>, ws array<double>, n_terms int"
+    qdf = index.spark.createDataFrame(
+        rows, schema="query_id int, tidxs array<int>, ws array<double>, n_terms int"
     )
+    return qdf, union
+
+
+def _make_count_docs(profile, term_union: list[str]):
+    """mapInPandas worker: (doc_id, content) batches → (doc_id, dl,
+    tfv) with ``tfv[i]`` = tf of ``term_union[i]`` in the doc. All
+    counting is vectorized — flat token explode, int-key factorize
+    against the union, one bincount over (doc, term) composite keys
+    (the object-dtype-groupby-collapses lesson from the SPIMI build)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.tokenizer import tokenize_texts
+
+    union_idx = pd.Index(term_union)
+    n_u = len(term_union)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = tokenize_texts(pdf["content"], profile)
+            lens = toks.map(len).to_numpy(dtype="int64")
+            n_docs = len(pdf)
+            if lens.sum() == 0:
+                tfv = np.zeros((n_docs, n_u), dtype="int32")
+            else:
+                flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                docpos = np.repeat(np.arange(n_docs, dtype="int64"), lens)
+                tid = union_idx.get_indexer(flat)
+                keep = tid >= 0
+                comp = docpos[keep] * n_u + tid[keep]
+                tfv = np.bincount(comp, minlength=n_docs * n_u).astype(
+                    "int32"
+                ).reshape(n_docs, n_u)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype="int64"),
+                    "dl": lens.astype("int32"),
+                    "tfv": list(tfv),
+                }
+            )
+
+    return fn
 
 
 def percolate(
@@ -119,27 +166,34 @@ def percolate(
     if min_should_match < 1:
         raise ValueError("min_should_match must be >= 1")
     spark = index.spark
-    qdf = _registered_queries(index, queries)
-    if qdf is None:
+    reg = _registered_queries(index, queries)
+    if reg is None:
         return spark.createDataFrame([], PERCOLATE_SCHEMA)
+    qdf, term_union = reg
     p = index.cfg.bm25
     avgdl = float(index.avgdl)
-    toks = tokens_column(content_col, index.cfg.tokenizer)
+    # doc-side counting is ONE vectorized Arrow pass (the SPIMI build's
+    # hot-path pattern): per batch, the canonical pandas tokenizer +
+    # factorize/bincount emit (doc_id, dl, tfv) where tfv is the
+    # doc's tf vector over the registered-term UNION. The naive
+    # pure-Catalyst form (per-pair array scans of the full token list)
+    # measured O(dl · Σ|q|) per doc — 15s for 4k docs × 16 queries on
+    # the dense bench corpus; the counting pass is O(dl) per doc and
+    # per-pair work drops to O(|q|) array indexing.
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        toks.alias("toks"),
-    ).withColumn("dl", F.size("toks"))
+        F.col(content_col).alias("content"),
+    ).mapInPandas(
+        _make_count_docs(index.cfg.tokenizer, term_union),
+        schema="doc_id long, dl int, tfv array<int>",
+    )
     paired = base.crossJoin(F.broadcast(qdf))
-    # per-term tf from the doc's own token array; nested HOF keeps the
-    # whole pair evaluation inside codegen (no Python, no shuffle).
-    # "toks" and "tfs" are PROJECTED ATTRIBUTES (not spliced expression
-    # trees), so the multi-reference re-evaluation hazard bind_array
-    # exists for does not arise — each is computed once per row.
+    # per-query-term tf is an O(1) index into the doc's tf vector;
+    # "tfv" and "tfs" are PROJECTED ATTRIBUTES (not spliced expression
+    # trees), so each is computed once per row.
     tfs = F.transform(
-        F.col("terms"),
-        lambda t: F.size(F.filter(F.col("toks"), lambda x: x == t)).cast(
-            "double"
-        ),
+        F.col("tidxs"),
+        lambda i: F.element_at(F.col("tfv"), i + F.lit(1)).cast("double"),
     )
     paired = paired.withColumn("tfs", tfs)
     n_matched = F.size(F.filter(F.col("tfs"), lambda c: c > 0))
