@@ -99,6 +99,14 @@ PHRASE_QUERIES = [
     (22, "table scan", 5),
     (23, "merge part window", 3),
 ]
+
+# MultiPhraseQuery slots: each inner list holds the slot's alternative
+# terms (Lucene's analyzer-synonym phrase path)
+MULTI_PHRASE_QUERIES = [
+    (31, [["table", "batch"], ["scan"]], 5),
+    (32, [["merge"], ["part", "scan"], ["window"]], 3),
+    (33, [["batch"]], 5),
+]
 PAGE_QUERY = (31, "merge join spark", 10)
 MF_QUERIES = [
     (41, "merge join src3", 10),
@@ -1478,6 +1486,18 @@ def _q1_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_phrase_positions(pos, PHRASE_QUERIES)
 
 
+def _q1_multi_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed MultiPhraseQuery (Lucene core's phrase-with-
+    alternatives; the analyzer-synonym phrase path): per-slot
+    alternative sets over the packed positions artifact, occurrence
+    counts under the one-term-per-position law."""
+    from org_rdkit_lucene_spark.operators.positions import search_multi_phrase
+
+    return search_multi_phrase(
+        _positions_for(spark, sf_dir), MULTI_PHRASE_QUERIES
+    )
+
+
 def _q1_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PhraseQuery SCORING analog (Lucene ranks phrases by
     tf(phraseFreq)·Σidf·norm, not raw counts): BM25 over the adjacency
@@ -1646,7 +1666,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_syntax_segmented": _q_segmented_syntax,
         "b1_delete_by_query": _q_delete_by_query,
         "q1_all_fields": _q1_all_fields,
-        "k7_wand_topk_large": _q_wand_large_k,
+        # multi-phrase (new r5 surface, needs a hard row); displaces
+        # k7_wand_topk_large next to the already-displaced xlarge —
+        # the same-kernel argument: k7_wand_disjunctive and
+        # k7_wand_conjunctive keep the WAND kernel under the hard gate
+        # (rotation documented in SURVEY §13)
+        "q1_multi_phrase": _q1_multi_phrase,
         "q1_field_qualified": _q_field_qualified,
         "q1_prefix_search": _q_prefix_search,
         "q1_fuzzy_search": _q_fuzzy_search,
@@ -1719,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_query_syntax": _q_syntax,
         # displaced from the window by the drill/percolate entries (see above):
         "b1_upsert_requery": _q_upsert_requery,
+        "k7_wand_topk_large": _q_wand_large_k,
         "k7_wand_topk_xlarge": _q_wand_xlarge_k,
         "q3_multi_field_bm25": _q3_multi_field_bm25,
         "t3_trigram_search": _q_trigram_search,
@@ -1965,6 +1991,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_multi_field_bm25": sqlgen.multi_field_bm25_sql(MF_QUERIES, MF_FIELD_BOOSTS),
         "td_dup_span_removal": sqlgen.remove_dup_spans_sql(k=8, min_df=2),
         "q1_phrase_positions": sqlgen.phrase_positions_sql(PHRASE_QUERIES),
+        "q1_multi_phrase": sqlgen.multi_phrase_sql(MULTI_PHRASE_QUERIES),
         "b_positions_packed": sqlgen.positions_packed_stats_sql(25),
         "q1_field_phrase": sqlgen.query_syntax_sql(FIELD_PHRASE_QUERIES),
         "q1_field_prefix": sqlgen.query_syntax_sql(FIELD_EXP_QUERIES),

@@ -820,3 +820,219 @@ def search_slop_positions(
             "query_id", "rank", "doc_id", F.col("n_spans").cast("long").alias("n_spans")
         )
     )
+
+
+def analyze_phrase_slots(
+    slots: list[list[str]], profile=None
+) -> list[list[str]] | None:
+    """The MultiPhraseQuery slot-analysis law, shared verbatim by the
+    engine and the DuckDB twin (parity by construction): every
+    alternative string runs through the analyzer profile and EACH
+    produced token becomes an alternative for its slot (a multi-token
+    alternative contributes all its tokens — deterministic, documented
+    deviation from Lucene's Term-typed API, which cannot receive
+    unanalyzed text); duplicates collapse and alternatives sort for a
+    stable plan. Returns None when any slot analyzes empty — the
+    zero-token-phrase inert law (``parse_query``'s phrase law;
+    Lucene's MultiPhraseQuery.add would throw instead, but the query
+    surface here is text-typed)."""
+    from org_rdkit_lucene_spark.functions.tokenizer import DEFAULT_PROFILE
+
+    prof = profile or DEFAULT_PROFILE
+    out: list[list[str]] = []
+    for alts in slots:
+        terms = sorted({w for a in alts for w in tokenize_text(a, prof)})
+        if not terms:
+            return None
+        out.append(terms)
+    return out
+
+
+def search_multi_phrase(
+    positions: DataFrame,
+    queries: list[tuple[int, list[list[str]], int]],
+    profile=None,
+    max_prefilter_pairs: int = MAX_PREFILTER_PAIRS,
+) -> DataFrame:
+    """Indexed MultiPhraseQuery — Lucene core's phrase-with-
+    alternatives (MultiPhraseQuery; the analyzer-synonym phrase path):
+    ``queries`` = [(query_id, slots, k)] where each slot is a list of
+    alternative strings, and
+
+        phrase starts at p  ⇔  ∀ slot i: ∃ t ∈ alts_i with
+                               (t, d, p + i) ∈ positions.
+
+    n_occ counts distinct start positions; a token-stream position
+    holds exactly ONE term, so alternatives within a slot can never
+    double-count a start (the reason the DuckDB twin needs no
+    DISTINCT). Ranking is the indexed-phrase integer law (n_occ DESC,
+    doc_id ASC, row_number ≤ k) with the search_phrase_positions
+    output schema. Singleton slots collapse the operator to the exact
+    PhraseQuery — identity-tested.
+
+    Plan (whole batch, not per query): the exact per-term census
+    routes queries exactly like :func:`_phrase_occurrences` — a slot
+    whose alternatives are ALL absent matches nothing (dropped
+    driver-side); single-slot queries read n_occ = Σ|poss| over the
+    slot's matched alternatives straight off the packed pair rows; and
+    multi-slot queries run a slot-union generalization of the shifted
+    ``array_intersect`` fold: per (query, doc, slot) the matched
+    alternatives' shifted position arrays FLATTEN into one array
+    (disjoint by the one-term-per-position argument — no dedup
+    needed), coverage filters to docs holding every slot BEFORE the
+    fold, and the fold intersects one array per slot. The rarest SLOT
+    (min Σ pairs over its alternatives) drives the broadcast doc-set
+    prefilter under the same MAX_PREFILTER_PAIRS selectivity cap.
+    Everything is pushed ``term IN`` scans of the packed artifact +
+    JVM higher-order functions — no stored bodies, no Python
+    evaluators, and hot words never explode into occurrence rows."""
+    spark = positions.sparkSession
+    packed = _as_packed(positions)
+
+    slot_rows: list[tuple[int, str, int]] = []   # (qid, term, slot_idx)
+    n_slots_by_q: dict[int, int] = {}
+    k_by_q: dict[int, int] = {}
+    for qid, slots, k in queries:
+        analyzed = analyze_phrase_slots(slots, profile)
+        if analyzed is None:
+            continue  # inert (a slot tokenized empty)
+        n_slots_by_q[int(qid)] = len(analyzed)
+        k_by_q[int(qid)] = int(k)
+        for i, alts in enumerate(analyzed):
+            slot_rows.extend((int(qid), t, i) for t in alts)
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, doc_id long, n_occ long"
+    )
+    if not slot_rows:
+        return empty
+
+    all_terms = sorted({t for _, t, _ in slot_rows})
+    census = {
+        r["term"]: int(r["pairs"])
+        for r in packed.filter(F.col("term").isin(all_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .collect()
+    }
+
+    # route per query off the census: drop queries with an all-absent
+    # slot; split singles from multi-slot folds; pick the rarest slot
+    by_q: dict[int, dict[int, list[str]]] = {}
+    for qid, t, i in slot_rows:
+        by_q.setdefault(qid, {}).setdefault(i, []).append(t)
+    single_rows: list[tuple[int, str]] = []
+    fold_rows: list[tuple[int, str, int]] = []
+    fold_n: list[tuple[int, int]] = []
+    pre_rows: list[tuple[int, str]] = []   # (qid, rarest-slot alt term)
+    for qid, slots_d in sorted(by_q.items()):
+        live = {
+            i: [t for t in alts if census.get(t, 0) > 0]
+            for i, alts in slots_d.items()
+        }
+        if any(not alts for alts in live.values()):
+            continue  # some slot has no indexed alternative -> no match
+        if len(live) == 1:
+            single_rows.extend((qid, t) for t in live[0])
+            continue
+        fold_rows.extend(
+            (qid, t, i) for i, alts in live.items() for t in alts
+        )
+        fold_n.append((qid, len(live)))
+        rare_i = min(live, key=lambda i: sum(census[t] for t in live[i]))
+        if sum(census[t] for t in live[rare_i]) <= max_prefilter_pairs:
+            pre_rows.extend((qid, t) for t in live[rare_i])
+
+    parts: list[DataFrame] = []
+    if single_rows:
+        st = F.broadcast(
+            spark.createDataFrame(single_rows, "query_id int, term string")
+        )
+        parts.append(
+            packed.filter(F.col("term").isin(sorted({t for _, t in single_rows})))
+            .join(st, "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.size("poss")).cast("long").alias("n_occ"))
+        )
+    if fold_rows:
+        wt = F.broadcast(
+            spark.createDataFrame(fold_rows, "query_id int, term string, idx int")
+        )
+        nw = F.broadcast(
+            spark.createDataFrame(fold_n, "query_id int, n_slots int")
+        )
+        shifted = (
+            packed.filter(
+                F.col("term").isin(sorted({t for _, t, _ in fold_rows}))
+            )
+            .join(wt, "term")
+            .select(
+                "query_id",
+                "doc_id",
+                "idx",
+                F.transform(
+                    "poss", lambda p: (p - F.col("idx")).cast("int")
+                ).alias("sh"),
+            )
+        )
+        if pre_rows:
+            pt = F.broadcast(
+                spark.createDataFrame(pre_rows, "query_id int, term string")
+            )
+            pre = F.broadcast(
+                packed.filter(
+                    F.col("term").isin(sorted({t for _, t in pre_rows}))
+                )
+                .join(pt, "term")
+                .select("query_id", "doc_id")
+                .distinct()
+            )
+            # semi-join keeps docs that hold the rarest slot; queries
+            # WITHOUT a prefilter row must pass through untouched, so
+            # the prune applies only to prefiltered query ids
+            pre_q = sorted({q for q, _ in pre_rows})
+            pruned = shifted.filter(F.col("query_id").isin(pre_q)).join(
+                pre, ["query_id", "doc_id"], "semi"
+            )
+            rest = shifted.filter(~F.col("query_id").isin(pre_q))
+            shifted = pruned.unionByName(rest)
+        slot_union = shifted.groupBy("query_id", "doc_id", "idx").agg(
+            F.flatten(F.collect_list("sh")).alias("su")
+        )
+        g = (
+            slot_union.groupBy("query_id", "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_idx"),
+                F.collect_list("su").alias("arrs"),
+            )
+            .join(nw, "query_id")
+            .filter(F.col("n_idx") == F.col("n_slots"))
+        )
+        starts = F.aggregate(
+            F.slice(F.col("arrs"), 2, F.greatest(F.size("arrs") - 1, F.lit(0))),
+            F.element_at(F.col("arrs"), 1),
+            lambda acc, x: F.array_intersect(acc, x),
+        )
+        parts.append(
+            g.select(
+                "query_id", "doc_id", F.size(starts).cast("long").alias("n_occ")
+            ).filter(F.col("n_occ") > 0)
+        )
+    if not parts:
+        return empty
+    occ = parts[0]
+    for p in parts[1:]:
+        occ = occ.unionByName(p)
+    meta = F.broadcast(
+        spark.createDataFrame(
+            [(q, k_by_q[q]) for q in sorted(k_by_q)], "query_id int, k int"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_occ"), F.asc("doc_id"))
+    return (
+        occ.join(meta, "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select(
+            "query_id", "rank", "doc_id", F.col("n_occ").cast("long").alias("n_occ")
+        )
+    )

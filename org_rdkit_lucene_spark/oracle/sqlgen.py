@@ -2636,6 +2636,68 @@ FROM ranked WHERE rnk <= k
 ORDER BY query_id, rank"""
 
 
+def multi_phrase_sql(
+    queries: list[tuple[int, list[list[str]], int]],
+    table: str = "documents",
+    extra_cte: str = "",
+) -> str:
+    """Twin of positions.search_multi_phrase (indexed MultiPhraseQuery,
+    the phrase-with-alternatives law): slots analyzed by the SHARED
+    analyze_phrase_slots law (parity by construction), one n-way
+    positions join per query with ``t_i.term IN (slot alternatives)``
+    per slot, plain ``count(*)`` occurrence counts (a token-stream
+    position holds exactly one term, so slot alternatives cannot
+    double-count a start — no DISTINCT needed), rank by
+    (n_occ DESC, doc_id ASC) bounded by k."""
+    from org_rdkit_lucene_spark.operators.positions import analyze_phrase_slots
+
+    toks = duckdb_tokens_sql("text")
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    def _inlist(alts: list[str]) -> str:
+        return "(" + ", ".join(f"'{_q(t)}'" for t in alts) + ")"
+
+    blocks = []
+    for qid, slots, k in queries:
+        analyzed = analyze_phrase_slots(slots)
+        if analyzed is None:
+            continue  # inert slot -> the query emits no rows
+        joins = " ".join(
+            f"JOIN posi t{i + 1} ON t{i + 1}.doc_id = t1.doc_id "
+            f"AND t{i + 1}.p = t1.p + {i} AND t{i + 1}.term IN {_inlist(alts)}"
+            for i, alts in enumerate(analyzed[1:], start=1)
+        )
+        blocks.append(
+            f"SELECT {qid} AS query_id, t1.doc_id, count(*)::BIGINT AS n_occ, "
+            f"{k} AS k FROM posi t1 {joins} "
+            f"WHERE t1.term IN {_inlist(analyzed[0])} GROUP BY 1, 2"
+        )
+    union = " UNION ALL ".join(blocks) if blocks else (
+        "SELECT 0 AS query_id, 0 AS doc_id, 0::BIGINT AS n_occ, 0 AS k WHERE 1=0"
+    )
+    head = f"WITH {extra_cte},\nposi AS (" if extra_cte else "WITH posi AS ("
+    return f"""
+{head}
+  SELECT doc_id, unnest({toks}) AS term,
+         generate_subscripts({toks}, 1) - 1 AS p
+  FROM {table}
+),
+occ AS ({union}),
+ranked AS (
+  SELECT query_id, doc_id, n_occ, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY n_occ DESC, doc_id ASC
+         ) AS rnk
+  FROM occ
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, n_occ
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank"""
+
+
 def phrase_bm25_sql(
     queries: list[tuple[int, str, int]],
     table: str = "documents",
