@@ -217,6 +217,18 @@ def _q_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "facet")
 
 
+def _q_taxonomy_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 hierarchical taxonomy facets (TaxonomyFacetCounts analog):
+    matching docs per path prefix per level, top-N per (query, level).
+    docmeta.path is source/doc/<id> (documents_as_corpus), so level 1
+    counts per source and level 2 per source/doc."""
+    from org_rdkit_lucene_spark.operators.query import taxonomy_facet_counts
+
+    return taxonomy_facet_counts(
+        _index_for(spark, sf_dir), DISJ_QUERIES, depth=2, top_n=10
+    ).orderBy("query_id", "level", "rank")
+
+
 def _q_classic_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 pluggable similarity: ClassicSimilarity (TF-IDF) top-k."""
     return search(_index_for(spark, sf_dir), DISJ_QUERIES, similarity="classic")
@@ -1681,7 +1693,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_sloppy_phrase": _q_sloppy_phrase,
         "q1_boolean_search": _q_boolean_search,
         "q1_boolean_not": _q_boolean_not,
-        "q1_boosted_search": _q_boosted_search,
         "q1_boosted_clauses": _q_boosted_clauses,
         # q1_synonym_search (new r5 surface) takes t3_trigram_search's
         # slot — that entry holds a fresh r4 hard row and its paths
@@ -1710,6 +1721,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_lmdirichlet": _q_lmdirichlet,
         "a3_boolean_similarity": _q_boolean_similarity,
         "a4_range_facets": _q_range_facets,
+        # taxonomy facets (new r5 surface, needs a hard row); displaces
+        # q1_boosted_search — its boost surface keeps a hard gate row
+        # via the superset entry q1_boosted_clauses (r5, in-window)
+        "a4_taxonomy_facets": _q_taxonomy_facets,
         # drill-down/sideways ride _bm25_scored + a fresh query.py path,
         # so they take window slots; displaced: k7_wand_topk_xlarge
         # (same kernel as k7_wand_topk_large, which stays, plus two more
@@ -1744,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_query_syntax": _q_syntax,
         # displaced from the window by the drill/percolate entries (see above):
         "b1_upsert_requery": _q_upsert_requery,
+        "q1_boosted_search": _q_boosted_search,
         "k7_wand_topk_large": _q_wand_large_k,
         "k7_wand_topk_xlarge": _q_wand_xlarge_k,
         "q3_multi_field_bm25": _q3_multi_field_bm25,
@@ -1856,6 +1872,9 @@ def oracle_sql() -> dict[str, str]:
         "a3_lmdirichlet": sqlgen.similarity_topk_sql(DISJ_QUERIES, "lmdirichlet"),
         "a3_boolean_similarity": sqlgen.similarity_topk_sql(DISJ_QUERIES, "boolean"),
         "a4_range_facets": sqlgen.range_facet_counts_sql(DISJ_QUERIES, DL_RANGES),
+        "a4_taxonomy_facets": sqlgen.taxonomy_facet_counts_sql(
+            DISJ_QUERIES, depth=2, top_n=10
+        ),
         "a4_drill_down": sqlgen.drill_down_topk_sql(
             DISJ_QUERIES, DRILL_DOWN, DRILL_COLMAP
         ),

@@ -2389,6 +2389,89 @@ def range_facet_counts(
     )
 
 
+def taxonomy_facet_counts(
+    index: InvertedIndex,
+    queries: list[tuple[int, str, int]],
+    path_col: str = "path",
+    sep: str = "/",
+    depth: int = 2,
+    top_n: int = 10,
+    mode: str = "disjunctive",
+) -> DataFrame:
+    """Hierarchical taxonomy facets (Lucene facet module,
+    TaxonomyFacetCounts over FacetField paths — the reference's facet
+    surface generalized to the hierarchy Lucene actually models):
+    per query, matching docs are counted under EVERY path prefix of
+    ``path_col`` up to ``depth`` levels ("src/core/util" counts under
+    "src", "src/core", "src/core/util"), and each (query, level)
+    keeps its ``top_n`` heaviest prefixes — Lucene's getTopChildren
+    per-level analog, ranked n_docs DESC then path ASC (an
+    all-integer law, no float quantization needed).
+
+    Scale shape: candidates stream from the pushed postings scan; the
+    docmeta join is keyed on doc_id (co-partitioned at cluster
+    scale); prefixes are a driver-free JVM HOF program
+    (split → sequence → transform → one explode, ≤ depth rows per
+    hit); the three-key groupBy gets map-side partial aggregation,
+    and the per-(query, level) top-N window is preceded by an exact
+    partition-local row_number prune (the K1-heap argument — the
+    grouped-head lesson), so a web-scale prefix cardinality can never
+    funnel the full aggregate through one window task."""
+    import re as _re
+
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    out_schema = "query_id int, level int, rank int, facet_path string, n_docs long"
+    if len(qterms) == 0:
+        return index.spark.createDataFrame([], out_schema)
+    scored, _ = _bm25_scored(index, qterms)
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    elif mode != "disjunctive":
+        raise ValueError(f"unknown mode {mode!r}")
+    meta = index.docmeta.select(
+        "doc_id", F.col(path_col).cast("string").alias("fp")
+    )
+    parts = F.split(F.col("fp"), _re.escape(sep))
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.least(F.size(parts), F.lit(int(depth)))),
+        lambda i: F.struct(
+            i.cast("int").alias("level"),
+            F.array_join(F.slice(parts, F.lit(1), i), sep).alias("facet_path"),
+        ),
+    )
+    agg = (
+        scored.select("query_id", "doc_id")
+        .join(meta, "doc_id")
+        .select("query_id", F.explode(prefixes).alias("pf"))
+        .groupBy("query_id", F.col("pf.level").alias("level"),
+                 F.col("pf.facet_path").alias("facet_path"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    order = [F.desc("n_docs"), F.asc("facet_path")]
+    w_loc = Window.partitionBy(
+        "query_id", "level", F.spark_partition_id()
+    ).orderBy(*order)
+    pruned = (
+        agg.withColumn("r", F.row_number().over(w_loc))
+        .filter(F.col("r") <= int(top_n))
+        .drop("r")
+    )
+    w = Window.partitionBy("query_id", "level").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_n))
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("level").cast("int").alias("level"),
+            F.col("rank").cast("int").alias("rank"),
+            "facet_path",
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
 def _drill_constraints(drill_down: dict[str, str]):
     """Validated (dim, value) constraint list; the matching law is
     exact equality on the stored docmeta value cast to string (the

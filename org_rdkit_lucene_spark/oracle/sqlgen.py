@@ -1889,6 +1889,57 @@ ORDER BY 1, 2"""
     )
 
 
+def taxonomy_facet_counts_sql(
+    queries: list[tuple[int, str, int]],
+    depth: int = 2,
+    top_n: int = 10,
+    mode: str = "disjunctive",
+    table: str = "documents",
+    path_expr: str | None = None,
+) -> str:
+    """Taxonomy-facet twin of ``taxonomy_facet_counts``: the engine's
+    docmeta ``path`` is reconstructed from the documents table the
+    same way ``documents_as_corpus`` builds it
+    (source || '/doc/' || doc_id) unless ``path_expr`` overrides it;
+    prefixes via string_split + list_slice per level, counts per
+    (query, level, prefix), row_number top-N by (n_docs DESC,
+    path ASC)."""
+    flt = "WHERE s.n_matched = s.n_terms" if mode == "conjunctive" else ""
+    pe = path_expr or "d.source || '/doc/' || d.doc_id"
+    return (
+        _bm25_ctes(queries, table=table)
+        + f""",
+paths AS (
+  SELECT s.query_id, string_split({pe}, '/') AS parts
+  FROM scored s JOIN {table} d ON d.doc_id = s.doc_id
+  {flt}
+),
+pref AS (
+  SELECT query_id, parts,
+         unnest(generate_series(1, least(len(parts), {int(depth)}))) AS lvl
+  FROM paths
+),
+counted AS (
+  SELECT query_id, lvl AS level,
+         array_to_string(list_slice(parts, 1, lvl), '/') AS facet_path,
+         count(*)::BIGINT AS n_docs
+  FROM pref GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT query_id, level, facet_path, n_docs,
+         row_number() OVER (
+           PARTITION BY query_id, level
+           ORDER BY n_docs DESC, facet_path ASC
+         ) AS rnk
+  FROM counted
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(level AS INTEGER) AS level,
+       CAST(rnk AS INTEGER) AS rank, facet_path, n_docs
+FROM ranked WHERE rnk <= {int(top_n)}
+ORDER BY query_id, level, rank"""
+    )
+
+
 def _drill_cond(colmap: dict[str, str], dim: str, val: str) -> str:
     col = colmap.get(dim, dim)
     return "CAST(d.{} AS VARCHAR) = '{}'".format(col, str(val).replace("'", "''"))

