@@ -284,6 +284,30 @@ def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# boolean-lite percolation: +MUST / -MUST_NOT / SHOULD terms + boosts
+PERC_SYNTAX_QUERIES = [
+    (51, "+merge join -batch", 10),
+    (52, "hash table^2 +scan", 10),
+    (53, "-merge window part", 10),
+    (54, "+zzzmissingterm merge", 10),  # unseen MUST -> unmatchable
+]
+
+
+def _q_percolate_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-lite percolator (MonitorQuery with MUST/MUST_NOT/SHOULD
+    term clauses): reverse == forward search_syntax on the index's own
+    corpus — the law the oracle recomputes."""
+    from org_rdkit_lucene_spark.streaming.percolate import percolate_syntax
+
+    idx = _index_for(spark, sf_dir)
+    docs = documents_as_corpus(spark, sf_dir).selectExpr(
+        "ext_id AS doc_id", "content"
+    )
+    return percolate_syntax(idx, docs, PERC_SYNTAX_QUERIES).orderBy(
+        "doc_id", "query_id"
+    )
+
+
 def _q_drill_down(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 DrillDownQuery analog: ranked top-k under facet constraints."""
     return search_drill_down(
@@ -1692,7 +1716,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_range_search": _q_range_search,
         "q1_sloppy_phrase": _q_sloppy_phrase,
         "q1_boolean_search": _q_boolean_search,
-        "q1_boolean_not": _q_boolean_not,
         "q1_boosted_clauses": _q_boosted_clauses,
         # q1_synonym_search (new r5 surface) takes t3_trigram_search's
         # slot — that entry holds a fresh r4 hard row and its paths
@@ -1739,6 +1762,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # search_multi_field + its SQL twin are byte-untouched since
         # the r4 commit (the boost work changed parse_query only).
         "ev_percolate": _q_percolate,
+        # boolean-lite percolation (new r5 surface, needs a hard row);
+        # displaces q1_boolean_not — the MUST_NOT law keeps in-window
+        # hard coverage via q1_query_syntax (-term clause) and via this
+        # entry's own excluded-term law
+        "ev_percolate_syntax": _q_percolate_syntax,
         "a4_facet_counts": _q_facet_counts,
         "k5_search_after": _q_search_after,
         "q3_name_search": _q_name_search,
@@ -1759,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_query_syntax": _q_syntax,
         # displaced from the window by the drill/percolate entries (see above):
         "b1_upsert_requery": _q_upsert_requery,
+        "q1_boolean_not": _q_boolean_not,
         "q1_boosted_search": _q_boosted_search,
         "k7_wand_topk_large": _q_wand_large_k,
         "k7_wand_topk_xlarge": _q_wand_xlarge_k,
@@ -1882,6 +1911,7 @@ def oracle_sql() -> dict[str, str]:
             DISJ_QUERIES, DRILL_DOWN, DRILL_DIMS, DRILL_COLMAP
         ),
         "ev_percolate": sqlgen.percolate_sql(DISJ_QUERIES, "conjunctive"),
+        "ev_percolate_syntax": sqlgen.percolate_syntax_sql(PERC_SYNTAX_QUERIES),
         "q1_synonym_search": sqlgen.synonym_topk_sql(SYN_QUERIES, SYN_MAP),
         "a4_facet_counts": sqlgen.facet_counts_sql(DISJ_QUERIES, facet_col="lang"),
         "k5_search_after": _page2_sql(),

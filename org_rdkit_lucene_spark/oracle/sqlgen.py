@@ -332,6 +332,100 @@ ORDER BY 1, 2"""
     )
 
 
+def percolate_syntax_sql(
+    queries: list[tuple[int, str, int]],
+    table: str = "documents",
+) -> str:
+    """Twin of ``streaming.percolate.percolate_syntax`` over the
+    index's own corpus: weights from the SHARED
+    ``syntax_scoring_weights`` law (must-pinning, boost sums), MUST
+    coverage via a distinct-count join, MUST_NOT via NOT EXISTS over
+    the token stream; scored set == the forward ``search_syntax``
+    term law with frozen idf/avgdl = the same table's stats."""
+    from org_rdkit_lucene_spark.operators.query import (
+        parse_query,
+        syntax_scoring_weights,
+    )
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    q_rows, must_rows, need_rows, excl_rows = [], [], [], []
+    for qid, text, _k in queries:
+        p = parse_query(text)
+        counts, must = syntax_scoring_weights(p, DEFAULT_PROFILE)
+        if not counts:
+            continue
+        for term, w in sorted(counts.items()):
+            q_rows.append(f"({qid}, '{_q(term)}', {float(w)!r})")
+        for t in sorted(must):
+            must_rows.append(f"({qid}, '{_q(t)}')")
+        need_rows.append(f"({qid}, {len(must)})")
+        excl = sorted(
+            {t for w in p["excluded"] for t in tokenize_text(w)}
+        )
+        for t in excl:
+            excl_rows.append(f"({qid}, '{_q(t)}')")
+
+    def vals(rows):
+        return ",\n    ".join(rows) if rows else "(NULL, NULL)"
+
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+nstat AS (SELECT count(*)::DOUBLE AS n FROM {table}),
+dlstat AS (
+  SELECT sum(coalesce(dl.dl, 0)) / (SELECT n FROM nstat) AS avgdl
+  FROM {table} LEFT JOIN dl USING (doc_id)
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(query_id, term, w) AS (VALUES
+    {vals(q_rows)}
+),
+mreq(query_id, term) AS (VALUES
+    {vals(must_rows)}
+),
+mneed(query_id, n_must) AS (VALUES
+    {vals(need_rows)}
+),
+excl(query_id, term) AS (VALUES
+    {vals(excl_rows)}
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.w * ln(1.0 + ((SELECT n FROM nstat) - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf * {P.k1 + 1.0}
+             / (tf.tf + {P.k1} * (1.0 - {P.b} + {P.b} * dl.dl / (SELECT avgdl FROM dlstat)))
+         ) AS score_raw,
+         count(*) AS n_matched
+  FROM tf JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id)
+  GROUP BY 1, 2
+),
+mhit AS (
+  SELECT m.query_id, tf.doc_id, count(DISTINCT tf.term) AS nm
+  FROM tf JOIN mreq m USING (term)
+  GROUP BY 1, 2
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(s.query_id AS INTEGER) AS query_id,
+       CAST(floor(s.score_raw * {_QUANT} + 0.5) AS BIGINT) AS score_q,
+       CAST(s.n_matched AS INTEGER) AS n_matched
+FROM scored s
+JOIN mneed n ON n.query_id = s.query_id
+LEFT JOIN mhit h ON h.query_id = s.query_id AND h.doc_id = s.doc_id
+WHERE coalesce(h.nm, 0) = n.n_must
+  AND NOT EXISTS (
+    SELECT 1 FROM tok x JOIN excl e
+      ON e.query_id = s.query_id AND e.term = x.term
+    WHERE x.doc_id = s.doc_id
+  )
+ORDER BY 1, 2"""
+
+
 def hit_counts_sql(queries: list[tuple[int, str, int]], mode: str = "disjunctive") -> str:
     flt = "WHERE n_matched = n_terms" if mode == "conjunctive" else ""
     return (

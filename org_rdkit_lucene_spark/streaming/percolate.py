@@ -265,3 +265,178 @@ def percolate_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+_SYNTAX_UNSUPPORTED = (
+    "phrases", "slop_phrases", "fields", "field_phrases", "prefixes",
+    "fuzzies", "wildcards", "ranges", "regexps", "field_prefixes",
+    "field_wildcards", "field_fuzzies", "field_ranges", "field_regexps",
+)
+
+
+def _registered_syntax_queries(index, queries: list[tuple[int, str, int]]):
+    """Boolean-lite registration (the Monitor's TermFilteredPresearcher
+    scope): ``+term`` MUST, ``-term`` MUST_NOT, bare terms SHOULD, with
+    term boosts — the TERM subset of :func:`parse_query`'s surface; a
+    registered query using phrase/field/expansion clauses raises (the
+    documented terms-only slice — those clause forms need the index or
+    positions artifact, which an arriving un-indexed doc doesn't have).
+
+    One broadcast row per query: (query_id, tidxs, ws, must_idxs,
+    n_must, not_idxs). Laws mirror ``search_syntax`` exactly:
+    scoring weights come from the SHARED ``syntax_scoring_weights``
+    (must-pinning, boost sums); scoring terms unseen in the base
+    lexicon drop from scoring; a MUST term unseen in the lexicon makes
+    the query unmatchable (it is skipped at registration — search's
+    unseen-conjunctive law); MUST_NOT terms are membership-only, so
+    they enter the counting union WITHOUT needing an idf (text-level
+    exclusion works even for terms the base index has never seen)."""
+    from ..operators.query import parse_query, syntax_scoring_weights
+    from ..functions.tokenizer import tokenize_text
+
+    if len(queries) > MAX_QUERIES:
+        raise ValueError(
+            f"{len(queries)} registered queries > MAX_QUERIES={MAX_QUERIES}; "
+            "shard the query set across percolators instead"
+        )
+    prof = index.cfg.tokenizer
+    per_q = []
+    need_idf: set[str] = set()
+    for qid, text, _k in queries:
+        p = parse_query(text)
+        bad = [k for k in _SYNTAX_UNSUPPORTED if p[k]]
+        if bad:
+            raise ValueError(
+                f"percolate_syntax supports term clauses only; query "
+                f"{qid} uses {bad} — register it against the forward "
+                "index instead"
+            )
+        counts, must = syntax_scoring_weights(p, prof)
+        if not counts:
+            continue  # no positive clause -> can never match
+        excl = sorted(
+            {t for w in p["excluded"] for t in tokenize_text(w, prof)}
+        )
+        per_q.append((int(qid), counts, must, excl))
+        need_idf.update(counts)
+    if not per_q:
+        return None
+    lex = (
+        index.lexicon.filter(F.col("term").isin(sorted(need_idf)))
+        .select("term", "idf")
+        .toPandas()
+    )
+    idf = dict(zip(lex["term"], lex["idf"]))
+    union_terms: set[str] = set()
+    kept = []
+    for qid, counts, must, excl in per_q:
+        seen = sorted(t for t in counts if t in idf)
+        if not seen:
+            continue  # every scoring term unseen -> n_matched stuck at 0
+        if any(t not in idf for t in must):
+            continue  # unseen MUST term -> unmatchable (search's law)
+        kept.append((qid, counts, must, excl, seen))
+        union_terms.update(seen)
+        union_terms.update(excl)
+    if not kept:
+        return None
+    union = sorted(union_terms)
+    tidx = {t: i for i, t in enumerate(union)}
+    rows = []
+    for qid, counts, must, excl, seen in kept:
+        rows.append(
+            (
+                qid,
+                [tidx[t] for t in seen],
+                [float(counts[t]) * float(idf[t]) for t in seen],
+                sorted(tidx[t] for t in must),
+                len(must),
+                sorted(tidx[t] for t in excl),
+            )
+        )
+    qdf = index.spark.createDataFrame(
+        rows,
+        schema=(
+            "query_id int, tidxs array<int>, ws array<double>, "
+            "must_idxs array<int>, n_must int, not_idxs array<int>"
+        ),
+    )
+    return qdf, union
+
+
+def percolate_syntax(
+    index,
+    docs: DataFrame,
+    queries: list[tuple[int, str, int]],
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Boolean-lite percolation (MonitorQuery with Occur.MUST /
+    MUST_NOT / SHOULD term clauses): match every doc against registered
+    ``+a -b c``-style queries. A doc matches when every MUST term
+    appears, no MUST_NOT term appears, and at least one scoring term
+    appears; ``score_q`` is the ``search_syntax`` BM25 law against the
+    FROZEN base-index model (idf, avgdl), so percolating the index's
+    own corpus is identical to the forward ``search_syntax`` with
+    k = corpus size (identity-tested).
+
+    Same 100-TB shape as :func:`percolate`: one vectorized Arrow
+    counting pass per doc over the registered-term union (scoring ∪
+    excluded terms), one broadcast join, per-pair O(1) tf-vector
+    indexing + codegen'd folds — NO shuffle, NO state, batch ==
+    streaming."""
+    spark = index.spark
+    reg = _registered_syntax_queries(index, queries)
+    if reg is None:
+        return spark.createDataFrame([], PERCOLATE_SCHEMA)
+    qdf, term_union = reg
+    p = index.cfg.bm25
+    avgdl = float(index.avgdl)
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(content_col).alias("content"),
+    ).mapInPandas(
+        _make_count_docs(index.cfg.tokenizer, term_union),
+        schema="doc_id long, dl int, tfv array<int>",
+    )
+    paired = base.crossJoin(F.broadcast(qdf))
+    tfs = F.transform(
+        F.col("tidxs"),
+        lambda i: F.element_at(F.col("tfv"), i + F.lit(1)).cast("double"),
+    )
+    paired = paired.withColumn("tfs", tfs)
+    n_matched = F.size(F.filter(F.col("tfs"), lambda c: c > 0))
+    must_hit = F.size(
+        F.filter(
+            F.col("must_idxs"),
+            lambda i: F.element_at(F.col("tfv"), i + F.lit(1)) > 0,
+        )
+    )
+    has_excluded = F.exists(
+        F.col("not_idxs"),
+        lambda i: F.element_at(F.col("tfv"), i + F.lit(1)) > 0,
+    )
+    contrib = F.zip_with(
+        F.col("tfs"),
+        F.col("ws"),
+        lambda tf, w: w
+        * (tf * F.lit(p.k1 + 1.0))
+        / (
+            tf
+            + F.lit(p.k1)
+            * (F.lit(1.0 - p.b) + F.lit(p.b) * F.col("dl") / F.lit(avgdl))
+        ),
+    )
+    score = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+    out = (
+        paired.withColumn("n_matched", n_matched)
+        .filter(F.col("n_matched") >= 1)
+        .filter(must_hit == F.col("n_must"))
+        .filter(~has_excluded)
+    )
+    return out.select(
+        "doc_id",
+        "query_id",
+        _quantize(score, p.score_decimals).alias("score_q"),
+        F.col("n_matched").cast("int").alias("n_matched"),
+    )

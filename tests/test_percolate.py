@@ -148,3 +148,102 @@ def test_percolate_validation(small_index, corpus_with_ids):
     ).toPandas()
     assert len(empty) == 0
     assert list(empty.columns) == ["doc_id", "query_id", "score_q", "n_matched"]
+
+
+SYNTAX_QUERIES = [
+    (11, "+merg join -spark", 10),
+    (12, "hash tabl^2 +scan", 10),
+    (13, "merg scorer", 10),
+    (14, "-merg join", 10),
+    (15, "+zzzmissing merg", 10),   # unseen MUST -> unmatchable
+]
+
+
+def test_percolate_syntax_equals_forward_search_syntax(
+    small_index, corpus_with_ids
+):
+    """Reverse boolean-lite == forward search_syntax with k = corpus
+    size, on (query, doc, score_q) — MUST/MUST_NOT/boost laws shared."""
+    from org_rdkit_lucene_spark.operators.query import search_syntax
+    from org_rdkit_lucene_spark.streaming.percolate import percolate_syntax
+
+    got = (
+        percolate_syntax(small_index, corpus_with_ids, SYNTAX_QUERIES)
+        .toPandas()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    big = [(qid, text, 10_000) for qid, text, _ in SYNTAX_QUERIES]
+    want = (
+        search_syntax(small_index, corpus_with_ids, big)
+        .toPandas()[["query_id", "doc_id", "score_q"]]
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["query_id", "doc_id", "score_q"]].astype("int64"),
+        want.astype("int64"),
+    )
+    assert (got.query_id == 15).sum() == 0  # unseen MUST never matches
+
+
+def test_percolate_syntax_rejects_non_term_clauses(small_index, corpus_with_ids):
+    from org_rdkit_lucene_spark.streaming.percolate import percolate_syntax
+
+    for bad in ('"a b"', "path:core", "pre*", "word~", "[a TO b]"):
+        with pytest.raises(ValueError, match="term clauses only"):
+            percolate_syntax(
+                small_index, corpus_with_ids, [(1, f"merg {bad}", 10)]
+            )
+
+
+def test_percolate_syntax_excludes_unseen_terms_text_level(
+    small_index, corpus_with_ids, spark
+):
+    """A MUST_NOT term the base lexicon has never seen still excludes
+    an arriving doc that contains it (membership needs no idf)."""
+    from org_rdkit_lucene_spark.streaming.percolate import percolate_syntax
+
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10_001, 10_002],
+                "content": [
+                    "merg zzznovel stream",   # contains the unseen term
+                    "merg stream",            # does not
+                ],
+            }
+        )
+    )
+    out = percolate_syntax(
+        small_index, extra, [(1, "merg -zzznovel", 10)]
+    ).toPandas()
+    assert list(out.doc_id) == [10_002]
+
+
+def test_percolate_syntax_oracle_parity(small_index, corpus_with_ids):
+    """Engine == DuckDB twin on the index's own corpus (the gate law)."""
+    import duckdb
+
+    from org_rdkit_lucene_spark.oracle.sqlgen import percolate_syntax_sql
+    from org_rdkit_lucene_spark.streaming.percolate import percolate_syntax
+
+    got = (
+        percolate_syntax(small_index, corpus_with_ids, SYNTAX_QUERIES)
+        .toPandas()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pdf = corpus_with_ids.toPandas().rename(columns={"content": "text"})
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute(percolate_syntax_sql(SYNTAX_QUERIES))
+        .df()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    cols = ["doc_id", "query_id", "score_q", "n_matched"]
+    pd.testing.assert_frame_equal(
+        got[cols].astype("int64"), want[cols].astype("int64")
+    )
