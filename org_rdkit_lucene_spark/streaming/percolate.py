@@ -233,11 +233,14 @@ def percolate_stream(
     content_col: str = "content",
     min_should_match: int = 1,
     query_name: str = "percolated",
+    syntax: bool = False,
 ) -> DataFrame:
     """Structured Streaming wrapper: file-source parquet docs →
-    :func:`percolate` → memory sink (availableNow), returning the
-    matches table. The operator is stateless, so append mode needs no
-    watermark and a restart reprocesses only new files.
+    :func:`percolate` (or :func:`percolate_syntax` when
+    ``syntax=True`` — ``mode``/``min_should_match`` then unused) →
+    memory sink (availableNow), returning the matches table. Both
+    operators are stateless, so append mode needs no watermark and a
+    restart reprocesses only new files.
 
     ``docs_path`` may be a directory or a single parquet file (the
     file source requires a directory; a file resolves to its parent
@@ -247,15 +250,20 @@ def percolate_stream(
         reader = reader.option("pathGlobFilter", os.path.basename(docs_path))
         docs_path = os.path.dirname(docs_path)
     stream = reader.parquet(docs_path)
-    matched = percolate(
-        index,
-        stream,
-        queries,
-        mode=mode,
-        id_col=id_col,
-        content_col=content_col,
-        min_should_match=min_should_match,
-    )
+    if syntax:
+        matched = percolate_syntax(
+            index, stream, queries, id_col=id_col, content_col=content_col
+        )
+    else:
+        matched = percolate(
+            index,
+            stream,
+            queries,
+            mode=mode,
+            id_col=id_col,
+            content_col=content_col,
+            min_should_match=min_should_match,
+        )
     q = (
         matched.writeStream.format("memory")
         .queryName(query_name)

@@ -247,3 +247,37 @@ def test_percolate_syntax_oracle_parity(small_index, corpus_with_ids):
     pd.testing.assert_frame_equal(
         got[cols].astype("int64"), want[cols].astype("int64")
     )
+
+
+def test_percolate_syntax_stream_matches_batch(
+    small_index, corpus_with_ids, tmp_path
+):
+    """Streaming boolean-lite percolation == batch (stateless operator,
+    append mode)."""
+    from org_rdkit_lucene_spark.streaming.percolate import percolate_syntax
+
+    d = str(tmp_path / "stream_docs_syn")
+    corpus_with_ids.selectExpr(
+        "CAST(doc_id AS LONG) AS doc_id", "content"
+    ).write.parquet(d)
+    got = (
+        percolate_stream(
+            small_index,
+            small_index.spark,
+            d,
+            "doc_id long, content string",
+            SYNTAX_QUERIES,
+            query_name="perc_syn_test",
+            syntax=True,
+        )
+        .toPandas()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        percolate_syntax(small_index, corpus_with_ids, SYNTAX_QUERIES)
+        .toPandas()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
