@@ -548,6 +548,16 @@ def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_grouped(idx, GROUPED_QUERIES, "lang", group_limit=2)
 
 
+def _q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent block join (ToParentBlockJoinQuery/ScoreMode analog):
+    children aggregate up to their repo parent under the
+    quantize-then-aggregate integer law; k counts parents."""
+    from org_rdkit_lucene_spark.operators.query import search_block_join
+
+    idx = _index_for(spark, sf_dir)
+    return search_block_join(idx, GROUPED_QUERIES, "repo", score_mode="max")
+
+
 # Spell suggestion (Lucene suggest module, DirectSpellChecker law):
 # top-k lexicon terms within 2 edits, (dist ASC, df DESC, term ASC),
 # the word itself excluded. Misspellings of high-df corpus vocabulary
@@ -1720,14 +1730,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q1_synonym_search (new r5 surface) takes t3_trigram_search's
         # slot — that entry holds a fresh r4 hard row and its paths
         # (tokenizer profiles, config) are byte-untouched since the r4
-        # commit; t3_identifiers_lexicon stays in-window to keep one
-        # profile entry under the hard gate.
+        # commit. t3_identifiers_lexicon later ceded its slot to
+        # q12_block_join: the one-pass build change is proven
+        # artifact-byte-identical by the byte-equivalence suite, and
+        # every analyzer profile holds pytest three-way parity.
         "q1_synonym_search": _q_synonym_search,
-        "t3_identifiers_lexicon": _q_identifiers_lexicon,
         "q1_sorted_by_field": _q_sorted_by_field,
         "q1_field_prefix": _q_field_prefix,
         "q1_field_range_regexp": _q_field_range_regexp,
         "q10_grouped_topk": _q_grouped_topk,
+        # block join (new r5 surface, needs a hard row); displaces
+        # t3_identifiers_lexicon — the one-pass build change is proven
+        # artifact-byte-identical by the byte-equivalence suite, and
+        # every analyzer profile holds pytest three-way parity
+        "q12_block_join": _q_block_join,
         "q11_suggest_terms": _q_suggest,
         "q11_suggest_completions": _q_completions,
         "k5_search_after_syntax": _q_search_after_syntax,
@@ -1787,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_query_syntax": _q_syntax,
         # displaced from the window by the drill/percolate entries (see above):
         "b1_upsert_requery": _q_upsert_requery,
+        "t3_identifiers_lexicon": _q_identifiers_lexicon,
         "q1_boolean_not": _q_boolean_not,
         "q1_boosted_search": _q_boosted_search,
         "k7_wand_topk_large": _q_wand_large_k,
@@ -2050,6 +2067,9 @@ def oracle_sql() -> dict[str, str]:
         "k5_search_after_syntax": _page2_syntax_sql(),
         "q10_grouped_topk": sqlgen.grouped_topk_sql(
             GROUPED_QUERIES, "lang", group_limit=2
+        ),
+        "q12_block_join": sqlgen.block_join_sql(
+            GROUPED_QUERIES, "repo", score_mode="max"
         ),
         "q11_suggest_terms": sqlgen.suggest_sql(SUGGEST_WORDS),
         "q11_suggest_completions": sqlgen.suggest_completions_sql(

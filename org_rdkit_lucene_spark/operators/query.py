@@ -2866,6 +2866,97 @@ def search_grouped(
     )
 
 
+BLOCK_JOIN_MODES = ("max", "min", "total", "avg", "count")
+
+
+def search_block_join(
+    index: InvertedIndex,
+    queries: list[tuple[int, str, int]],
+    parent_field: str = "repo",
+    score_mode: str = "max",
+    mode: str = "disjunctive",
+) -> DataFrame:
+    """Parent block join — the Lucene join-module analog
+    (``ToParentBlockJoinQuery`` with ``ScoreMode``): child docs
+    matching the query aggregate up to their PARENT (here the stored
+    ``parent_field`` value — the repo a file belongs to), parents rank
+    by the aggregated score, and each query's k counts PARENTS.
+
+    Score law (cross-engine exact): children carry their QUANTIZED
+    score_q; the parent aggregate is integer arithmetic over those
+    int64 values — ``max``/``min``/``total`` (Σ), ``avg``
+    (floor(Σ/n), exact integer division), ``count`` (n_children) —
+    the quantize-before-aggregate discipline every cross-engine float
+    law in this repo follows (Lucene aggregates raw floats; the
+    integer law is the deterministic twin of the same semantics).
+    Parent rank: score_agg DESC, parent ASC.
+
+    Plan shape: the BM25 candidate stream joins docmeta ONCE for the
+    parent key (the join search_sorted/search_grouped already pay),
+    one two-key groupBy with map-side partial aggregation (int sums/
+    max — cheap partials), then the partition-local row_number prune
+    before the per-query head window (the K1-heap argument: at web
+    scale parent_field has 10⁷ values; the global top-k is a fortiori
+    in every partition's top-k, so the window's input shrinks to
+    parts×k rows). No collect, no UDF."""
+    if score_mode not in BLOCK_JOIN_MODES:
+        raise ValueError(
+            f"unknown score_mode {score_mode!r}; one of {BLOCK_JOIN_MODES}"
+        )
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    out_schema = (
+        "query_id int, rank int, parent string, score_q long, n_children long"
+    )
+    if len(qterms) == 0:
+        return index.spark.createDataFrame([], out_schema)
+    scored, _ = _bm25_scored(index, qterms)
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    elif mode != "disjunctive":
+        raise ValueError(f"unknown mode {mode!r}")
+    dec = index.cfg.bm25.score_decimals
+    # the parent key shares the lowercase normalization of every other
+    # metadata-field law (and the SQL twin mirrors it)
+    dm = index.docmeta.select(
+        "doc_id", F.lower(F.col(parent_field)).alias("parent")
+    )
+    child = scored.join(dm, "doc_id").select(
+        "query_id", "parent", _quantize(F.col("score_raw"), dec).alias("cq"), "k"
+    )
+    agg_fn = {
+        "max": F.max("cq"),
+        "min": F.min("cq"),
+        "total": F.sum("cq"),
+        "avg": F.floor(F.sum("cq") / F.count("*")).cast("long"),
+        "count": F.count("*").cast("long"),
+    }[score_mode]
+    parents = child.groupBy("query_id", "parent").agg(
+        agg_fn.alias("score_q"),
+        F.count("*").alias("n_children"),
+        F.max("k").alias("k"),
+    )
+    order = [F.desc("score_q"), F.asc("parent")]
+    local_w = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        parents.withColumn("lrank", F.row_number().over(local_w))
+        .filter(F.col("lrank") <= F.col("k"))
+        .drop("lrank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "parent",
+            F.col("score_q").cast("long").alias("score_q"),
+            F.col("n_children").cast("long").alias("n_children"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def suggest_terms(
     index: InvertedIndex,
     words: list[tuple[str, int]],

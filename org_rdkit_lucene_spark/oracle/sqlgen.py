@@ -3210,6 +3210,56 @@ ORDER BY query_id, group_rank, hit_rank"""
     )
 
 
+def block_join_sql(
+    queries: list[tuple[int, str, int]],
+    parent_field: str = "repo",
+    score_mode: str = "max",
+    mode: str = "disjunctive",
+    table: str = "documents",
+) -> str:
+    """Twin of ``query.search_block_join`` (ToParentBlockJoinQuery
+    analog): children carry their quantized score_q; the parent
+    aggregate is the same integer law (max/min/Σ/floor-avg/count);
+    parents rank by (score_agg DESC, parent ASC) bounded by k."""
+    expr = _GROUP_EXPRS[parent_field]
+    flt = "WHERE n_matched = n_terms" if mode == "conjunctive" else ""
+    agg = {
+        "max": "max(cq)",
+        "min": "min(cq)",
+        "total": "sum(cq)",
+        "avg": "CAST(floor(sum(cq) / count(*)) AS BIGINT)",
+        "count": "count(*)",
+    }[score_mode]
+    return (
+        _bm25_ctes(queries, table=table)
+        + f""",
+child AS (
+  SELECT s.query_id, s.k,
+         CAST(floor(s.score_raw * {_QUANT} + 0.5) AS BIGINT) AS cq,
+         {expr} AS parent
+  FROM (SELECT * FROM scored {flt}) s JOIN {table} d USING (doc_id)
+),
+par AS (
+  SELECT query_id, parent,
+         CAST({agg} AS BIGINT) AS score_q,
+         count(*)::BIGINT AS n_children,
+         max(k) AS k
+  FROM child GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, parent, score_q, n_children, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_q DESC, parent ASC
+         ) AS rnk
+  FROM par
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       parent, score_q, n_children
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank"""
+    )
+
+
 def suggest_sql(
     words: list[tuple[str, int]],
     max_dist: int = 2,

@@ -135,3 +135,84 @@ def test_completion_law_and_parity(gs_index):
     want = con.execute(sqlgen.suggest_completions_sql(prefixes)).df()
     assert got.values.tolist() == want.values.tolist()
     assert len(got) > 0
+
+
+BJ_QUERIES = [(1, "merge tree", 3), (2, "hash scan", 2)]
+
+
+def _bj_brute(gs_index, score_mode):
+    """Brute force: full ranked child list → quantized per-doc scores →
+    integer aggregate per parent → (score DESC, parent ASC) top-k."""
+    full = search(
+        gs_index, [(qid, t, 100) for qid, t, _ in BJ_QUERIES]
+    ).toPandas()
+    parents = DOCS.set_index("doc_id")["source"].str.lower()
+    rows = []
+    for qid, _t, k in BJ_QUERIES:
+        sub = full[full.query_id == qid]
+        agg = {}
+        for r in sub.itertuples():
+            agg.setdefault(parents[int(r.doc_id)], []).append(int(r.score_q))
+        law = {
+            "max": max, "min": min, "total": sum,
+            "avg": lambda v: sum(v) // len(v), "count": len,
+        }[score_mode]
+        ranked = sorted(
+            ((law(v), p, len(v)) for p, v in agg.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for i, (s, p, n) in enumerate(ranked, start=1):
+            rows.append((qid, i, p, s, n))
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "parent", "score_q", "n_children"]
+    )
+
+
+@pytest.mark.parametrize("score_mode", ["max", "min", "total", "avg", "count"])
+def test_block_join_law(gs_index, score_mode):
+    from org_rdkit_lucene_spark.operators.query import search_block_join
+
+    got = (
+        search_block_join(gs_index, BJ_QUERIES, "repo", score_mode)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = _bj_brute(gs_index, score_mode)
+    pd.testing.assert_frame_equal(
+        got.astype({"query_id": "int64", "rank": "int64",
+                    "score_q": "int64", "n_children": "int64"}),
+        want.astype({"query_id": "int64", "rank": "int64",
+                     "score_q": "int64", "n_children": "int64"}),
+        check_dtype=False,
+    )
+
+
+@pytest.mark.parametrize("score_mode", ["max", "total", "avg"])
+def test_block_join_oracle_parity(gs_index, score_mode):
+    from org_rdkit_lucene_spark.operators.query import search_block_join
+
+    got = (
+        search_block_join(gs_index, BJ_QUERIES, "repo", score_mode)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", DOCS)
+    want = con.execute(
+        sqlgen.block_join_sql(BJ_QUERIES, "repo", score_mode)
+    ).df()
+    cols = ["query_id", "rank", "parent", "score_q", "n_children"]
+    pd.testing.assert_frame_equal(
+        got[cols].astype({"query_id": "int64", "rank": "int64",
+                          "score_q": "int64", "n_children": "int64"}),
+        want[cols].astype({"query_id": "int64", "rank": "int64",
+                           "score_q": "int64", "n_children": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_block_join_validation(gs_index):
+    from org_rdkit_lucene_spark.operators.query import search_block_join
+
+    with pytest.raises(ValueError, match="score_mode"):
+        search_block_join(gs_index, BJ_QUERIES, score_mode="geometric")
