@@ -548,6 +548,16 @@ def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_grouped(idx, GROUPED_QUERIES, "lang", group_limit=2)
 
 
+def _q_join_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time join (JoinUtil.createJoinQuery analog): matching
+    docs' repo values aggregate their quantized scores; every doc of a
+    matching repo is a join hit ranked by the value score."""
+    from org_rdkit_lucene_spark.operators.query import search_join
+
+    idx = _index_for(spark, sf_dir)
+    return search_join(idx, GROUPED_QUERIES, "repo", "repo", score_mode="total")
+
+
 def _q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parent block join (ToParentBlockJoinQuery/ScoreMode analog):
     children aggregate up to their repo parent under the
@@ -1744,8 +1754,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # artifact-byte-identical by the byte-equivalence suite, and
         # every analyzer profile holds pytest three-way parity
         "q12_block_join": _q_block_join,
+        # query-time join (new r5 surface, needs a hard row); displaces
+        # q11_suggest_completions — its pushed-prefix-scan law
+        # (_lexicon_topn) keeps hard coverage via q1_prefix_search and
+        # q11_suggest_terms, and the entry stays green in the sf0.01
+        # replica
+        "q12_join_search": _q_join_search,
         "q11_suggest_terms": _q_suggest,
-        "q11_suggest_completions": _q_completions,
         "k5_search_after_syntax": _q_search_after_syntax,
         # --- round-5 session 4: pluggable similarities + range facets.
         # These ride _bm25_scored, which changed this session (cf in the
@@ -1803,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_query_syntax": _q_syntax,
         # displaced from the window by the drill/percolate entries (see above):
         "b1_upsert_requery": _q_upsert_requery,
+        "q11_suggest_completions": _q_completions,
         "t3_identifiers_lexicon": _q_identifiers_lexicon,
         "q1_boolean_not": _q_boolean_not,
         "q1_boosted_search": _q_boosted_search,
@@ -2070,6 +2086,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q12_block_join": sqlgen.block_join_sql(
             GROUPED_QUERIES, "repo", score_mode="max"
+        ),
+        "q12_join_search": sqlgen.join_search_sql(
+            GROUPED_QUERIES, "repo", "repo", score_mode="total"
         ),
         "q11_suggest_terms": sqlgen.suggest_sql(SUGGEST_WORDS),
         "q11_suggest_completions": sqlgen.suggest_completions_sql(

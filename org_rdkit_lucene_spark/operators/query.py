@@ -2957,6 +2957,91 @@ def search_block_join(
     )
 
 
+def search_join(
+    index: InvertedIndex,
+    queries: list[tuple[int, str, int]],
+    from_field: str = "repo",
+    to_field: str = "repo",
+    score_mode: str = "max",
+    mode: str = "disjunctive",
+) -> DataFrame:
+    """Query-time join — the Lucene join-module analog
+    (``JoinUtil.createJoinQuery(fromField, fromQuery, toField,
+    ScoreMode)``): docs matching the query contribute their
+    ``from_field`` values; every doc whose ``to_field`` carries one of
+    those values is a join hit, scored by the value's aggregate of the
+    contributing from-docs' scores, and each query's k counts TO-docs.
+
+    Score law: the quantize-then-aggregate integer discipline of
+    :func:`search_block_join` — from-docs carry quantized score_q, a
+    value's score is ``max``/``min``/``total``/floor-``avg``/``count``
+    over them, and a to-doc inherits its value's score (fields are
+    single-valued, so exactly one). Rank: score_q DESC, doc_id ASC.
+
+    Scale shape: from-side = the BM25 candidate stream + ONE docmeta
+    join + a two-key groupBy with int map-side partials (output
+    bounded by the matching distinct-value set, NEVER collected);
+    to-side = a hash join of docmeta against that value table on the
+    join key, then the partition-local row_number prune before the
+    per-query rank window. No collect, no UDF, no broadcast of
+    anything data-sized."""
+    if score_mode not in BLOCK_JOIN_MODES:
+        raise ValueError(
+            f"unknown score_mode {score_mode!r}; one of {BLOCK_JOIN_MODES}"
+        )
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    out_schema = "query_id int, rank int, doc_id long, score_q long"
+    if len(qterms) == 0:
+        return index.spark.createDataFrame([], out_schema)
+    scored, _ = _bm25_scored(index, qterms)
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    elif mode != "disjunctive":
+        raise ValueError(f"unknown mode {mode!r}")
+    dec = index.cfg.bm25.score_decimals
+    from_dm = index.docmeta.select(
+        "doc_id", F.lower(F.col(from_field)).alias("jval")
+    )
+    child = scored.join(from_dm, "doc_id").select(
+        "query_id", "jval", _quantize(F.col("score_raw"), dec).alias("cq"), "k"
+    )
+    agg_fn = {
+        "max": F.max("cq"),
+        "min": F.min("cq"),
+        "total": F.sum("cq"),
+        "avg": F.floor(F.sum("cq") / F.count("*")).cast("long"),
+        "count": F.count("*").cast("long"),
+    }[score_mode]
+    vals = child.groupBy("query_id", "jval").agg(
+        agg_fn.alias("score_q"), F.max("k").alias("k")
+    )
+    to_dm = index.docmeta.select(
+        "doc_id", F.lower(F.col(to_field)).alias("jval")
+    )
+    hits = to_dm.join(vals, "jval").select(
+        "query_id", "doc_id", "score_q", "k"
+    )
+    order = [F.desc("score_q"), F.asc("doc_id")]
+    local_w = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        hits.withColumn("lrank", F.row_number().over(local_w))
+        .filter(F.col("lrank") <= F.col("k"))
+        .drop("lrank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("score_q").cast("long").alias("score_q"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def suggest_terms(
     index: InvertedIndex,
     words: list[tuple[str, int]],

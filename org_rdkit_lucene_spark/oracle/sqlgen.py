@@ -3260,6 +3260,59 @@ ORDER BY query_id, rank"""
     )
 
 
+def join_search_sql(
+    queries: list[tuple[int, str, int]],
+    from_field: str = "repo",
+    to_field: str = "repo",
+    score_mode: str = "max",
+    mode: str = "disjunctive",
+    table: str = "documents",
+) -> str:
+    """Twin of ``query.search_join`` (JoinUtil.createJoinQuery analog):
+    from-docs' quantized scores aggregate per join value under the
+    integer law; to-docs inherit their value's score and rank by
+    (score_q DESC, doc_id ASC) bounded by k."""
+    fexpr = _GROUP_EXPRS[from_field]
+    texpr = _GROUP_EXPRS[to_field]
+    flt = "WHERE n_matched = n_terms" if mode == "conjunctive" else ""
+    agg = {
+        "max": "max(cq)",
+        "min": "min(cq)",
+        "total": "sum(cq)",
+        "avg": "CAST(floor(sum(cq) / count(*)) AS BIGINT)",
+        "count": "count(*)",
+    }[score_mode]
+    return (
+        _bm25_ctes(queries, table=table)
+        + f""",
+child AS (
+  SELECT s.query_id, s.k,
+         CAST(floor(s.score_raw * {_QUANT} + 0.5) AS BIGINT) AS cq,
+         {fexpr} AS jval
+  FROM (SELECT * FROM scored {flt}) s JOIN {table} d USING (doc_id)
+),
+vals AS (
+  SELECT query_id, jval, CAST({agg} AS BIGINT) AS score_q, max(k) AS k
+  FROM child GROUP BY 1, 2
+),
+hits AS (
+  SELECT v.query_id, d.doc_id, v.score_q, v.k
+  FROM {table} d JOIN vals v ON {texpr} = v.jval
+),
+ranked AS (
+  SELECT query_id, doc_id, score_q, k,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC
+         ) AS rnk
+  FROM hits
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score_q
+FROM ranked WHERE rnk <= k
+ORDER BY query_id, rank"""
+    )
+
+
 def suggest_sql(
     words: list[tuple[str, int]],
     max_dist: int = 2,

@@ -216,3 +216,59 @@ def test_block_join_validation(gs_index):
 
     with pytest.raises(ValueError, match="score_mode"):
         search_block_join(gs_index, BJ_QUERIES, score_mode="geometric")
+
+
+@pytest.mark.parametrize("score_mode", ["max", "total", "count"])
+def test_join_search_law(gs_index, score_mode):
+    """Query-time join == brute force: from-docs' quantized scores
+    aggregate per join value; every to-doc with that value is a hit
+    inheriting the value's score; rank (score DESC, doc ASC) top-k."""
+    from org_rdkit_lucene_spark.operators.query import search_join
+
+    got = (
+        search_join(gs_index, BJ_QUERIES, "repo", "repo", score_mode)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    full = search(
+        gs_index, [(qid, t, 100) for qid, t, _ in BJ_QUERIES]
+    ).toPandas()
+    parents = DOCS.set_index("doc_id")["source"].str.lower()
+    rows = []
+    for qid, _t, k in BJ_QUERIES:
+        sub = full[full.query_id == qid]
+        agg = {}
+        for r in sub.itertuples():
+            agg.setdefault(parents[int(r.doc_id)], []).append(int(r.score_q))
+        law = {"max": max, "total": sum, "count": len}[score_mode]
+        vals = {p: law(v) for p, v in agg.items()}
+        hits = sorted(
+            ((vals[parents[d]], d) for d in DOCS.doc_id if parents[d] in vals),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for i, (s, d) in enumerate(hits, start=1):
+            rows.append((qid, i, d, s))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score_q"])
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False
+    )
+
+
+def test_join_search_oracle_parity(gs_index):
+    from org_rdkit_lucene_spark.operators.query import search_join
+
+    got = (
+        search_join(gs_index, BJ_QUERIES, "repo", "repo", "total")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", DOCS)
+    want = con.execute(
+        sqlgen.join_search_sql(BJ_QUERIES, "repo", "repo", "total")
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"),
+        want[["query_id", "rank", "doc_id", "score_q"]].astype("int64"),
+        check_dtype=False,
+    )
