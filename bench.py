@@ -208,11 +208,26 @@ def run_level(
             # kernel (expected ≈ kernel latency, not DataFrame-path)
             ("q_disjunctive_auto", "auto_routed",
              lambda: search_auto(idx, batches["disj"], "disjunctive")),
-            # round-5 surfaces, tracked like every op with a scale
-            # claim: reverse search fans the corpus across a 16-query
-            # registered set (map-only broadcast NLJ), sideways facets
-            # pay one docmeta join + one explode + one groupBy, and
-            # synonym groups add the pre-saturation aggregation stage
+        ]:
+            samples = []
+            for rep in range(repeats):
+                t = time.time()
+                hits = len(fn().collect())
+                wall = time.time() - t
+                samples.append(wall)
+                csv_rows.append((cores, name, qtype, rep, round(wall * 1000, 1), hits))
+            qtimes[name] = round(min(samples), 3)  # best-of-repeats
+            samples_all.extend(samples)
+
+        # round-5 surfaces, tracked like every op with a scale claim
+        # but NOT pooled into query_p95_sec — the p95 pool stays the
+        # round-3 shared row set so the headline tracks round-over-
+        # round (q_percolate is a CORPUS-PASS row: it re-tokenizes all
+        # 204k docs against a 16-query registered set, the same cost
+        # class as b_positions, and a single such row would swamp a
+        # per-query latency percentile). Each reports best-of-repeats
+        # in `queries` and lands in the CSV like every other row.
+        for name, qtype, fn in [
             ("q_percolate", "percolate",
              lambda: percolate(
                  idx, corpus_ids.select("doc_id", "content"),
@@ -233,8 +248,7 @@ def run_level(
                 wall = time.time() - t
                 samples.append(wall)
                 csv_rows.append((cores, name, qtype, rep, round(wall * 1000, 1), hits))
-            qtimes[name] = round(min(samples), 3)  # best-of-repeats
-            samples_all.extend(samples)
+            qtimes[name] = round(min(samples), 3)
         samples_all.sort()
         out["queries"] = qtimes
         out["query_total_sec"] = round(sum(qtimes.values()), 3)
@@ -276,18 +290,28 @@ def run_level(
             # flat runs — the saving vs (separate build + standalone
             # build_positions, which re-tokenizes the corpus) is the
             # verdict-#6 claim, so it carries a measured row
-            op_dir = tempfile.mkdtemp(prefix=f"bench_onepass_{cores}_")
-            t0 = time.time()
-            build_index(spark, corpus, cfg, op_dir, validate_pk=False,
-                        id_col="ext_id", with_positions=True)
-            one_pass_sec = round(time.time() - t0, 3)
-            shutil.rmtree(op_dir, ignore_errors=True)
+            # the box's ±15-30% (sometimes 2x) run-to-run variance can
+            # flip a single-sample comparison, so the combined arm is
+            # best-of-2 at the repeated (4N) level, and the separate
+            # arm uses the SAME RUN's best build sample + b_positions —
+            # min-vs-min, the fairest low-cost estimator here
+            op_samples = []
+            for rep in range(min(repeats, 2) if repeats > 1 else 1):
+                op_dir = tempfile.mkdtemp(prefix=f"bench_onepass_{cores}_")
+                t0 = time.time()
+                build_index(spark, corpus, cfg, op_dir, validate_pk=False,
+                            id_col="ext_id", with_positions=True)
+                op_samples.append(round(time.time() - t0, 3))
+                shutil.rmtree(op_dir, ignore_errors=True)
+                csv_rows.append((cores, "b_build_with_positions",
+                                 "onepass_build", rep,
+                                 round(op_samples[-1] * 1000, 1), n_docs))
+            one_pass_sec = min(op_samples)
             qtimes["b_build_with_positions"] = one_pass_sec
-            csv_rows.append((cores, "b_build_with_positions", "onepass_build",
-                             0, round(one_pass_sec * 1000, 1), n_docs))
-            sep_sum = build_sec + qtimes["b_positions"]
+            sep_sum = min(out["build_secs_all"]) + qtimes["b_positions"]
             out["one_pass"] = {
                 "combined_sec": one_pass_sec,
+                "combined_secs_all": op_samples,
                 "separate_sum_sec": round(sep_sum, 3),
                 "saving_frac": round(1.0 - one_pass_sec / sep_sum, 3),
             }
@@ -687,6 +711,12 @@ north_rule.
 {scaling["scaling_efficiency"]}** (target >= 0.8).
 
 Per-query best-of-{repeats} seconds at 4N: {json.dumps(high["queries"])}
+
+query_p95_sec pools the round-3 shared row set only (q_disjunctive …
+q_disjunctive_auto) so the headline tracks round-over-round; the
+round-5 rows (q_percolate — a CORPUS-PASS reverse-search row in
+b_positions' cost class, q_drill_sideways, q_synonyms) report their
+own walls above and in results.csv but stay out of the percentile.
 
 Training-data operator wall seconds at 4N (one run each, sf={sf}
 documents/embeddings tables): {json.dumps(high.get("training_ops", {}))}
