@@ -2397,6 +2397,7 @@ def taxonomy_facet_counts(
     depth: int = 2,
     top_n: int = 10,
     mode: str = "disjunctive",
+    under: str | None = None,
 ) -> DataFrame:
     """Hierarchical taxonomy facets (Lucene facet module,
     TaxonomyFacetCounts over FacetField paths — the reference's facet
@@ -2416,11 +2417,26 @@ def taxonomy_facet_counts(
     and the per-(query, level) top-N window is preceded by an exact
     partition-local row_number prune (the K1-heap argument — the
     grouped-head lesson), so a web-scale prefix cardinality can never
-    funnel the full aggregate through one window task."""
+    funnel the full aggregate through one window task.
+
+    ``under`` is Lucene's ``getTopChildren(n, dim, *path)`` refinement:
+    count only the DIRECT children of the given path prefix — docs are
+    pre-filtered with a ``startswith(under + sep)`` predicate (a
+    pushed ``StringStartsWith`` on the docmeta scan, so at scale only
+    the subtree's rows leave the scan), the single counted level is
+    ``len(under) + 1``, and ``depth`` is ignored."""
     import re as _re
 
     if depth < 1:
         raise ValueError("depth must be >= 1")
+    if under is not None:
+        u_parts = [p for p in under.split(sep) if p != ""]
+        if not u_parts:
+            raise ValueError("under must name at least one path segment")
+        return _taxonomy_children(
+            index, queries, path_col, sep, sep.join(u_parts), len(u_parts),
+            top_n, mode,
+        )
     qterms = tokenize_queries(queries, index.cfg.tokenizer)
     out_schema = "query_id int, level int, rank int, facet_path string, n_docs long"
     if len(qterms) == 0:
@@ -2465,6 +2481,69 @@ def taxonomy_facet_counts(
         .select(
             F.col("query_id").cast("int").alias("query_id"),
             F.col("level").cast("int").alias("level"),
+            F.col("rank").cast("int").alias("rank"),
+            "facet_path",
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def _taxonomy_children(
+    index: InvertedIndex,
+    queries: list[tuple[int, str, int]],
+    path_col: str,
+    sep: str,
+    under: str,
+    u: int,
+    top_n: int,
+    mode: str,
+) -> DataFrame:
+    """getTopChildren core: direct children of ``under`` (level u+1)
+    over the query's matching docs. The subtree filter is a pushed
+    StringStartsWith; the child prefix is one slice/join per hit (no
+    explode needed — exactly one child prefix per doc)."""
+    import re as _re
+
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    out_schema = "query_id int, level int, rank int, facet_path string, n_docs long"
+    if len(qterms) == 0:
+        return index.spark.createDataFrame([], out_schema)
+    scored, _ = _bm25_scored(index, qterms)
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    elif mode != "disjunctive":
+        raise ValueError(f"unknown mode {mode!r}")
+    meta = (
+        index.docmeta.select(
+            "doc_id", F.col(path_col).cast("string").alias("fp")
+        )
+        # proper-descendant filter: "a/b" has children only among docs
+        # whose path continues past it (the doc AT the path has none)
+        .filter(F.col("fp").startswith(under + sep))
+    )
+    parts = F.split(F.col("fp"), _re.escape(sep))
+    child = F.array_join(F.slice(parts, F.lit(1), F.lit(u + 1)), sep)
+    agg = (
+        scored.select("query_id", "doc_id")
+        .join(meta, "doc_id")
+        .select("query_id", child.alias("facet_path"))
+        .groupBy("query_id", "facet_path")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    order = [F.desc("n_docs"), F.asc("facet_path")]
+    w_loc = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        agg.withColumn("r", F.row_number().over(w_loc))
+        .filter(F.col("r") <= int(top_n))
+        .drop("r")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_n))
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.lit(u + 1).cast("int").alias("level"),
             F.col("rank").cast("int").alias("rank"),
             "facet_path",
             F.col("n_docs").cast("long").alias("n_docs"),

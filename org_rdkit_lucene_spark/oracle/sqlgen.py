@@ -367,8 +367,13 @@ def percolate_syntax_sql(
         for t in excl:
             excl_rows.append(f"({qid}, '{_q(t)}')")
 
-    def vals(rows):
-        return ",\n    ".join(rows) if rows else "(NULL, NULL)"
+    def vals(rows, types=("INTEGER", "VARCHAR")):
+        # typed NULLs: DuckDB infers a bare NULL column as INT32, and a
+        # later VARCHAR comparison would cast the STRING side (a
+        # conversion error on real terms) — so the empty marker row
+        # must carry the true column types
+        empty = "(" + ", ".join(f"CAST(NULL AS {t})" for t in types) + ")"
+        return ",\n    ".join(rows) if rows else empty
 
     toks = duckdb_tokens_sql("text")
     return f"""
@@ -384,13 +389,13 @@ dlstat AS (
 ),
 dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 q(query_id, term, w) AS (VALUES
-    {vals(q_rows)}
+    {vals(q_rows, ("INTEGER", "VARCHAR", "DOUBLE"))}
 ),
 mreq(query_id, term) AS (VALUES
     {vals(must_rows)}
 ),
 mneed(query_id, n_must) AS (VALUES
-    {vals(need_rows)}
+    {vals(need_rows, ("INTEGER", "INTEGER"))}
 ),
 excl(query_id, term) AS (VALUES
     {vals(excl_rows)}
@@ -1990,6 +1995,7 @@ def taxonomy_facet_counts_sql(
     mode: str = "disjunctive",
     table: str = "documents",
     path_expr: str | None = None,
+    under: str | None = None,
 ) -> str:
     """Taxonomy-facet twin of ``taxonomy_facet_counts``: the engine's
     docmeta ``path`` is reconstructed from the documents table the
@@ -2000,6 +2006,39 @@ def taxonomy_facet_counts_sql(
     path ASC)."""
     flt = "WHERE s.n_matched = s.n_terms" if mode == "conjunctive" else ""
     pe = path_expr or "d.source || '/doc/' || d.doc_id"
+    if under is not None:
+        u_parts = [p for p in under.split("/") if p != ""]
+        u = len(u_parts)
+        upfx = "/".join(u_parts).replace("'", "''")
+        cond = f"starts_with({pe}, '{upfx}/')"
+        flt2 = flt + (" AND " if flt else "WHERE ") + cond
+        return (
+            _bm25_ctes(queries, table=table)
+            + f""",
+paths AS (
+  SELECT s.query_id, string_split({pe}, '/') AS parts
+  FROM scored s JOIN {table} d ON d.doc_id = s.doc_id
+  {flt2}
+),
+counted AS (
+  SELECT query_id,
+         array_to_string(list_slice(parts, 1, {u + 1}), '/') AS facet_path,
+         count(*)::BIGINT AS n_docs
+  FROM paths GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, facet_path, n_docs,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY n_docs DESC, facet_path ASC
+         ) AS rnk
+  FROM counted
+)
+SELECT CAST(query_id AS INTEGER) AS query_id,
+       CAST({u + 1} AS INTEGER) AS level,
+       CAST(rnk AS INTEGER) AS rank, facet_path, n_docs
+FROM ranked WHERE rnk <= {int(top_n)}
+ORDER BY query_id, rank"""
+        )
     return (
         _bm25_ctes(queries, table=table)
         + f""",

@@ -205,3 +205,84 @@ def test_taxonomy_facet_depth_one_matches_flat_counts(small_index):
         assert int(sub.n_docs.sum()) > 0
         # prefix strings must be actual first segments
         assert set(sub.facet_path) <= set(seg1.values())
+
+
+def test_taxonomy_top_children_law(small_index, doc_facets, small_pdf):
+    """getTopChildren(under): only docs strictly under the path count,
+    grouped by their direct child prefix; the doc AT the path has no
+    children."""
+    from collections import Counter
+
+    from org_rdkit_lucene_spark.operators.query import taxonomy_facet_counts
+
+    docmap = small_index.docmap.toPandas()
+    src = small_pdf.merge(docmap, on=["repo", "path", "commit"])
+    paths = {int(r.doc_id): r.path for r in src.itertuples()}
+    under = next(iter(paths.values())).split("/")[0]  # e.g. "src"
+    u = 1
+    got = (
+        taxonomy_facet_counts(
+            small_index, QUERIES, under=under, top_n=5
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    parts_rows = []
+    for qid, text, _k in QUERIES:
+        c = Counter()
+        for d in _hits(doc_facets, text):
+            segs = paths[d].split("/")
+            if len(segs) > u and "/".join(segs[:u]) == under:
+                c["/".join(segs[: u + 1])] += 1
+        ranked = sorted(c.items(), key=lambda t: (-t[1], t[0]))[:5]
+        for r, (fp, n) in enumerate(ranked, start=1):
+            parts_rows.append((qid, u + 1, r, fp, n))
+    want = pd.DataFrame(
+        parts_rows,
+        columns=["query_id", "level", "rank", "facet_path", "n_docs"],
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"query_id": "int64", "level": "int64",
+                    "rank": "int64", "n_docs": "int64"}),
+        want.astype({"query_id": "int64", "level": "int64",
+                     "rank": "int64", "n_docs": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_taxonomy_top_children_oracle_parity(small_index, small_pdf):
+    """Engine == DuckDB twin for the under= refinement (path rebuilt
+    from the test corpus columns)."""
+    import duckdb
+
+    from org_rdkit_lucene_spark.operators.query import taxonomy_facet_counts
+    from org_rdkit_lucene_spark.oracle.sqlgen import taxonomy_facet_counts_sql
+
+    docmap = small_index.docmap.toPandas()
+    src = small_pdf.merge(docmap, on=["repo", "path", "commit"])
+    under = src.path.iloc[0].split("/")[0]
+    got = (
+        taxonomy_facet_counts(small_index, QUERIES, under=under, top_n=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        src.rename(columns={"content": "text"})[["doc_id", "text", "path"]],
+    )
+    want = con.execute(
+        taxonomy_facet_counts_sql(
+            QUERIES, top_n=5, under=under, path_expr="d.path"
+        )
+    ).df()
+    cols = ["query_id", "level", "rank", "facet_path", "n_docs"]
+    pd.testing.assert_frame_equal(
+        got[cols].astype({"query_id": "int64", "level": "int64",
+                          "rank": "int64", "n_docs": "int64"}),
+        want[cols].astype({"query_id": "int64", "level": "int64",
+                           "rank": "int64", "n_docs": "int64"}),
+        check_dtype=False,
+    )

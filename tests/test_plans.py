@@ -211,3 +211,50 @@ def test_field_phrase_plan_jvm_only_no_content(spark, tmp_path):
     assert "content" not in plan
     assert audit.count_nodes(df, "BatchEvalPython") == 0
     assert audit.count_nodes(df, "CartesianProduct") == 0
+
+
+def test_round5_continuation_plan_contracts(small_index):
+    """Taxonomy facets, block join, and query-time join stay
+    JVM-only: no Python evaluators, no cartesian products, pushed term
+    pruning; taxonomy's prefix fan-out is exactly ONE Generate."""
+    from org_rdkit_lucene_spark.operators.query import (
+        search_block_join,
+        search_join,
+        taxonomy_facet_counts,
+    )
+
+    tax = taxonomy_facet_counts(small_index, QUERIES, depth=3, top_n=5)
+    assert audit.count_nodes(tax, "BatchEvalPython") == 0
+    assert audit.count_nodes(tax, "CartesianProduct") == 0
+    assert audit.count_nodes(tax, "Generate") == 1
+    assert audit.has_pushed_term_filter(tax, "term")
+
+    for df in (
+        search_block_join(small_index, QUERIES, "repo", "total"),
+        search_join(small_index, QUERIES, "repo", "repo", "max"),
+    ):
+        assert audit.count_nodes(df, "BatchEvalPython") == 0
+        assert audit.count_nodes(df, "CartesianProduct") == 0
+        assert audit.has_pushed_term_filter(df, "term")
+
+
+def test_multi_phrase_plan_pushes_terms(spark, tmp_path):
+    """Multi-phrase scans carry the explicit term IN pushdown and stay
+    free of Python evaluators (the phrase-positions contract extended
+    to slot alternatives)."""
+    from org_rdkit_lucene_spark.operators.positions import (
+        build_positions,
+        search_multi_phrase,
+    )
+
+    rows = [(i, "alpha beta gamma delta") for i in range(12)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "content"])
+    )
+    pos = build_positions(spark, docs, str(tmp_path / "mp_plan"))
+    df = search_multi_phrase(
+        pos, [(1, [["alpha", "beta"], ["gamma"]], 5)]
+    )
+    assert audit.has_pushed_term_filter(df, "term")
+    assert audit.count_nodes(df, "BatchEvalPython") == 0
+    assert audit.count_nodes(df, "CartesianProduct") == 0
