@@ -918,6 +918,20 @@ def _q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(idx, TRIGRAM_QUERIES, mode="disjunctive")
 
 
+# stopword-profile queries: prose-ish terms so the StopFilter stage
+# actually changes the token stream (dl/avgdl shift vs code_default)
+STOPWORD_QUERIES = [(86, "the merge of a window", 10), (87, "scan for batch", 10)]
+
+
+def _q_english_stop_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over an english_stop-analyzed index (Lucene StopFilter,
+    the classic 33-word English stop set): stop tokens vanish from the
+    index AND the query side, so dl/avgdl/idf all shift vs
+    code_default — the oracle recomputes under the same profile."""
+    idx = _profile_index(spark, sf_dir, "english_stop")
+    return search(idx, STOPWORD_QUERIES, mode="disjunctive")
+
+
 def _q_identifiers_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _profile_index(spark, sf_dir, "identifiers_only")
     return (
@@ -1728,7 +1742,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k7_wand_conjunctive keep the WAND kernel under the hard gate
         # (rotation documented in SURVEY §13)
         "q1_multi_phrase": _q1_multi_phrase,
-        "q1_field_qualified": _q_field_qualified,
+        # english_stop profile (the StopFilter branch added to all
+        # three tokenizer paths this session — needs a hard row);
+        # displaces q1_field_qualified, whose _field_hits path keeps
+        # three in-window gate entries (q1_field_prefix,
+        # q1_field_range_regexp, q1_field_phrase)
+        "t3_english_stop_search": _q_english_stop_search,
         "q1_prefix_search": _q_prefix_search,
         "q1_fuzzy_search": _q_fuzzy_search,
         "q1_wildcard_search": _q_wildcard_search,
@@ -1818,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_query_syntax": _q_syntax,
         # displaced from the window by the drill/percolate entries (see above):
         "b1_upsert_requery": _q_upsert_requery,
+        "q1_field_qualified": _q_field_qualified,
         "q11_suggest_completions": _q_completions,
         "t3_identifiers_lexicon": _q_identifiers_lexicon,
         "q1_boolean_not": _q_boolean_not,
@@ -1893,6 +1913,14 @@ def _t3_oracle_trigram() -> str:
 
     return sqlgen.bm25_topk_sql(
         TRIGRAM_QUERIES, "disjunctive", profile=get_analyzer("trigram")
+    )
+
+
+def _t3_oracle_english_stop() -> str:
+    from org_rdkit_lucene_spark.config import get_analyzer
+
+    return sqlgen.bm25_topk_sql(
+        STOPWORD_QUERIES, "disjunctive", profile=get_analyzer("english_stop")
     )
 
 
@@ -2059,6 +2087,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_boosted_search": sqlgen.query_syntax_sql(BOOST_QUERIES),
         "q1_boosted_clauses": sqlgen.query_syntax_sql(BOOST_CLAUSE_QUERIES),
         "t3_trigram_search": _t3_oracle_trigram(),
+        "t3_english_stop_search": _t3_oracle_english_stop(),
         "t3_identifiers_lexicon": _t3_oracle_identifiers(),
         "q9_explain": sqlgen.explain_sql(DISJ_QUERIES),
         "q1_sorted_by_field": sqlgen.sorted_search_sql(DISJ_QUERIES),

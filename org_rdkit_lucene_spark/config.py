@@ -61,6 +61,12 @@ class TokenizerProfile:
     # shorter than n pass through whole) — the trigram profile;
     # supported on all three parity paths
     char_ngram: int = 0
+    # Lucene StopFilter analog: tokens in this set are dropped AFTER
+    # the length/numeric filters and BEFORE any n-gram stage (the
+    # token-chain position of StandardAnalyzer + StopFilter).
+    # Supported on all three parity paths; the Arrow build fast path
+    # is gated off for stopword profiles.
+    stopwords: tuple[str, ...] = ()
 
     def __post_init__(self) -> None:
         if self.min_token_len < 1:
@@ -75,13 +81,24 @@ class TokenizerProfile:
             raise ValueError(f"char_ngram must be >= 0, got {self.char_ngram}")
         if self.char_ngram > 0 and self.ngram > 0:
             raise ValueError("char_ngram and ngram are mutually exclusive")
+        for w in self.stopwords:
+            if not w or (self.lowercase and w != w.lower()):
+                raise ValueError(
+                    f"stopword {w!r} must be non-empty and lowercase when "
+                    "the profile lowercases (it could never match a token)"
+                )
 
     @property
     def arrow_fast_path_ok(self) -> bool:
         """Whether the ASCII Arrow-native build fast path implements
         this profile (it covers only the default token pipeline; other
         profiles take the canonical pandas path)."""
-        return self.ngram == 0 and self.char_ngram == 0 and not self.drop_numeric
+        return (
+            self.ngram == 0
+            and self.char_ngram == 0
+            and not self.drop_numeric
+            and not self.stopwords
+        )
 
 
 @dataclass(frozen=True)
@@ -160,6 +177,19 @@ ANALYZERS: dict[str, TokenizerProfile] = {
     # character trigrams of each identifier sub-word — the substring-
     # search-friendly profile (short tokens pass through whole)
     "trigram": TokenizerProfile(name="trigram", char_ngram=3),
+    # Lucene's classic English stop set (EnglishAnalyzer
+    # ENGLISH_STOP_WORDS_SET, 33 words) through the StopFilter stage —
+    # for prose-heavy fields (docstrings, comments, READMEs)
+    "english_stop": TokenizerProfile(
+        name="english_stop",
+        stopwords=(
+            "a", "an", "and", "are", "as", "at", "be", "but", "by",
+            "for", "if", "in", "into", "is", "it", "no", "not", "of",
+            "on", "or", "such", "that", "the", "their", "then",
+            "there", "these", "they", "this", "to", "was", "will",
+            "with",
+        ),
+    ),
 }
 
 

@@ -74,6 +74,9 @@ def tokenize_text(text: str | None, profile: TokenizerProfile = DEFAULT_PROFILE)
     toks = [t for t in _SEP_RE.split(s) if profile.min_token_len <= len(t) <= profile.max_token_len]
     if profile.drop_numeric:
         toks = [t for t in toks if not _NUMERIC_RE.match(t)]
+    if profile.stopwords:
+        stops = set(profile.stopwords)
+        toks = [t for t in toks if t not in stops]
     if profile.char_ngram > 0:
         toks = [g for t in toks for g in _char_ngrams(t, profile.char_ngram)]
     if profile.ngram > 1:
@@ -96,6 +99,9 @@ def tokenize_texts(
     out = s.str.split(_SEP_RE).map(lambda xs: [t for t in xs if lo <= len(t) <= hi])
     if profile.drop_numeric:
         out = out.map(lambda ts: [t for t in ts if not _NUMERIC_RE.match(t)])
+    if profile.stopwords:
+        stops = set(profile.stopwords)
+        out = out.map(lambda ts: [t for t in ts if t not in stops])
     if profile.char_ngram > 0:
         cn = profile.char_ngram
         out = out.map(lambda ts: [g for t in ts for g in _char_ngrams(t, cn)])
@@ -134,6 +140,9 @@ def tokens_column(col: Column | str, profile: TokenizerProfile = DEFAULT_PROFILE
     arr = F.filter(arr, lambda t: (F.length(t) >= lo) & (F.length(t) <= hi))
     if profile.drop_numeric:
         arr = F.filter(arr, lambda t: ~t.rlike("^[0-9]+$"))
+    if profile.stopwords:
+        stops = list(profile.stopwords)
+        arr = F.filter(arr, lambda t: ~t.isin(stops))
     if profile.char_ngram > 0:
         n = profile.char_ngram
         arr = F.flatten(
@@ -186,6 +195,11 @@ def duckdb_tokens_sql(col_sql: str, profile: TokenizerProfile = DEFAULT_PROFILE)
     )
     if profile.drop_numeric:
         arr = f"list_filter({arr}, t -> NOT regexp_matches(t, '^[0-9]+$'))"
+    if profile.stopwords:
+        inlist = ", ".join(
+            "'" + w.replace("'", "''") + "'" for w in profile.stopwords
+        )
+        arr = f"list_filter({arr}, t -> t NOT IN ({inlist}))"
     if profile.char_ngram > 0:
         n = profile.char_ngram
         arr = (

@@ -116,7 +116,7 @@ def test_profile_validation():
 def test_analyzer_registry():
     from org_rdkit_lucene_spark.config import ANALYZERS, get_analyzer
 
-    assert set(ANALYZERS) == {"code_default", "identifiers_only", "trigram"}
+    assert set(ANALYZERS) == {"code_default", "identifiers_only", "trigram", "english_stop"}
     assert get_analyzer("trigram").char_ngram == 3
     with pytest.raises(ValueError, match="unknown analyzer"):
         get_analyzer("nope")
@@ -129,6 +129,22 @@ def test_identifiers_only_golden():
     assert tokenize_text("x99 foo 1234 a UPPER_CASE_99", p) == ["x99", "foo", "upper", "case"]
 
 
+def test_english_stop_golden():
+    """StopFilter law: classic English stop set dropped AFTER the
+    length filter, BEFORE n-gram stages; code identifiers survive."""
+    from org_rdkit_lucene_spark.config import TokenizerProfile, get_analyzer
+
+    p = get_analyzer("english_stop")
+    assert tokenize_text("the getIndexValue of a scorer", p) == [
+        "get", "index", "value", "scorer"
+    ]
+    # stopwords must be lowercase when the profile lowercases
+    with pytest.raises(ValueError, match="stopword"):
+        TokenizerProfile(stopwords=("The",))
+    with pytest.raises(ValueError, match="stopword"):
+        TokenizerProfile(stopwords=("",))
+
+
 def test_trigram_golden():
     from org_rdkit_lucene_spark.config import get_analyzer
 
@@ -137,7 +153,9 @@ def test_trigram_golden():
     assert tokenize_text("parse", p) == ["par", "ars", "rse"]
 
 
-@pytest.mark.parametrize("profile_name", ["identifiers_only", "trigram", "ngram2"])
+@pytest.mark.parametrize(
+    "profile_name", ["identifiers_only", "trigram", "ngram2", "english_stop"]
+)
 def test_profile_three_way_parity(spark, profile_name):
     from org_rdkit_lucene_spark.config import get_analyzer
 
@@ -164,7 +182,7 @@ def test_arrow_fast_path_rejects_non_default_profiles():
     from org_rdkit_lucene_spark.config import get_analyzer
     from org_rdkit_lucene_spark.functions.tokenizer import tokenize_flat_arrow_ascii
 
-    for name in ("identifiers_only", "trigram"):
+    for name in ("identifiers_only", "trigram", "english_stop"):
         p = get_analyzer(name)
         assert not p.arrow_fast_path_ok
         with pytest.raises(ValueError):
