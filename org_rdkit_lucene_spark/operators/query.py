@@ -2954,6 +2954,7 @@ def search_block_join(
     parent_field: str = "repo",
     score_mode: str = "max",
     mode: str = "disjunctive",
+    after: dict[int, tuple[int, str]] | None = None,
 ) -> DataFrame:
     """Parent block join — the Lucene join-module analog
     (``ToParentBlockJoinQuery`` with ``ScoreMode``): child docs
@@ -2977,7 +2978,14 @@ def search_block_join(
     before the per-query head window (the K1-heap argument: at web
     scale parent_field has 10⁷ values; the global top-k is a fortiori
     in every partition's top-k, so the window's input shrinks to
-    parts×k rows). No collect, no UDF."""
+    parts×k rows). No collect, no UDF.
+
+    ``after`` = {query_id: (score_q, parent)} pages the parent ranking
+    with the reference's query-agnostic keyset law (searchAfter): only
+    parents strictly after the cursor in (score_q DESC, parent ASC)
+    order are admitted, BEFORE the prune/window stages — a pure filter
+    on the aggregated stream, so the rank bounds stay valid and
+    page1 + page2 == top-2k exactly (tested)."""
     if score_mode not in BLOCK_JOIN_MODES:
         raise ValueError(
             f"unknown score_mode {score_mode!r}; one of {BLOCK_JOIN_MODES}"
@@ -3014,6 +3022,25 @@ def search_block_join(
         F.count("*").alias("n_children"),
         F.max("k").alias("k"),
     )
+    if after:
+        cur = F.broadcast(
+            index.spark.createDataFrame(
+                [(int(q), int(s), str(p)) for q, (s, p) in after.items()],
+                "query_id int, cs long, cp string",
+            )
+        )
+        parents = (
+            parents.join(cur, "query_id", "left")
+            .filter(
+                F.col("cs").isNull()
+                | (F.col("score_q") < F.col("cs"))
+                | (
+                    (F.col("score_q") == F.col("cs"))
+                    & (F.col("parent") > F.col("cp"))
+                )
+            )
+            .drop("cs", "cp")
+        )
     order = [F.desc("score_q"), F.asc("parent")]
     local_w = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(*order)
     pruned = (

@@ -272,3 +272,27 @@ def test_join_search_oracle_parity(gs_index):
         want[["query_id", "rank", "doc_id", "score_q"]].astype("int64"),
         check_dtype=False,
     )
+
+
+def test_block_join_search_after_pages_exactly(gs_index):
+    """Keyset paging over the parent ranking: page1 + page2 == top-2k
+    (the query-agnostic searchAfter law on the block-join surface)."""
+    from org_rdkit_lucene_spark.operators.query import search_block_join
+
+    q = [(1, "merge tree", 2)]
+    full = search_block_join(
+        gs_index, [(1, "merge tree", 4)], "repo", "total"
+    ).toPandas()
+    page1 = search_block_join(gs_index, q, "repo", "total").toPandas()
+    last = page1.iloc[-1]
+    page2 = search_block_join(
+        gs_index, q, "repo", "total",
+        after={1: (int(last.score_q), str(last.parent))},
+    ).toPandas()
+    paged = pd.concat([page1, page2], ignore_index=True)
+    paged["rank"] = range(1, len(paged) + 1)
+    pd.testing.assert_frame_equal(
+        paged.reset_index(drop=True).astype({"score_q": "int64"}),
+        full.reset_index(drop=True).astype({"score_q": "int64"}),
+        check_dtype=False,
+    )
