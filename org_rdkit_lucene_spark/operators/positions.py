@@ -890,13 +890,11 @@ def search_multi_phrase(
     packed = _as_packed(positions)
 
     slot_rows: list[tuple[int, str, int]] = []   # (qid, term, slot_idx)
-    n_slots_by_q: dict[int, int] = {}
     k_by_q: dict[int, int] = {}
     for qid, slots, k in queries:
         analyzed = analyze_phrase_slots(slots, profile)
         if analyzed is None:
             continue  # inert (a slot tokenized empty)
-        n_slots_by_q[int(qid)] = len(analyzed)
         k_by_q[int(qid)] = int(k)
         for i, alts in enumerate(analyzed):
             slot_rows.extend((int(qid), t, i) for t in alts)

@@ -2444,9 +2444,8 @@ def taxonomy_facet_counts(
     ``len(under) + 1``, and ``depth`` is ignored."""
     import re as _re
 
-    if depth < 1:
-        raise ValueError("depth must be >= 1")
     if under is not None:
+        # depth is documented-ignored here, so it is not validated
         u_parts = [p for p in under.split(sep) if p != ""]
         if not u_parts:
             raise ValueError("under must name at least one path segment")
@@ -2454,15 +2453,11 @@ def taxonomy_facet_counts(
             index, queries, path_col, sep, sep.join(u_parts), len(u_parts),
             top_n, mode,
         )
-    qterms = tokenize_queries(queries, index.cfg.tokenizer)
-    out_schema = "query_id int, level int, rank int, facet_path string, n_docs long"
-    if len(qterms) == 0:
-        return index.spark.createDataFrame([], out_schema)
-    scored, _ = _bm25_scored(index, qterms)
-    if mode == "conjunctive":
-        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
-    elif mode != "disjunctive":
-        raise ValueError(f"unknown mode {mode!r}")
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    scored = _taxonomy_candidates(index, queries, mode)
+    if scored is None:
+        return index.spark.createDataFrame([], _TAXONOMY_SCHEMA)
     meta = index.docmeta.select(
         "doc_id", F.col(path_col).cast("string").alias("fp")
     )
@@ -2505,6 +2500,27 @@ def taxonomy_facet_counts(
     )
 
 
+_TAXONOMY_SCHEMA = (
+    "query_id int, level int, rank int, facet_path string, n_docs long"
+)
+
+
+def _taxonomy_candidates(index, queries, mode):
+    """Shared taxonomy candidate stream (both the depth mode and the
+    under= mode ride it — one place for the tokenize/score/mode law):
+    the scored (query_id, doc_id) set, or None when every query
+    tokenizes empty."""
+    qterms = tokenize_queries(queries, index.cfg.tokenizer)
+    if len(qterms) == 0:
+        return None
+    scored, _ = _bm25_scored(index, qterms)
+    if mode == "conjunctive":
+        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
+    elif mode != "disjunctive":
+        raise ValueError(f"unknown mode {mode!r}")
+    return scored
+
+
 def _taxonomy_children(
     index: InvertedIndex,
     queries: list[tuple[int, str, int]],
@@ -2521,15 +2537,9 @@ def _taxonomy_children(
     explode needed — exactly one child prefix per doc)."""
     import re as _re
 
-    qterms = tokenize_queries(queries, index.cfg.tokenizer)
-    out_schema = "query_id int, level int, rank int, facet_path string, n_docs long"
-    if len(qterms) == 0:
-        return index.spark.createDataFrame([], out_schema)
-    scored, _ = _bm25_scored(index, qterms)
-    if mode == "conjunctive":
-        scored = scored.filter(F.col("n_matched") == F.col("n_terms"))
-    elif mode != "disjunctive":
-        raise ValueError(f"unknown mode {mode!r}")
+    scored = _taxonomy_candidates(index, queries, mode)
+    if scored is None:
+        return index.spark.createDataFrame([], _TAXONOMY_SCHEMA)
     meta = (
         index.docmeta.select(
             "doc_id", F.col(path_col).cast("string").alias("fp")
@@ -2965,6 +2975,22 @@ def search_grouped(
 BLOCK_JOIN_MODES = ("max", "min", "total", "avg", "count")
 
 
+def _block_join_agg(score_mode: str):
+    """The ONE score-mode law shared by search_block_join and
+    search_join (the SQL twins mirror it via sqlgen._BJ_AGG_SQL —
+    change all four together or rank identity breaks). ``avg`` is
+    INTEGER division (`div`), exact floor on the non-negative
+    quantized child scores — never float division, whose rounding
+    could diverge from the brute-force ``//`` law past 2^53."""
+    return {
+        "max": F.max("cq"),
+        "min": F.min("cq"),
+        "total": F.sum("cq"),
+        "avg": F.expr("sum(cq) div count(1)").cast("long"),
+        "count": F.count("*").cast("long"),
+    }[score_mode]
+
+
 def search_block_join(
     index: InvertedIndex,
     queries: list[tuple[int, str, int]],
@@ -3027,15 +3053,8 @@ def search_block_join(
     child = scored.join(dm, "doc_id").select(
         "query_id", "parent", _quantize(F.col("score_raw"), dec).alias("cq"), "k"
     )
-    agg_fn = {
-        "max": F.max("cq"),
-        "min": F.min("cq"),
-        "total": F.sum("cq"),
-        "avg": F.floor(F.sum("cq") / F.count("*")).cast("long"),
-        "count": F.count("*").cast("long"),
-    }[score_mode]
     parents = child.groupBy("query_id", "parent").agg(
-        agg_fn.alias("score_q"),
+        _block_join_agg(score_mode).alias("score_q"),
         F.count("*").alias("n_children"),
         F.max("k").alias("k"),
     )
@@ -3058,7 +3077,10 @@ def search_block_join(
             )
             .drop("cs", "cp")
         )
-    order = [F.desc("score_q"), F.asc("parent")]
+    # NULLS LAST matches DuckDB's ASC default — a NULL parent (NULL
+    # join field in docmeta) would otherwise rank FIRST engine-side on
+    # score ties while the twin ranks it last
+    order = [F.desc("score_q"), F.col("parent").asc_nulls_last()]
     local_w = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(*order)
     pruned = (
         parents.withColumn("lrank", F.row_number().over(local_w))
@@ -3128,15 +3150,8 @@ def search_join(
     child = scored.join(from_dm, "doc_id").select(
         "query_id", "jval", _quantize(F.col("score_raw"), dec).alias("cq"), "k"
     )
-    agg_fn = {
-        "max": F.max("cq"),
-        "min": F.min("cq"),
-        "total": F.sum("cq"),
-        "avg": F.floor(F.sum("cq") / F.count("*")).cast("long"),
-        "count": F.count("*").cast("long"),
-    }[score_mode]
     vals = child.groupBy("query_id", "jval").agg(
-        agg_fn.alias("score_q"), F.max("k").alias("k")
+        _block_join_agg(score_mode).alias("score_q"), F.max("k").alias("k")
     )
     to_dm = index.docmeta.select(
         "doc_id", F.lower(F.col(to_field)).alias("jval")

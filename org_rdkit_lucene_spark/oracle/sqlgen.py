@@ -350,9 +350,22 @@ def percolate_syntax_sql(
     def _q(s: str) -> str:
         return s.replace("'", "''")
 
+    from org_rdkit_lucene_spark.streaming.percolate import (
+        _SYNTAX_UNSUPPORTED,
+    )
+
     q_rows, must_rows, need_rows, excl_rows = [], [], [], []
     for qid, text, _k in queries:
         p = parse_query(text)
+        bad = [k for k in _SYNTAX_UNSUPPORTED if p[k]]
+        if bad:
+            # mirror the engine's loud rejection — a silent bag-of-words
+            # oracle for a phrase/field/expansion query would be a
+            # WRONG-LAW twin, not a permissive one
+            raise ValueError(
+                f"percolate_syntax supports term clauses only; query "
+                f"{qid} uses {bad}"
+            )
         counts, must = syntax_scoring_weights(p, DEFAULT_PROFILE)
         if not counts:
             continue
@@ -3249,6 +3262,18 @@ ORDER BY query_id, group_rank, hit_rank"""
     )
 
 
+# The SQL side of query._block_join_agg — the ONE score-mode law for
+# block/query-time join twins (avg is INTEGER division `//`, mirroring
+# the engine's `div`; change both together or rank identity breaks).
+_BJ_AGG_SQL = {
+    "max": "max(cq)",
+    "min": "min(cq)",
+    "total": "sum(cq)",
+    "avg": "CAST(sum(cq) // count(*) AS BIGINT)",
+    "count": "count(*)",
+}
+
+
 def block_join_sql(
     queries: list[tuple[int, str, int]],
     parent_field: str = "repo",
@@ -3262,13 +3287,7 @@ def block_join_sql(
     parents rank by (score_agg DESC, parent ASC) bounded by k."""
     expr = _GROUP_EXPRS[parent_field]
     flt = "WHERE n_matched = n_terms" if mode == "conjunctive" else ""
-    agg = {
-        "max": "max(cq)",
-        "min": "min(cq)",
-        "total": "sum(cq)",
-        "avg": "CAST(floor(sum(cq) / count(*)) AS BIGINT)",
-        "count": "count(*)",
-    }[score_mode]
+    agg = _BJ_AGG_SQL[score_mode]
     return (
         _bm25_ctes(queries, table=table)
         + f""",
@@ -3314,13 +3333,7 @@ def join_search_sql(
     fexpr = _GROUP_EXPRS[from_field]
     texpr = _GROUP_EXPRS[to_field]
     flt = "WHERE n_matched = n_terms" if mode == "conjunctive" else ""
-    agg = {
-        "max": "max(cq)",
-        "min": "min(cq)",
-        "total": "sum(cq)",
-        "avg": "CAST(floor(sum(cq) / count(*)) AS BIGINT)",
-        "count": "count(*)",
-    }[score_mode]
+    agg = _BJ_AGG_SQL[score_mode]
     return (
         _bm25_ctes(queries, table=table)
         + f""",

@@ -171,40 +171,31 @@ def test_taxonomy_facet_counts_law(small_index, doc_facets, small_pdf):
     )
 
 
-def test_taxonomy_facet_depth_one_matches_flat_counts(small_index):
-    """depth=1 taxonomy counts == flat facet counts on the first path
-    segment (a consistency law linking the two facet surfaces)."""
-    from org_rdkit_lucene_spark.operators.query import (
-        facet_counts,
-        taxonomy_facet_counts,
-    )
+def test_taxonomy_facet_depth_one_counts_exact(
+    small_index, doc_facets, small_pdf
+):
+    """depth=1 with an unbounded top_n is a FULL recount by first path
+    segment — every (query, segment) count compared exactly (the weak
+    shape-only predecessor of this test let a count regression pass)."""
+    from collections import Counter
 
+    from org_rdkit_lucene_spark.operators.query import taxonomy_facet_counts
+
+    docmap = small_index.docmap.toPandas()
+    src = small_pdf.merge(docmap, on=["repo", "path", "commit"])
+    paths = {int(r.doc_id): r.path for r in src.itertuples()}
     tax = (
         taxonomy_facet_counts(small_index, QUERIES, depth=1, top_n=10**6)
         .toPandas()
-        .sort_values(["query_id", "facet_path"])
-        .reset_index(drop=True)
     )
-    flat = facet_counts(small_index, QUERIES, facet_col="repo").toPandas()
-    # small_pdf paths do not start with repo; instead compare against
-    # a recount of the first path segment from docmeta itself
-    import pyspark.sql.functions as F
-
-    seg1 = (
-        small_index.docmeta.select(
-            "doc_id", F.split("path", "/").getItem(0).alias("facet_path")
+    for qid, text, _k in QUERIES:
+        c = Counter(
+            paths[d].split("/")[0] for d in _hits(doc_facets, text)
         )
-        .toPandas()
-        .set_index("doc_id")["facet_path"]
-        .to_dict()
-    )
-    assert len(flat) > 0  # flat surface still alive on this corpus
-    for qid in {q for q, _, _ in QUERIES}:
         sub = tax[tax.query_id == qid]
         assert (sub.level == 1).all()
-        assert int(sub.n_docs.sum()) > 0
-        # prefix strings must be actual first segments
-        assert set(sub.facet_path) <= set(seg1.values())
+        got = dict(zip(sub.facet_path, sub.n_docs.astype(int)))
+        assert got == dict(c)
 
 
 def test_taxonomy_top_children_law(small_index, doc_facets, small_pdf):

@@ -281,3 +281,12 @@ def test_percolate_syntax_stream_matches_batch(
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_percolate_syntax_sql_rejects_non_term_clauses():
+    """The twin mirrors the engine's loud rejection — a bag-of-words
+    oracle for a phrase query would be a wrong-law twin."""
+    from org_rdkit_lucene_spark.oracle.sqlgen import percolate_syntax_sql
+
+    with pytest.raises(ValueError, match="term clauses only"):
+        percolate_syntax_sql([(1, '"hash table" scan', 10)])
