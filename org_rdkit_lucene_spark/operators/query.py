@@ -3129,7 +3129,13 @@ def search_join(
     to-side = a hash join of docmeta against that value table on the
     join key, then the partition-local row_number prune before the
     per-query rank window. No collect, no UDF, no broadcast of
-    anything data-sized."""
+    anything data-sized.
+
+    ``ToChildBlockJoinQuery`` (parents match → return their children)
+    is this operator with ``from_field == to_field`` set to the
+    parent key: every doc of a matching parent is a join hit carrying
+    the parent's aggregated score — no separate child-direction
+    operator is needed."""
     if score_mode not in BLOCK_JOIN_MODES:
         raise ValueError(
             f"unknown score_mode {score_mode!r}; one of {BLOCK_JOIN_MODES}"

@@ -290,3 +290,13 @@ def test_percolate_syntax_sql_rejects_non_term_clauses():
 
     with pytest.raises(ValueError, match="term clauses only"):
         percolate_syntax_sql([(1, '"hash table" scan', 10)])
+
+
+def test_percolate_syntax_query_cap(small_index, corpus_with_ids):
+    """MAX_QUERIES bounds the broadcast structurally on the syntax
+    surface too (the sharding directive, same as percolate)."""
+    from org_rdkit_lucene_spark.streaming.percolate import percolate_syntax
+
+    too_many = [(i, "merg", 5) for i in range(MAX_QUERIES + 1)]
+    with pytest.raises(ValueError, match="shard the query set"):
+        percolate_syntax(small_index, corpus_with_ids, too_many)
