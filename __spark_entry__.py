@@ -548,6 +548,26 @@ def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_grouped(idx, GROUPED_QUERIES, "lang", group_limit=2)
 
 
+STATS_TERMS = ["merge", "scan", "zzzmissingterm", "batch"]
+
+
+def _q_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexSearcher.collectionStatistics analog: exact-integer corpus
+    stats; sum_cf (lexicon) must equal total_dl (docmeta) — the
+    cross-artifact invariant the oracle recomputes from raw text."""
+    from org_rdkit_lucene_spark.operators.query import collection_statistics
+
+    return collection_statistics(_index_for(spark, sf_dir))
+
+
+def _q_term_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexSearcher.termStatistics analog: (term, df, cf) for fixed
+    probe terms; the absent term emits no row."""
+    from org_rdkit_lucene_spark.operators.query import term_statistics
+
+    return term_statistics(_index_for(spark, sf_dir), STATS_TERMS)
+
+
 def _q_join_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-time join (JoinUtil.createJoinQuery analog): matching
     docs' repo values aggregate their quantized scores; every doc of a
@@ -1835,6 +1855,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k7_wand_disjunctive": _q_wand_disjunctive,
         "k7_wand_conjunctive": _q_wand_conjunctive,
         "q1_query_syntax": _q_syntax,
+        # IndexSearcher statistics surface (metadata-scale wrappers;
+        # placed just past the window deliberately — their laws are
+        # single aggregations the sf0.01 replica fully verifies, and
+        # no in-window entry's surface is thin enough to displace)
+        "b_collection_stats": _q_collection_stats,
+        "q7_term_statistics": _q_term_statistics,
         # displaced from the window by the drill/percolate entries (see above):
         "b1_upsert_requery": _q_upsert_requery,
         "q1_field_qualified": _q_field_qualified,
@@ -2119,6 +2145,8 @@ def oracle_sql() -> dict[str, str]:
         "q12_join_search": sqlgen.join_search_sql(
             GROUPED_QUERIES, "repo", "repo", score_mode="total"
         ),
+        "b_collection_stats": sqlgen.collection_statistics_sql(),
+        "q7_term_statistics": sqlgen.term_statistics_sql(STATS_TERMS),
         "q11_suggest_terms": sqlgen.suggest_sql(SUGGEST_WORDS),
         "q11_suggest_completions": sqlgen.suggest_completions_sql(
             COMPLETION_PREFIXES

@@ -610,6 +610,45 @@ def search_synonyms(
     )
 
 
+def collection_statistics(index: InvertedIndex) -> DataFrame:
+    """Lucene ``IndexSearcher.collectionStatistics`` analog: one row of
+    exact-integer corpus stats — docCount, sumTotalTermFreq
+    (``total_dl`` from stats.json AND ``sum_cf`` re-aggregated from
+    the lexicon, which must agree: the cross-artifact invariant
+    CheckIndex enforces), the term count, and avgdl under the shared
+    score-quantization law. One metadata-scale lexicon aggregation,
+    nothing corpus-sized."""
+    import math
+
+    dec = index.cfg.bm25.score_decimals
+    q = 10 ** dec
+    return index.lexicon.agg(
+        F.count("*").alias("n_terms"), F.sum("cf").alias("sum_cf")
+    ).select(
+        F.lit(int(index.n_docs)).cast("long").alias("n_docs"),
+        F.lit(int(index.total_dl)).cast("long").alias("total_dl"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("sum_cf").cast("long").alias("sum_cf"),
+        F.lit(int(math.floor(index.avgdl * q + 0.5))).cast("long").alias("avgdl_q"),
+    )
+
+
+def term_statistics(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """Lucene ``IndexSearcher.termStatistics`` analog: (term, df
+    docFreq, cf totalTermFreq) for each requested term, term ASC. A
+    term absent from the lexicon emits no row (the null TermStatistics
+    contract). The ``isin`` predicate pushes to the lexicon scan."""
+    return (
+        index.lexicon.filter(F.col("term").isin(sorted(set(terms))))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
+        .orderBy("term")
+    )
+
+
 def search_by_key(index: InvertedIndex, repo: str, path: str, commit: str) -> DataFrame:
     """Q2 analog (``ChemicalIndex.java:505-519``): exact PK lookup, k=1."""
     return (

@@ -444,6 +444,43 @@ WHERE coalesce(h.nm, 0) = n.n_must
 ORDER BY 1, 2"""
 
 
+def collection_statistics_sql(table: str = "documents") -> str:
+    """Twin of ``query.collection_statistics``: every stat recomputed
+    from the raw corpus through the shared tokenizer — n_docs,
+    total token count (== sumTotalTermFreq == the lexicon cf total),
+    distinct-term count, and quantized avgdl."""
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+),
+tot AS (SELECT count(*)::BIGINT AS n_tok FROM tok),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM {table})
+SELECT (SELECT n_docs FROM nd) AS n_docs,
+       (SELECT n_tok FROM tot) AS total_dl,
+       (SELECT count(DISTINCT term) FROM tok)::BIGINT AS n_terms,
+       (SELECT n_tok FROM tot) AS sum_cf,
+       CAST(floor((SELECT n_tok FROM tot)::DOUBLE
+                  / (SELECT n_docs FROM nd) * {_QUANT} + 0.5) AS BIGINT)
+         AS avgdl_q"""
+
+
+def term_statistics_sql(terms: list[str], table: str = "documents") -> str:
+    """Twin of ``query.term_statistics``: df/cf per requested term from
+    the tokenized corpus; absent terms emit no row."""
+    inlist = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(terms))
+    )
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM tok WHERE term IN ({inlist})
+GROUP BY term ORDER BY term"""
+
+
 def hit_counts_sql(queries: list[tuple[int, str, int]], mode: str = "disjunctive") -> str:
     flt = "WHERE n_matched = n_terms" if mode == "conjunctive" else ""
     return (
